@@ -7,12 +7,17 @@ fp32 golden comparisons are deterministic.  Must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS; the config flag wins.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

@@ -1,0 +1,457 @@
+"""Tacotron-2 acoustic model, TPU-native.
+
+Rebuilds the architecture of ``/root/reference/tacotron/tacotron.py`` (char
+embedding -> conv+BiLSTM encoder -> location-sensitive-attention LSTM decoder
+-> conv postnet) as pure-functional flax modules:
+
+* the reference's per-frame Python ``while`` loops (teacher-forced ``forward``
+  at ``tacotron.py:395-429``, autoregressive ``inference`` at ``:431-466``)
+  become single ``lax.scan``s over a fused step function;
+* inference runs a fixed ``max_decoder_steps`` scan with stop-token masking
+  (``sigmoid(gate) > threshold``, ``tacotron.py:455-459``) instead of a
+  data-dependent ``break`` — identical outputs through ``parse_output``-style
+  masking (``tacotron.py:67-76``);
+* cuDNN LSTMs are fused-matmul scans (:mod:`..ops.lstm`), convs are XLA
+  ``lax.conv_general_dilated`` (MXU), prenet dropout stays always-on
+  (``tacotron/modules.py:21``) via explicit PRNG threading.
+
+Shapes follow the torch layout: mels are [B, n_mel, T].
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import HParams
+from ..ops.lstm import BiLSTM, LSTMCell
+
+
+def sequence_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] -> bool [B, max_len]; True inside the valid region
+    (``utils/data_utils.py:11-15`` equivalent, device-agnostic)."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over [B, T, C] with 'SAME'-style explicit padding —
+    the ConvNorm replacement (``utils/layers.py:21-39``); Xavier-uniform init."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.xavier_uniform(),
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class Prenet(nn.Module):
+    """Two ReLU+dropout layers; dropout is ON in both train and eval
+    (reference ``tacotron/modules.py:11-22`` passes training=True always)."""
+
+    sizes: tuple[int, ...] = (256, 256)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, dropout_rng: jax.Array) -> jnp.ndarray:
+        for i, size in enumerate(self.sizes):
+            x = nn.Dense(size, use_bias=False, name=f"fc{i}")(x)
+            x = nn.relu(x)
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(sub, 0.5, x.shape)
+            x = jnp.where(keep, x / 0.5, 0.0)
+        return x
+
+
+class Encoder(nn.Module):
+    """3x [conv512 k5 + BN + ReLU + dropout0.5] -> BiLSTM(256+256)
+    (reference ``tacotron/tacotron.py:167-220``)."""
+
+    hp: HParams
+
+    @nn.compact
+    def __call__(
+        self,
+        embedded: jnp.ndarray,          # [B, T, embed]
+        lengths: jnp.ndarray | None,    # [B] or None (inference)
+        train: bool = False,
+    ) -> jnp.ndarray:
+        hp = self.hp
+        x = embedded
+        for i in range(hp.enc_conv_num_layers):
+            x = Conv1d(hp.enc_conv_channels, hp.enc_conv_kernel_size, name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"bn{i}"
+            )(x)
+            x = nn.relu(x)
+            x = nn.Dropout(rate=hp.dropout_prob, deterministic=not train)(x)
+        return BiLSTM(hp.enc_conv_channels // 2, name="bilstm")(x, lengths)
+
+
+class Postnet(nn.Module):
+    """5 convs 80->512->...->80, k=5, tanh on all but last, BN + dropout
+    (reference ``tacotron/modules.py:94-137``)."""
+
+    hp: HParams
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # mel: [B, n_mel, T] -> channel-last for conv
+        hp = self.hp
+        x = mel.transpose(0, 2, 1)
+        n = hp.postnet_n_convolutions
+        for i in range(n):
+            feats = hp.n_mel_channels if i == n - 1 else hp.postnet_embedding_dim
+            x = Conv1d(feats, hp.postnet_kernel_size, name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"bn{i}"
+            )(x)
+            if i != n - 1:
+                x = jnp.tanh(x)
+            x = nn.Dropout(rate=0.5, deterministic=not train)(x)
+        return x.transpose(0, 2, 1)
+
+
+class LocationAttention(nn.Module):
+    """Location-sensitive additive attention
+    (reference ``tacotron/tacotron.py:91-166``).
+
+    Memory terms (``W_m @ memory``) are precomputed once per utterance by the
+    caller; per-step work is two small matmuls + a k=31 conv over the
+    attention-weight history.
+    """
+
+    hp: HParams
+
+    def setup(self):
+        hp = self.hp
+        self.query_layer = nn.Dense(hp.attention_dim, use_bias=False, name="query")
+        self.memory_layer = nn.Dense(hp.attention_dim, use_bias=False, name="memory")
+        self.v = nn.Dense(1, use_bias=False, name="v")
+        self.location_conv = Conv1d(
+            hp.attention_location_n_filters,
+            hp.attention_location_kernel_size,
+            use_bias=False,
+            name="loc_conv",
+        )
+        self.location_dense = nn.Dense(
+            hp.attention_dim, use_bias=False, name="loc_dense"
+        )
+
+    def process_memory(self, memory: jnp.ndarray) -> jnp.ndarray:
+        return self.memory_layer(memory)
+
+    def __call__(
+        self,
+        query: jnp.ndarray,             # [B, attention_rnn_dim]
+        memory: jnp.ndarray,            # [B, T_in, enc]
+        processed_memory: jnp.ndarray,  # [B, T_in, attention_dim]
+        attention_weights_cat: jnp.ndarray,  # [B, T_in, 2] (prev, cum)
+        mask: jnp.ndarray | None,       # bool [B, T_in], True = valid
+    ):
+        processed_query = self.query_layer(query)[:, None, :]
+        processed_loc = self.location_dense(self.location_conv(attention_weights_cat))
+        energies = self.v(
+            jnp.tanh(processed_query + processed_loc + processed_memory)
+        )[..., 0]
+        if mask is not None:
+            energies = jnp.where(mask, energies, -jnp.inf)
+        weights = jax.nn.softmax(energies, axis=1)
+        context = jnp.einsum(
+            "bt,bte->be", weights, memory, preferred_element_type=jnp.float32
+        )
+        return context, weights
+
+
+class DecoderState(NamedTuple):
+    attention_h: jnp.ndarray
+    attention_c: jnp.ndarray
+    decoder_h: jnp.ndarray
+    decoder_c: jnp.ndarray
+    attention_weights: jnp.ndarray
+    attention_weights_cum: jnp.ndarray
+    attention_context: jnp.ndarray
+
+
+class Decoder(nn.Module):
+    """Autoregressive mel decoder; one step =
+    prenet -> attention LSTM -> location attention -> decoder LSTM -> proj
+    (reference ``tacotron/tacotron.py:355-393``), scanned over time.
+    """
+
+    hp: HParams
+
+    def setup(self):
+        hp = self.hp
+        self.prenet = Prenet((hp.prenet_dim, hp.prenet_dim), name="prenet")
+        self.attention_rnn = LSTMCell(hp.attention_rnn_dim, name="attention_rnn")
+        self.attention = LocationAttention(hp, name="attention")
+        self.decoder_rnn = LSTMCell(hp.decoder_rnn_dim, name="decoder_rnn")
+        self.mel_proj = nn.Dense(
+            hp.n_mel_channels * hp.n_frames_per_step, name="mel_proj"
+        )
+        self.gate_proj = nn.Dense(1, name="gate_proj")
+
+    def initial_state(self, memory: jnp.ndarray) -> DecoderState:
+        hp = self.hp
+        B, T_in, _ = memory.shape
+        z = lambda d: jnp.zeros((B, d), memory.dtype)
+        return DecoderState(
+            attention_h=z(hp.attention_rnn_dim),
+            attention_c=z(hp.attention_rnn_dim),
+            decoder_h=z(hp.decoder_rnn_dim),
+            decoder_c=z(hp.decoder_rnn_dim),
+            attention_weights=jnp.zeros((B, T_in), memory.dtype),
+            attention_weights_cum=jnp.zeros((B, T_in), memory.dtype),
+            attention_context=z(hp.enc_conv_channels),
+        )
+
+    def step(
+        self,
+        state: DecoderState,
+        prenet_out: jnp.ndarray,        # [B, prenet_dim]
+        memory: jnp.ndarray,
+        processed_memory: jnp.ndarray,
+        mask: jnp.ndarray | None,
+        dropout_rng: jax.Array,
+        train: bool,
+    ):
+        hp = self.hp
+        rng_att, rng_dec = jax.random.split(dropout_rng)
+
+        cell_input = jnp.concatenate([prenet_out, state.attention_context], -1)
+        (att_h, att_c), _ = self.attention_rnn(
+            (state.attention_h, state.attention_c), cell_input
+        )
+        if train and hp.p_attention_dropout > 0:
+            keep = jax.random.bernoulli(rng_att, 1 - hp.p_attention_dropout, att_h.shape)
+            att_h = jnp.where(keep, att_h / (1 - hp.p_attention_dropout), 0.0)
+
+        weights_cat = jnp.stack(
+            [state.attention_weights, state.attention_weights_cum], axis=-1
+        )
+        context, weights = self.attention(
+            att_h, memory, processed_memory, weights_cat, mask
+        )
+        weights_cum = state.attention_weights_cum + weights
+
+        dec_input = jnp.concatenate([att_h, context], -1)
+        (dec_h, dec_c), _ = self.decoder_rnn(
+            (state.decoder_h, state.decoder_c), dec_input
+        )
+        if train and hp.p_decoder_dropout > 0:
+            keep = jax.random.bernoulli(rng_dec, 1 - hp.p_decoder_dropout, dec_h.shape)
+            dec_h = jnp.where(keep, dec_h / (1 - hp.p_decoder_dropout), 0.0)
+
+        proj_input = jnp.concatenate([dec_h, context], -1)
+        mel_frame = self.mel_proj(proj_input)
+        gate = self.gate_proj(proj_input)[..., 0]
+
+        new_state = DecoderState(
+            att_h, att_c, dec_h, dec_c, weights, weights_cum, context
+        )
+        return new_state, (mel_frame, gate, weights)
+
+    def teacher_forced(
+        self,
+        memory: jnp.ndarray,            # [B, T_in, enc]
+        mels: jnp.ndarray,              # [B, n_mel, T_out]
+        memory_lengths: jnp.ndarray,    # [B]
+        dropout_rng: jax.Array,
+        train: bool = True,
+    ):
+        """All-steps decode with ground-truth inputs; prenet over every frame
+        is one batched matmul, recurrence is one ``lax.scan``."""
+        B, n_mel, T_out = mels.shape
+        mask = sequence_mask(memory_lengths, memory.shape[1])
+        processed_memory = self.attention.process_memory(memory)
+
+        go = jnp.zeros((B, 1, n_mel), mels.dtype)
+        frames_in = jnp.concatenate([go, mels.transpose(0, 2, 1)[:, :-1]], axis=1)
+        rng_pre, rng_steps = jax.random.split(dropout_rng)
+        prenet_out = self.prenet(frames_in, rng_pre)    # [B, T_out, prenet]
+
+        state0 = self.initial_state(memory)
+        step_rngs = jax.random.split(rng_steps, T_out)
+
+        def body(state, inputs):
+            pre_t, rng_t = inputs
+            return self.step(
+                state, pre_t, memory, processed_memory, mask, rng_t, train
+            )
+
+        if self.is_initializing():
+            # Create all step parameters eagerly; the scan body below then only
+            # applies existing params (flax cannot create vars inside lax.scan).
+            self.step(
+                state0, prenet_out[:, 0], memory, processed_memory, mask,
+                step_rngs[0], train,
+            )
+
+        _, (mel_out, gate_out, align) = jax.lax.scan(
+            body, state0, (prenet_out.transpose(1, 0, 2), step_rngs)
+        )
+        # outputs: [T_out, B, .] -> torch layout
+        mel_out = mel_out.transpose(1, 2, 0)            # [B, n_mel, T_out]
+        gate_out = gate_out.transpose(1, 0)             # [B, T_out]
+        align = align.transpose(1, 0, 2)                # [B, T_out, T_in]
+        return mel_out, gate_out, align
+
+    def autoregressive(
+        self,
+        memory: jnp.ndarray,
+        dropout_rng: jax.Array,
+        memory_lengths: jnp.ndarray | None = None,
+        max_steps: int | None = None,
+    ):
+        """Fixed-trip scan to ``max_decoder_steps`` with stop-token masking.
+
+        Returns (mel [B, n_mel, T], gate [B, T], align [B, T, T_in],
+        out_lengths [B]) where out_lengths counts frames up to and including
+        the stop frame (reference ``tacotron.py:447-461`` break semantics).
+        """
+        hp = self.hp
+        T = hp.max_decoder_steps if max_steps is None else max_steps
+        B, T_in, _ = memory.shape
+        mask = (
+            sequence_mask(memory_lengths, T_in)
+            if memory_lengths is not None
+            else None
+        )
+        processed_memory = self.attention.process_memory(memory)
+        state0 = self.initial_state(memory)
+        frame0 = jnp.zeros((B, hp.n_mel_channels), memory.dtype)
+        finished0 = jnp.zeros((B,), bool)
+
+        def body(carry, rng_t):
+            state, frame, finished = carry
+            rng_pre, rng_step = jax.random.split(rng_t)
+            pre = self.prenet(frame, rng_pre)
+            state, (mel_frame, gate, weights) = self.step(
+                state, pre, memory, processed_memory, mask, rng_step, False
+            )
+            stop_now = jax.nn.sigmoid(gate) > hp.gate_threshold
+            # was this frame produced before stopping? (stop frame included)
+            active = ~finished
+            finished = finished | stop_now
+            return (state, mel_frame, finished), (mel_frame, gate, weights, active)
+
+        rngs = jax.random.split(dropout_rng, T)
+        if self.is_initializing():
+            body((state0, frame0, finished0), rngs[0])
+        _, (mel_out, gate_out, align, active) = jax.lax.scan(
+            body, (state0, frame0, finished0), rngs
+        )
+        mel_out = mel_out.transpose(1, 2, 0)
+        gate_out = gate_out.transpose(1, 0)
+        align = align.transpose(1, 0, 2)
+        active = active.transpose(1, 0)                 # [B, T]
+        out_lengths = active.sum(axis=1).astype(jnp.int32)
+        return mel_out, gate_out, align, out_lengths
+
+
+class Tacotron2(nn.Module):
+    """Top-level module (reference ``Tacotron``, ``tacotron/tacotron.py:14-89``)."""
+
+    hp: HParams
+    n_vocab: int = 80
+    num_speakers: int = 1
+
+    def setup(self):
+        hp = self.hp
+        # Uniform[-val, val] with val = sqrt(3)*sqrt(2/(n_vocab+embed))
+        # (reference tacotron.py:22-25).
+        std = float(np.sqrt(2.0 / (self.n_vocab + hp.embedding_size)))
+        val = float(np.sqrt(3.0)) * std
+
+        def _uniform_sym(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -val, val)
+
+        self.embedding = nn.Embed(
+            self.n_vocab,
+            hp.embedding_size,
+            embedding_init=_uniform_sym,
+            name="embedding",
+        )
+        self.speaker_embedding = nn.Embed(
+            self.num_speakers, hp.speaker_embedding_size, name="speaker_embedding"
+        )
+        self.encoder = Encoder(hp, name="encoder")
+        self.decoder = Decoder(hp, name="decoder")
+        self.postnet = Postnet(hp, name="postnet")
+
+    def embed(self, text_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embedding(text_ids)
+
+    def __call__(
+        self,
+        text_ids: jnp.ndarray,          # [B, T_in] int32
+        text_lengths: jnp.ndarray,      # [B]
+        mels: jnp.ndarray,              # [B, n_mel, T_out]
+        output_lengths: jnp.ndarray,    # [B]
+        speaker_ids: jnp.ndarray | None = None,
+        train: bool = True,
+    ):
+        """Teacher-forced forward (reference ``forward``, ``tacotron.py:36-49``),
+        with parse_output masking (``:67-76``) folded in."""
+        hp = self.hp
+        embedded = self.embed(text_ids)
+        encoder_out = self.encoder(embedded, text_lengths, train=train)
+        rng = self.make_rng("dropout")
+        mel_out, gate_out, align = self.decoder.teacher_forced(
+            encoder_out, mels, text_lengths, rng, train=train
+        )
+        mel_post = mel_out + self.postnet(mel_out, train=train)
+
+        if hp.mask_padding:
+            mel_out, mel_post, gate_out = mask_outputs(
+                mel_out, mel_post, gate_out, output_lengths
+            )
+        return mel_out, mel_post, gate_out, align
+
+    def inference(
+        self,
+        text_ids: jnp.ndarray,
+        speaker_ids: jnp.ndarray | None = None,
+        text_lengths: jnp.ndarray | None = None,
+        max_steps: int | None = None,
+    ):
+        """Autoregressive synthesis (reference ``inference``, ``tacotron.py:51-65``)."""
+        embedded = self.embed(text_ids)
+        encoder_out = self.encoder(embedded, text_lengths, train=False)
+        rng = self.make_rng("dropout")
+        mel_out, gate_out, align, out_lengths = self.decoder.autoregressive(
+            encoder_out, rng, memory_lengths=text_lengths, max_steps=max_steps
+        )
+        mel_post = mel_out + self.postnet(mel_out, train=False)
+        mel_out, mel_post, gate_out = mask_outputs(
+            mel_out, mel_post, gate_out, out_lengths
+        )
+        return mel_out, mel_post, gate_out, align, out_lengths
+
+
+def mask_outputs(mel_out, mel_post, gate_out, output_lengths):
+    """Zero mels and pin gate energies to 1e3 beyond each utterance's length
+    (reference ``parse_output``, ``tacotron.py:67-76``)."""
+    T = mel_out.shape[-1]
+    valid = sequence_mask(output_lengths, T)            # [B, T]
+    mel_mask = valid[:, None, :]
+    mel_out = jnp.where(mel_mask, mel_out, 0.0)
+    mel_post = jnp.where(mel_mask, mel_post, 0.0)
+    gate_out = jnp.where(valid, gate_out, 1e3)
+    return mel_out, mel_post, gate_out
