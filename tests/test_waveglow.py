@@ -1,0 +1,163 @@
+"""WaveGlow tests (SURVEY.md §4 item 3): forward/inverse consistency — the
+invertibility property the flow guarantees by construction
+(``waveglow/glow.py:207-292``) — plus loss finiteness and shape bookkeeping.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text2speech_tpu.config import WaveGlowConfig
+from text2speech_tpu.models.losses import waveglow_loss
+from text2speech_tpu.models.waveglow import WaveGlow, fold_weightnorm
+
+CFG = WaveGlowConfig(
+    n_mel_channels=16,
+    n_flows=6,
+    n_group=8,
+    n_early_every=2,
+    n_early_size=2,
+    wn_n_layers=3,
+    wn_n_channels=32,
+    wn_kernel_size=3,
+    upsample_kernel=64,
+    upsample_stride=16,
+    segment_length=1024,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = WaveGlow(CFG)
+    spect = jnp.zeros((1, CFG.n_mel_channels, 20))
+    audio = jnp.zeros((1, 20 * CFG.upsample_stride))
+    variables = model.init(jax.random.PRNGKey(0), spect, audio)
+    return model, variables
+
+
+def test_remaining_channels():
+    # 6 flows, early 2ch at k=2 and k=4 -> 8 - 4 = 4 remaining
+    assert CFG.n_remaining_channels == 4
+    full = WaveGlowConfig()
+    # reference config: 12 flows, early 2 at k=4,8 -> 4 remaining
+    assert full.n_remaining_channels == 4
+
+
+def test_forward_shapes_and_loss(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.RandomState(0)
+    frames = 20
+    spect = jnp.asarray(rng.randn(2, CFG.n_mel_channels, frames).astype(np.float32))
+    audio = jnp.asarray(rng.randn(2, frames * CFG.upsample_stride).astype(np.float32))
+    z, log_s, log_det = model.apply(variables, spect, audio)
+    T_g = audio.shape[1] // CFG.n_group
+    assert z.shape == (2, T_g, CFG.n_group)
+    loss = waveglow_loss(z.transpose(0, 2, 1), log_s, log_det, sigma=1.0)
+    assert np.isfinite(float(loss))
+
+
+def test_zero_init_coupling_is_identity(model_and_vars):
+    """At init the WN 'end' conv is zero -> log_s=0, b=0 -> the coupling is a
+    no-op and z is just the composition of orthonormal 1x1 convs: ||z|| == ||audio||."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(1)
+    frames = 16
+    spect = jnp.asarray(rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32))
+    audio = jnp.asarray(rng.randn(1, frames * CFG.upsample_stride).astype(np.float32))
+    z, log_s, log_det = model.apply(variables, spect, audio)
+    assert float(jnp.abs(log_s)) < 1e-5
+    n = audio.shape[1] // CFG.n_group * CFG.n_group
+    np.testing.assert_allclose(
+        float(jnp.sum(z * z)), float(jnp.sum(audio[:, :n] ** 2)), rtol=1e-4
+    )
+
+
+def test_invertibility_roundtrip(model_and_vars):
+    """infer(forward(audio)'s z) must reproduce audio: run forward to get z,
+    then run the reverse pass manually seeded with that z."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(2)
+    frames = 16
+    spect = jnp.asarray(rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32))
+    n_samples = frames * CFG.upsample_stride
+    audio = jnp.asarray(0.1 * rng.randn(1, n_samples).astype(np.float32))
+
+    z, _, _ = model.apply(variables, spect, audio)
+
+    # manual reverse: reconstruct by undoing flows with the same params
+    cfg = CFG
+
+    def reverse(z):
+        bound = model.bind(variables)
+        cond = bound._upsample_group_spect(spect, n_samples)[:, : z.shape[1]]
+        # z layout: [early@k=2 (2ch), early@k=4 (2ch), remaining (4ch)]
+        early = []
+        offset = 0
+        for k in range(cfg.n_flows):
+            if k % cfg.n_early_every == 0 and k > 0:
+                early.append(z[..., offset : offset + cfg.n_early_size])
+                offset += cfg.n_early_size
+        x = z[..., offset:]
+        for k in reversed(range(cfg.n_flows)):
+            n_half = x.shape[-1] // 2
+            x0, x1 = x[..., :n_half], x[..., n_half:]
+            wn_out = bound.wn[k](x0, cond)
+            b, s = wn_out[..., :n_half], wn_out[..., n_half:]
+            x1 = (x1 - b) * jnp.exp(-s)
+            x = jnp.concatenate([x0, x1], axis=-1)
+            x = bound.convinv[k](x, reverse=True)
+            if k % cfg.n_early_every == 0 and k > 0:
+                x = jnp.concatenate([early.pop(), x], axis=-1)
+        return x.reshape(1, -1)
+
+    rec = reverse(z)
+    np.testing.assert_allclose(
+        np.asarray(rec)[0], np.asarray(audio)[0, : rec.shape[1]], atol=5e-4
+    )
+
+
+def test_infer_output_shape_and_finite(model_and_vars):
+    model, variables = model_and_vars
+    frames = 24
+    spect = jnp.asarray(
+        np.random.RandomState(3).randn(2, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    audio = model.apply(
+        variables, spect, jax.random.PRNGKey(0), 0.666, method=WaveGlow.infer
+    )
+    # upsampled length minus transposed-conv tail, grouped
+    T_up = (frames - 1) * CFG.upsample_stride + CFG.upsample_kernel
+    T_cut = T_up - (CFG.upsample_kernel - CFG.upsample_stride)
+    assert audio.shape == (2, T_cut // CFG.n_group * CFG.n_group)
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_fold_weightnorm_preserves_outputs(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.RandomState(4)
+    frames = 8
+    spect = jnp.asarray(rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32))
+    audio = jnp.asarray(rng.randn(1, frames * CFG.upsample_stride).astype(np.float32))
+    z1, s1, d1 = model.apply(variables, spect, audio)
+    folded = {"params": fold_weightnorm(variables["params"])}
+    z2, s2, d2 = model.apply(folded, spect, audio)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+
+
+def test_waveglow_grads_finite(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.RandomState(5)
+    frames = 8
+    spect = jnp.asarray(rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32))
+    audio = jnp.asarray(rng.randn(1, frames * CFG.upsample_stride).astype(np.float32))
+
+    def loss_fn(params):
+        z, log_s, log_det = model.apply({"params": params}, spect, audio)
+        return waveglow_loss(z.transpose(0, 2, 1), log_s, log_det, sigma=1.0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(jax.tree.map(lambda g: float(jnp.abs(g).sum()), grads))
+    assert all(np.isfinite(v) for v in leaves)
