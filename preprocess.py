@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Corpus preprocessing CLI (parity with ``/root/reference/preprocess.py``):
+
+    python preprocess.py --name kss --num_workers 8 \
+        [--in_dir datasets/kss] [--out_dir data/kss]
+
+Writes reference-format ``.npz`` files + ``train.txt`` via the batched
+TPU pipeline (text2speech_tpu.data.preprocess).
+"""
+
+import argparse
+import os
+import time
+
+from text2speech_tpu.config import HParams
+from text2speech_tpu.data.preprocess import preprocess_corpus, write_metadata
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", default="kss", help="dataset name")
+    parser.add_argument("--num_workers", type=int, default=os.cpu_count() or 8)
+    parser.add_argument("--in_dir", default=None)
+    parser.add_argument("--out_dir", default=None)
+    parser.add_argument("--device_batch", type=int, default=16)
+    parser.add_argument("--hparams", default=None, help="path to params.json")
+    args = parser.parse_args()
+
+    hp = HParams.load(args.hparams) if args.hparams else HParams()
+    in_dir = args.in_dir or os.path.join("datasets", args.name)
+    out_dir = args.out_dir or os.path.join("data", args.name)
+
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        tqdm = lambda x: x
+
+    t0 = time.time()
+    metadata = preprocess_corpus(
+        hp, in_dir, out_dir,
+        num_workers=args.num_workers,
+        device_batch=args.device_batch,
+        progress=tqdm,
+    )
+    write_metadata(metadata, out_dir, hp)
+    frames = sum(int(m[4]) for m in metadata)
+    dt = time.time() - t0
+    print(f"preprocessed in {dt:.1f}s ({frames / max(dt, 1e-9):.0f} mel frames/sec)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""KSS corpus preprocessing — the TPU rebuild of the reference's offline
+pipeline (``/root/reference/datasets/kss.py`` + ``preprocess.py``).
+
+Per utterance the reference runs load -> rescale -> trim -> mu-law branch ->
+mel STFT -> linear STFT -> reflect-pad -> truncate -> ``.npz`` inside a
+``ProcessPoolExecutor`` worker (``kss.py:24-43``), running every STFT twice on
+CPU.  Here the chain is split hardware-appropriately:
+
+* **host stage** (thread pool, IO-bound): wav decode/resample, peak rescale,
+  silence trim, mu-law branch, per-utterance reflect pre-pad;
+* **device stage** (one jitted call per padded batch): fused mel+linear
+  spectrograms — a single batched MXU STFT matmul for the whole batch
+  (``dsp.mel_and_linear_spectrogram(center=False)``);
+* **write stage**: identical on-disk contract — ``.npz`` with keys
+  ``audio, mel, linear, time_steps, mel_frames, text, tokens, loss_coeff``
+  (``kss.py:149-158``) and pipe-delimited ``train.txt`` rows
+  (``preprocess.py:15-26``).
+
+Utterances longer than ``max_mel_frames`` are dropped (``kss.py:105``).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HParams
+from ..dsp import audio as dsp_audio
+from ..dsp.audio import (
+    load_wav,
+    mel_and_linear_spectrogram,
+    start_and_end_indices,
+    trim_silence,
+)
+from ..text import text_to_sequence
+
+
+def parse_transcript(in_dir: str) -> list[tuple[str, str]]:
+    """``transcript.txt`` rows ``wav|text|text2|…`` -> (wav_path, text) pairs.
+
+    When the two text columns differ in word count the reference emits both
+    (``kss.py:31-41``); matching rows emit one.
+    """
+    rows: list[tuple[str, str]] = []
+    path = os.path.join(in_dir, "transcript.txt")
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            sp = line.rstrip("\n").split("|")
+            if len(sp) < 2:
+                continue
+            wav = os.path.join(in_dir, sp[0])
+            if len(sp) >= 3 and len(sp[1].split()) != len(sp[2].split()):
+                rows.append((wav, sp[1]))
+                rows.append((wav, sp[2]))
+            else:
+                rows.append((wav, sp[1]))
+    return rows
+
+
+@dataclass
+class _HostItem:
+    wav_path: str
+    text: str
+    wav: np.ndarray          # trimmed, rescaled waveform (mel source)
+    out: np.ndarray          # audio branch output (raw / mulaw / quantized)
+    out_dtype: np.dtype
+    n_samples: int           # len(wav) after trim
+
+
+def _host_stage(args) -> _HostItem | None:
+    wav_path, text, hp = args
+    try:
+        wav = load_wav(wav_path, hp.sample_rate)
+    except FileNotFoundError:
+        print(f"missing wav {wav_path}; skipping")
+        return None
+
+    if hp.rescaling:
+        peak = np.abs(wav).max()
+        if peak > 0:
+            wav = wav / peak * hp.rescaling_max
+    if hp.trim_silence:
+        wav = trim_silence(wav, hp)
+
+    if hp.input_type == "mulaw-quantize":
+        out = np.asarray(
+            dsp_audio.mulaw_quantize(jnp.asarray(wav), hp.quantize_channels)
+        )
+        start, end = start_and_end_indices(out, hp.silence_threshold)
+        wav, out = wav[start:end], out[start:end]
+        out_dtype = np.int16
+    elif hp.input_type == "mulaw":
+        out = np.asarray(dsp_audio.mulaw(jnp.asarray(wav), hp.quantize_channels))
+        out_dtype = np.float32
+    else:
+        out = wav
+        out_dtype = np.float32
+
+    if len(wav) == 0:
+        return None
+    return _HostItem(wav_path, text, wav, out, np.dtype(out_dtype), len(wav))
+
+
+def _device_batch_fn(hp: HParams):
+    @jax.jit
+    def fn(padded: jnp.ndarray):
+        return mel_and_linear_spectrogram(padded, hp, center=False)
+
+    return fn
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def preprocess_corpus(
+    hp: HParams,
+    in_dir: str,
+    out_dir: str,
+    num_workers: int = 8,
+    device_batch: int = 16,
+    length_bucket: int = 16384,
+    progress=lambda x: x,
+) -> list[tuple]:
+    """Full corpus preprocessing; returns ``train.txt`` metadata rows
+    (``(audio_fn, mel_fn, linear_fn, time_steps, mel_frames, text, npz_fn)``,
+    ``kss.py:167``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = parse_transcript(in_dir)
+    pad = hp.filter_length // 2
+    hop = hp.hop_length
+    device_fn = _device_batch_fn(hp)
+
+    metadata: list[tuple] = []
+    pool = ThreadPoolExecutor(num_workers)
+
+    # Sort by approximate length to minimize padding waste per device batch.
+    def batches() -> Iterable[list[_HostItem]]:
+        items = [
+            it
+            for it in progress(
+                pool.map(_host_stage, ((w, t, hp) for w, t in rows))
+            )
+            if it is not None
+        ]
+        items.sort(key=lambda it: it.n_samples)
+        for i in range(0, len(items), device_batch):
+            yield items[i : i + device_batch]
+
+    for chunk in batches():
+        # host reflect pre-pad (per-utterance edges), then zero-pad to bucket
+        n_frames = [1 + it.n_samples // hop for it in chunk]
+        keep = [
+            j
+            for j, f in enumerate(n_frames)
+            if not (hp.clip_mels_length and f > hp.max_mel_frames)
+        ]
+        if not keep:
+            continue
+        chunk = [chunk[j] for j in keep]
+        n_frames = [n_frames[j] for j in keep]
+
+        max_padded = max(it.n_samples for it in chunk) + 2 * pad
+        T = _round_up(max_padded, length_bucket)
+        batch = np.zeros((len(chunk), T), np.float32)
+        for j, it in enumerate(chunk):
+            batch[j, : it.n_samples + 2 * pad] = np.pad(it.wav, pad, mode="reflect")
+
+        mel_b, lin_b = device_fn(jnp.asarray(batch))
+        mel_b = np.asarray(mel_b)
+        lin_b = np.asarray(lin_b)
+
+        for j, it in enumerate(chunk):
+            frames = n_frames[j]
+            mel = mel_b[j, :, :frames].astype(np.float32)
+            linear = lin_b[j, :, :frames].astype(np.float32)
+
+            # time-resolution adjustment (kss.py:122-136)
+            out = np.pad(it.out, pad, mode="reflect")
+            out = out[: frames * hop]
+            assert len(out) >= frames * hop and len(out) % hop == 0
+            time_steps = len(out)
+
+            wav_id = os.path.splitext(os.path.basename(it.wav_path))[0]
+            npz_name = f"{wav_id}.npz"
+            np.savez(
+                os.path.join(out_dir, npz_name),
+                audio=out.astype(it.out_dtype),
+                mel=mel.T,
+                linear=linear.T,
+                time_steps=time_steps,
+                mel_frames=frames,
+                text=it.text,
+                tokens=text_to_sequence(it.text),
+                loss_coeff=1,
+                allow_pickle=False,
+            )
+            metadata.append(
+                (
+                    f"{wav_id}-audio.npy",
+                    f"{wav_id}-mel.npy",
+                    f"{wav_id}-linear.npy",
+                    time_steps,
+                    frames,
+                    it.text,
+                    npz_name,
+                )
+            )
+    return metadata
+
+
+def write_metadata(metadata: Sequence[tuple], out_dir: str, hp: HParams) -> None:
+    """``train.txt`` + corpus stats (``preprocess.py:15-26``)."""
+    with open(os.path.join(out_dir, "train.txt"), "w", encoding="utf-8") as f:
+        for m in metadata:
+            f.write("|".join(str(x) for x in m) + "\n")
+    frames = sum(int(m[4]) for m in metadata)
+    timesteps = sum(int(m[3]) for m in metadata)
+    sr = hp.sample_rate
+    hours = timesteps / sr / 3600
+    print(
+        f"Wrote {len(metadata)} utterances, {frames} mel frames, "
+        f"{timesteps} audio timesteps, ({hours:.2f} hours)"
+    )

@@ -239,12 +239,16 @@ def mel_spectrogram(y: jnp.ndarray, hp: HParams) -> jnp.ndarray:
 
 
 def mel_and_linear_spectrogram(
-    y: jnp.ndarray, hp: HParams
+    y: jnp.ndarray, hp: HParams, center: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One STFT, both spectrograms — the fused form of the preprocess hot loop
-    (``datasets/kss.py:102-110`` runs the STFT twice; we don't)."""
+    (``datasets/kss.py:102-110`` runs the STFT twice; we don't).
+
+    ``center=False`` expects host-side reflect-padded input (batched
+    preprocessing; see :mod:`..data.preprocess`)."""
     D = stft_magnitude(
-        preemphasis(y, hp.preemphasis, hp.preemphasize), _stft_params(hp)
+        preemphasis(y, hp.preemphasis, hp.preemphasize), _stft_params(hp),
+        center=center,
     )
     linear = amp_to_db(D, hp.min_level_db) - hp.ref_level_db
     basis = jnp.asarray(

@@ -49,13 +49,19 @@ def _inverse_basis(filter_length: int, win_length: int, hop_length: int) -> np.n
     return inverse_fourier_basis(filter_length, win_length, hop_length)
 
 
-def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """Reflect-pad by n_fft//2 and slice into overlapping frames.
+def frame_signal(
+    y: jnp.ndarray, n_fft: int, hop: int, center: bool = True
+) -> jnp.ndarray:
+    """Reflect-pad by n_fft//2 (when ``center``) and slice into overlapping
+    frames.  Pass ``center=False`` for signals already padded host-side (the
+    batched-preprocess path, where per-utterance reflect edges must come from
+    each signal's own samples, not batch zero-padding).
 
-    y: [B, T] -> [B, 1 + T//hop, n_fft]
+    y: [B, T] -> [B, 1 + T//hop, n_fft] (center) or [B, 1 + (T-n_fft)//hop, n_fft]
     """
-    pad = n_fft // 2
-    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (y.shape[1] - n_fft) // hop
     starts = jnp.arange(n_frames) * hop
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]
@@ -63,7 +69,7 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 
 def stft_real_imag(
-    y: jnp.ndarray, params: STFTParams, dtype=jnp.float32
+    y: jnp.ndarray, params: STFTParams, dtype=jnp.float32, center: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Windowed STFT via one MXU matmul.
 
@@ -72,7 +78,9 @@ def stft_real_imag(
     basis = jnp.asarray(
         _forward_basis(params.filter_length, params.win_length), dtype=dtype
     )
-    frames = frame_signal(y.astype(dtype), params.filter_length, params.hop_length)
+    frames = frame_signal(
+        y.astype(dtype), params.filter_length, params.hop_length, center
+    )
     spec = jnp.einsum(
         "btn,nk->bkt", frames, basis, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
@@ -80,9 +88,11 @@ def stft_real_imag(
     return spec[:, :cutoff, :], spec[:, cutoff:, :]
 
 
-def stft_magnitude(y: jnp.ndarray, params: STFTParams, dtype=jnp.float32) -> jnp.ndarray:
+def stft_magnitude(
+    y: jnp.ndarray, params: STFTParams, dtype=jnp.float32, center: bool = True
+) -> jnp.ndarray:
     """|STFT(y)|: [B, T] -> [B, cutoff, n_frames]."""
-    re, im = stft_real_imag(y, params, dtype)
+    re, im = stft_real_imag(y, params, dtype, center)
     return jnp.sqrt(re * re + im * im)
 
 

@@ -1,0 +1,167 @@
+"""End-to-end synthesis: text -> mel (Tacotron-2 autoregressive) -> waveform
+(WaveGlow reverse flow) -> PCM16 wav.
+
+Rebuild of ``/root/reference/inference.py``: same pipeline, but both stages
+are jitted and batched — the decoder is a fixed-trip scan and WaveGlow infer
+has no sequential time dependency, so a whole batch of sentences synthesizes
+in two device calls.  bf16 is used where safe (the reference's fp16-with-fp32
+convinv dance, ``inference.py:59-75``, becomes the model's built-in fp32
+islands).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import HParams, WaveGlowConfig
+from .data.dataset import Batch  # noqa: F401  (re-export convenience)
+from .dsp.audio import save_wav
+from .models.denoiser import make_denoiser
+from .models.tacotron2 import Tacotron2
+from .models.waveglow import WaveGlow
+from .text import N_SYMBOLS, encode_batch
+
+
+@dataclass
+class Synthesizer:
+    hp: HParams
+    taco: Tacotron2
+    taco_variables: dict
+    wg_cfg: WaveGlowConfig
+    waveglow: WaveGlow
+    wg_variables: dict
+    use_denoiser: bool = True
+
+    def __post_init__(self):
+        self._infer_mel = jax.jit(
+            partial(self._mel_fn), static_argnames=("max_steps",)
+        )
+        self._infer_audio = jax.jit(self._audio_fn)
+        if self.use_denoiser:
+            _, self._denoise = make_denoiser(self.waveglow, self.wg_variables)
+        else:
+            self._denoise = None
+
+    # --- jitted stage fns --------------------------------------------------
+
+    def _mel_fn(self, text_ids, text_lengths, rng, max_steps=None):
+        return self.taco.apply(
+            self.taco_variables,
+            text_ids,
+            text_lengths=text_lengths,
+            max_steps=max_steps,
+            method=Tacotron2.inference,
+            rngs={"dropout": rng},
+        )
+
+    def _audio_fn(self, mel, rng, sigma):
+        return self.waveglow.apply(
+            self.wg_variables, mel, rng, sigma, method=WaveGlow.infer
+        )
+
+    # --- public API --------------------------------------------------------
+
+    def text_to_mel(self, texts, seed: int = 0, max_steps: int | None = None):
+        """list[str] -> (mel_post [B, n_mel, T], out_lengths [B])."""
+        ids, lengths = encode_batch(texts)
+        rng = jax.random.PRNGKey(seed)
+        _, mel_post, _, _, out_lengths = self._infer_mel(
+            jnp.asarray(ids), jnp.asarray(lengths), rng, max_steps=max_steps
+        )
+        return mel_post, out_lengths
+
+    def mel_to_audio(self, mel, sigma: float = 0.666, seed: int = 0,
+                     denoiser_strength: float = 0.0):
+        audio = self._infer_audio(mel, jax.random.PRNGKey(seed + 1), sigma)
+        if denoiser_strength > 0 and self._denoise is not None:
+            audio = self._denoise(audio, denoiser_strength)
+        return audio
+
+    def synthesize(
+        self,
+        texts,
+        sigma: float = 0.666,
+        seed: int = 0,
+        denoiser_strength: float = 0.0,
+        max_steps: int | None = None,
+    ):
+        """list[str] -> list of float32 waveforms (trimmed to true lengths)."""
+        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps)
+        # trim batch to the longest real utterance to bound vocoder work
+        T = int(np.max(np.asarray(out_lengths)))
+        audio = self.mel_to_audio(
+            mel_post[:, :, :T], sigma, seed, denoiser_strength
+        )
+        audio = np.asarray(audio)
+        hop = self.wg_cfg.hop_length
+        return [
+            audio[i, : int(out_lengths[i]) * hop]
+            for i in range(audio.shape[0])
+        ]
+
+    def synthesize_to_files(self, texts, paths, sample_rate=None, **kw):
+        sr = sample_rate or self.wg_cfg.sampling_rate
+        for wav, path in zip(self.synthesize(texts, **kw), paths):
+            save_wav(wav, path, sr)
+
+
+def load_synthesizer(
+    hp: HParams,
+    taco_ckpt_dir: str,
+    wg_cfg: WaveGlowConfig,
+    wg_ckpt_dir: str,
+    use_denoiser: bool = True,
+) -> Synthesizer:
+    """Restore both models from Orbax checkpoints and build a Synthesizer."""
+    import jax.numpy as jnp
+
+    from .train.checkpoint import CheckpointManager
+    from .train.state import TrainState, create_train_state
+
+    taco = Tacotron2(hp, n_vocab=N_SYMBOLS)
+    rng = jax.random.PRNGKey(0)
+    tvars = taco.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.asarray([8]),
+        jnp.zeros((1, hp.n_mel_channels, 8)),
+        jnp.asarray([8]),
+    )
+    tstate = create_train_state(hp, tvars)
+    tstate, _ = CheckpointManager(taco_ckpt_dir).restore(tstate)
+
+    wg = WaveGlow(wg_cfg)
+    frames = wg_cfg.segment_length // wg_cfg.hop_length + 1
+    wvars = wg.init(
+        rng,
+        jnp.zeros((1, wg_cfg.n_mel_channels, frames)),
+        jnp.zeros((1, wg_cfg.segment_length)),
+    )
+    import optax
+
+    wstate = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=wvars["params"],
+        batch_stats={},
+        opt_state=optax.adam(wg_cfg.learning_rate).init(wvars["params"]),
+        tx=optax.adam(wg_cfg.learning_rate),
+    )
+    wstate, _ = CheckpointManager(wg_ckpt_dir).restore(wstate)
+
+    return Synthesizer(
+        hp=hp,
+        taco=taco,
+        taco_variables={
+            "params": tstate.params,
+            "batch_stats": tstate.batch_stats,
+        },
+        wg_cfg=wg_cfg,
+        waveglow=wg,
+        wg_variables={"params": wstate.params},
+        use_denoiser=use_denoiser,
+    )

@@ -1,0 +1,50 @@
+"""WaveGlow bias-spectrum denoiser (``/root/reference/waveglow/denoiser.py``).
+
+The vocoder's model bias is estimated once by synthesizing from an all-zero
+mel at sigma=0; at synthesis time ``strength * bias_spec`` is subtracted in
+the STFT magnitude domain and the signal re-synthesized with the original
+phases.  Pure-functional: ``make_denoiser`` returns (bias_spec, denoise_fn).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp.stft import STFTParams, istft, stft_mag_phase
+from .waveglow import WaveGlow
+
+
+def make_denoiser(
+    model: WaveGlow,
+    variables: dict,
+    filter_length: int = 1024,
+    n_overlap: int = 4,
+    win_length: int = 1024,
+    mode: str = "zeros",
+    n_frames: int = 88,
+):
+    params = STFTParams(filter_length, filter_length // n_overlap, win_length)
+    if mode == "zeros":
+        mel = jnp.zeros((1, model.cfg.n_mel_channels, n_frames))
+    elif mode == "normal":
+        mel = jax.random.normal(
+            jax.random.PRNGKey(0), (1, model.cfg.n_mel_channels, n_frames)
+        )
+    else:
+        raise ValueError(f"unsupported denoiser mode {mode!r}")
+
+    bias_audio = model.apply(
+        variables, mel, jax.random.PRNGKey(0), 0.0, method=WaveGlow.infer
+    )
+    bias_spec, _ = stft_mag_phase(bias_audio, params)
+    bias_spec = bias_spec[:, :, 0:1]          # first frame, like denoiser.py:33
+
+    @jax.jit
+    def denoise(audio: jnp.ndarray, strength: float = 0.1) -> jnp.ndarray:
+        """audio [B, T] -> denoised [B, T'] (T' loses the STFT center pad)."""
+        mag, phase = stft_mag_phase(audio, params)
+        mag = jnp.maximum(mag - bias_spec * strength, 0.0)
+        return istft(mag, phase, params)
+
+    return bias_spec, denoise

@@ -1,0 +1,10 @@
+"""Device mesh + sharding (replaces the reference's NCCL stack)."""
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,65 @@
+"""Device mesh + sharding helpers — the TPU replacement for the reference's
+NCCL data-parallel stack (``/root/reference/waveglow/distributed.py``:
+process launcher, param broadcast, bucketed gradient all-reduce hooks;
+SURVEY.md §2.4).
+
+Under pjit/jit-with-shardings none of that machinery exists as code: the batch
+axis is sharded over the ``'data'`` mesh axis, XLA inserts the gradient
+all-reduce (psum over ICI), and parameter replication is a sharding
+annotation.  Multi-host runs call :func:`initialize_distributed` (one process
+per host) and the same program scales over DCN by adding a leading mesh axis.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up (replaces ``init_distributed``,
+    ``waveglow/distributed.py:43-53``).  No-op on a single host."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(
+    devices: Sequence[jax.Device] | None = None,
+    axis_names: tuple[str, ...] = (DATA_AXIS,),
+) -> Mesh:
+    """1-D data-parallel mesh over all devices (the reference's only
+    parallelism, SURVEY.md §2.3); extend axis_names for tp/pp later."""
+    if devices is None:
+        devices = jax.devices()
+    arr = np.asarray(devices).reshape((-1,) + (1,) * (len(axis_names) - 1))
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host pytree batch with the leading axis sharded over 'data'
+    (replaces DistributedSampler + to_gpu: ``waveglow/train.py:90``,
+    ``utils/data_utils.py:39-44``)."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate params/opt-state across the mesh (replaces the rank-0
+    broadcast at ``waveglow/distributed.py:100-103``)."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,81 @@
+"""Train state + optimization.
+
+Optax replaces the reference's hand-rolled pieces: Noam warmup schedule
+(``/root/reference/train.py:62-67``), Adam with betas/weight decay
+(``train.py:188-189``), and global-norm clipping.  The reference clips AFTER
+``optimizer.step()`` (``train.py:225-229``) so its clipping never affects the
+update — here clipping is applied before the update, the intended behavior
+(SURVEY.md §7.1 fix-not-reproduce list).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import HParams
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+            opt_state=new_opt_state,
+        )
+
+
+def noam_schedule(init_lr: float, warmup_steps: int = 4000):
+    """lr(step) = init_lr * sqrt(warmup) * min((s+1)/warmup^1.5, 1/sqrt(s+1))
+    (``train.py:62-67``)."""
+
+    def fn(step):
+        s = step.astype(jnp.float32) + 1.0 if hasattr(step, "astype") else float(step) + 1.0
+        w = float(warmup_steps)
+        return init_lr * w ** 0.5 * jnp.minimum(s * w ** -1.5, s ** -0.5)
+
+    return fn
+
+
+def make_optimizer(hp: HParams, schedule=None) -> optax.GradientTransformation:
+    if schedule is None:
+        schedule = noam_schedule(hp.learning_rate, hp.warmup_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(hp.grad_clip_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=hp.adam_beta1,
+            b2=hp.adam_beta2,
+            weight_decay=hp.weight_decay,
+        ),
+    )
+
+
+def create_train_state(hp: HParams, variables: dict, schedule=None) -> TrainState:
+    tx = make_optimizer(hp, schedule)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return optax.global_norm(tree)

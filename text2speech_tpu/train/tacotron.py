@@ -1,0 +1,203 @@
+"""Tacotron-2 training loop (rebuild of ``/root/reference/train.py:170-246``).
+
+One jitted ``train_step`` under a data-parallel mesh: the batch axis is
+sharded over ``'data'``, params are replicated, and XLA inserts the gradient
+all-reduce over ICI — everything ``waveglow/distributed.py`` did by hand
+disappears into shardings (SURVEY.md §2.4).  Determinism: the dropout PRNG is
+``fold_in(seed, step)``; data order is a pure function of (seed, epoch).
+
+Reference quirks intentionally fixed (SURVEY.md §7.1): gradient clipping is
+applied *before* the update (reference clips after, ``train.py:225-229``);
+training runs regardless of speaker count (reference only trains when
+``multi_speaker > 1``, ``train.py:204``).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import HParams
+from ..data.dataset import Batch, TextMelDataset
+from ..models.losses import tacotron2_loss
+from ..models.tacotron2 import Tacotron2
+from ..parallel.mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+from ..utils import infolog
+from ..utils.logger import MetricsLogger
+from ..utils.run_dirs import ValueWindow
+from .checkpoint import CheckpointManager
+from .state import TrainState, create_train_state, global_norm, noam_schedule
+
+log = infolog.log
+
+
+def make_train_step(model: Tacotron2, hp: HParams):
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        def loss_fn(params):
+            (mel_out, mel_post, gate_out, align), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.text,
+                batch.input_lengths,
+                batch.mel,
+                batch.output_lengths,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            loss, metrics = tacotron2_loss(
+                mel_out, mel_post, gate_out, batch.mel, batch.gate
+            )
+            return loss, (metrics, mutated["batch_stats"])
+
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        metrics = dict(metrics, grad_norm=global_norm(grads))
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: Tacotron2):
+    def eval_step(state: TrainState, batch: Batch, rng: jax.Array):
+        (mel_out, mel_post, gate_out, align) = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.text,
+            batch.input_lengths,
+            batch.mel,
+            batch.output_lengths,
+            train=False,
+            rngs={"dropout": rng},
+        )
+        loss, metrics = tacotron2_loss(
+            mel_out, mel_post, gate_out, batch.mel, batch.gate
+        )
+        return metrics, (mel_out, mel_post, gate_out, align)
+
+    return eval_step
+
+
+class TacotronTrainer:
+    def __init__(
+        self,
+        hp: HParams,
+        data_dirs,
+        run_dir: str,
+        checkpoint_dir: str | None = None,
+        logger_dir: str | None = None,
+        mesh=None,
+    ):
+        self.hp = hp
+        self.run_dir = run_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.dataset = TextMelDataset(data_dirs, hp, "train")
+        try:
+            self.valset = TextMelDataset(data_dirs, hp, "val")
+        except FileNotFoundError:
+            self.valset = None
+
+        from ..text import N_SYMBOLS
+
+        self.model = Tacotron2(hp, n_vocab=N_SYMBOLS, num_speakers=len(data_dirs))
+        rng = jax.random.PRNGKey(hp.seed)
+        sample = self.dataset.make_batch(self.dataset.items[:2])
+        variables = self.model.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(sample.text),
+            jnp.asarray(sample.input_lengths),
+            jnp.asarray(sample.mel),
+            jnp.asarray(sample.output_lengths),
+        )
+        state = create_train_state(
+            hp, variables, noam_schedule(hp.learning_rate, hp.warmup_steps)
+        )
+        self.state = replicate(state, self.mesh)
+
+        batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        self._train_step = jax.jit(
+            make_train_step(self.model, hp),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(make_eval_step(self.model))
+        self.ckpt = CheckpointManager(checkpoint_dir or f"{run_dir}/checkpoints")
+        self.logger = MetricsLogger(logger_dir or f"{run_dir}/tb")
+        self.loss_window = ValueWindow(100)
+        self.time_window = ValueWindow(100)
+
+    def restore(self) -> int:
+        self.state, step = self.ckpt.restore(self.state)
+        if step:
+            log(f"Resumed from checkpoint at step {step}")
+        return step
+
+    def fit(self, num_steps: int, log_every: int = 10):
+        hp = self.hp
+        step = int(self.state.step)
+        epoch = step // max(1, len(self.dataset))
+        sched = noam_schedule(hp.learning_rate, hp.warmup_steps)
+        base_rng = jax.random.PRNGKey(hp.seed)
+
+        while step < num_steps:
+            start_step = step % max(1, len(self.dataset))
+            for batch in self.dataset.epoch(epoch, start_step):
+                t0 = time.perf_counter()
+                dev_batch = shard_batch(
+                    Batch(*[np.asarray(x) for x in batch]), self.mesh
+                )
+                rng = jax.random.fold_in(base_rng, step)
+                self.state, metrics = self._train_step(self.state, dev_batch, rng)
+                loss = float(metrics["loss"])
+                dur = time.perf_counter() - t0
+                self.loss_window.append(loss)
+                self.time_window.append(dur)
+                step += 1
+
+                if step % log_every == 0:
+                    lr = float(sched(jnp.asarray(step)))
+                    log(
+                        f"step {step} loss={loss:.5f} avg={self.loss_window.average:.5f} "
+                        f"grad_norm={float(metrics['grad_norm']):.3f} "
+                        f"lr={lr:.2e} {self.time_window.average:.2f}s/it"
+                    )
+                    self.logger.log_training(
+                        loss, metrics["grad_norm"], lr, dur, step
+                    )
+                if step % hp.checkpoint_interval == 0:
+                    self.ckpt.save(step, self.state)
+                    self.validate(step)
+                if step >= num_steps:
+                    break
+            epoch += 1
+        self.ckpt.save(step, self.state, wait=True)
+
+    def validate(self, step: int):
+        if self.valset is None or len(self.valset) == 0:
+            return
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        last = None
+        for batch in self.valset.epoch(0):
+            dev_batch = shard_batch(Batch(*[np.asarray(x) for x in batch]), self.mesh)
+            metrics, preds = self._eval_step(self.state, dev_batch, rng)
+            losses.append(float(metrics["loss"]))
+            last = (dev_batch, preds)
+        if not losses:
+            return
+        val_loss = float(np.mean(losses))
+        log(f"validation loss {val_loss:.6f}")
+        dev_batch, preds = last
+        self.logger.log_validation(
+            val_loss,
+            self.state.params,
+            (dev_batch.mel, dev_batch.gate),
+            preds,
+            step,
+        )

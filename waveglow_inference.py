@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Batch mel->wav vocoder CLI (parity with ``/root/reference/waveglow/
+inference.py``): reads ``.npy``/``.npz`` mel files listed in a filelist and
+writes PCM16 wavs.
+
+    python waveglow_inference.py -f mel_files.txt -w <ckpt_dir> -o out/ \
+        [-s 0.666] [-d 0.1]
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2speech_tpu.config import WaveGlowConfig
+from text2speech_tpu.dsp.audio import save_wav
+from text2speech_tpu.models.denoiser import make_denoiser
+from text2speech_tpu.models.waveglow import WaveGlow
+
+
+def load_mel(path: str) -> np.ndarray:
+    if path.endswith(".npz"):
+        mel = np.load(path)["mel"].T          # stored [T, n_mel]
+    else:
+        mel = np.load(path)
+        if mel.shape[0] != 80 and mel.shape[1] == 80:
+            mel = mel.T
+    return mel.astype(np.float32)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-f", "--filelist_path", required=True)
+    parser.add_argument("-w", "--waveglow_checkpoint", required=True)
+    parser.add_argument("-o", "--output_dir", required=True)
+    parser.add_argument("-s", "--sigma", type=float, default=0.6)
+    parser.add_argument("--sampling_rate", type=int, default=22050)
+    parser.add_argument("-d", "--denoiser_strength", type=float, default=0.0)
+    parser.add_argument("--config", default=None)
+    args = parser.parse_args()
+
+    cfg = (
+        WaveGlowConfig.from_json(args.config)
+        if args.config
+        else WaveGlowConfig(sampling_rate=args.sampling_rate)
+    )
+    model = WaveGlow(cfg)
+
+    from text2speech_tpu.train.checkpoint import CheckpointManager
+    from text2speech_tpu.train.state import TrainState
+    import optax
+
+    rng = jax.random.PRNGKey(0)
+    frames = cfg.segment_length // cfg.hop_length + 1
+    variables = model.init(
+        rng,
+        jnp.zeros((1, cfg.n_mel_channels, frames)),
+        jnp.zeros((1, cfg.segment_length)),
+    )
+    tx = optax.adam(cfg.learning_rate)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats={}, opt_state=tx.init(variables["params"]), tx=tx,
+    )
+    state, _ = CheckpointManager(args.waveglow_checkpoint).restore(state)
+    variables = {"params": state.params}
+
+    denoise = None
+    if args.denoiser_strength > 0:
+        _, denoise = make_denoiser(model, variables)
+
+    infer = jax.jit(
+        lambda mel, key: model.apply(
+            variables, mel, key, args.sigma, method=WaveGlow.infer
+        )
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(args.filelist_path, encoding="utf-8") as f:
+        paths = [l.strip() for l in f if l.strip()]
+    for i, p in enumerate(paths):
+        mel = load_mel(p)[None]
+        audio = infer(jnp.asarray(mel), jax.random.PRNGKey(i))
+        if denoise is not None:
+            audio = denoise(audio, args.denoiser_strength)
+        out = np.asarray(audio)[0]
+        name = os.path.splitext(os.path.basename(p))[0]
+        out_path = os.path.join(args.output_dir, f"{name}_synthesis.wav")
+        save_wav(out, out_path, args.sampling_rate)
+        print(out_path)
+
+
+if __name__ == "__main__":
+    main()

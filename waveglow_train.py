@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""WaveGlow vocoder training CLI (parity with ``/root/reference/waveglow/
+train.py:137-171`` + the ``distributed.py`` launcher, which is obsolete under
+sharded jit):
+
+    python waveglow_train.py -c waveglow_config.json [--num_steps N]
+"""
+
+import argparse
+
+from text2speech_tpu.config import WaveGlowConfig
+from text2speech_tpu.train.waveglow import WaveGlowTrainer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", default=None, help="reference-style config.json")
+    parser.add_argument("--training_files", default=None)
+    parser.add_argument("--output_directory", default="checkpoints-waveglow")
+    parser.add_argument("--num_steps", type=int, default=1000000)
+    args = parser.parse_args()
+
+    cfg = WaveGlowConfig.from_json(args.config) if args.config else WaveGlowConfig()
+    training_files = args.training_files or "train_files.txt"
+
+    trainer = WaveGlowTrainer(cfg, training_files, args.output_directory)
+    trainer.restore()
+    trainer.fit(args.num_steps)
+
+
+if __name__ == "__main__":
+    main()
