@@ -38,31 +38,31 @@ class Synthesizer:
     use_denoiser: bool = True
 
     def __post_init__(self):
-        self._infer_mel = jax.jit(
-            partial(self._mel_fn), static_argnames=("max_steps",)
-        )
-        self._infer_audio = jax.jit(self._audio_fn)
+        # Params are jit ARGUMENTS, never closure captures — captured arrays
+        # are baked into the HLO as constants, ballooning compile time (XLA
+        # constant-folds e.g. the weight-norm reductions over full tensors)
+        # and forcing a recompile per checkpoint.
+        taco, wg = self.taco, self.waveglow
+
+        def mel_fn(variables, text_ids, text_lengths, rng, max_steps):
+            return taco.apply(
+                variables,
+                text_ids,
+                text_lengths=text_lengths,
+                max_steps=max_steps,
+                method=Tacotron2.inference,
+                rngs={"dropout": rng},
+            )
+
+        def audio_fn(variables, mel, rng, sigma):
+            return wg.apply(variables, mel, rng, sigma, method=WaveGlow.infer)
+
+        self._infer_mel = jax.jit(mel_fn, static_argnames=("max_steps",))
+        self._infer_audio = jax.jit(audio_fn)
         if self.use_denoiser:
             _, self._denoise = make_denoiser(self.waveglow, self.wg_variables)
         else:
             self._denoise = None
-
-    # --- jitted stage fns --------------------------------------------------
-
-    def _mel_fn(self, text_ids, text_lengths, rng, max_steps=None):
-        return self.taco.apply(
-            self.taco_variables,
-            text_ids,
-            text_lengths=text_lengths,
-            max_steps=max_steps,
-            method=Tacotron2.inference,
-            rngs={"dropout": rng},
-        )
-
-    def _audio_fn(self, mel, rng, sigma):
-        return self.waveglow.apply(
-            self.wg_variables, mel, rng, sigma, method=WaveGlow.infer
-        )
 
     # --- public API --------------------------------------------------------
 
@@ -71,13 +71,16 @@ class Synthesizer:
         ids, lengths = encode_batch(texts)
         rng = jax.random.PRNGKey(seed)
         _, mel_post, _, _, out_lengths = self._infer_mel(
-            jnp.asarray(ids), jnp.asarray(lengths), rng, max_steps=max_steps
+            self.taco_variables, jnp.asarray(ids), jnp.asarray(lengths), rng,
+            max_steps=max_steps,
         )
         return mel_post, out_lengths
 
     def mel_to_audio(self, mel, sigma: float = 0.666, seed: int = 0,
                      denoiser_strength: float = 0.0):
-        audio = self._infer_audio(mel, jax.random.PRNGKey(seed + 1), sigma)
+        audio = self._infer_audio(
+            self.wg_variables, mel, jax.random.PRNGKey(seed + 1), sigma
+        )
         if denoiser_strength > 0 and self._denoise is not None:
             audio = self._denoise(audio, denoiser_strength)
         return audio
@@ -125,7 +128,7 @@ def load_synthesizer(
 
     taco = Tacotron2(hp, n_vocab=N_SYMBOLS)
     rng = jax.random.PRNGKey(0)
-    tvars = taco.init(
+    tvars = jax.jit(taco.init)(
         {"params": rng, "dropout": rng},
         jnp.zeros((1, 8), jnp.int32),
         jnp.asarray([8]),
@@ -137,7 +140,7 @@ def load_synthesizer(
 
     wg = WaveGlow(wg_cfg)
     frames = wg_cfg.segment_length // wg_cfg.hop_length + 1
-    wvars = wg.init(
+    wvars = jax.jit(wg.init)(
         rng,
         jnp.zeros((1, wg_cfg.n_mel_channels, frames)),
         jnp.zeros((1, wg_cfg.segment_length)),

@@ -34,9 +34,9 @@ def make_denoiser(
     else:
         raise ValueError(f"unsupported denoiser mode {mode!r}")
 
-    bias_audio = model.apply(
-        variables, mel, jax.random.PRNGKey(0), 0.0, method=WaveGlow.infer
-    )
+    bias_audio = jax.jit(
+        lambda v, m, k: model.apply(v, m, k, 0.0, method=WaveGlow.infer)
+    )(variables, mel, jax.random.PRNGKey(0))
     bias_spec, _ = stft_mag_phase(bias_audio, params)
     bias_spec = bias_spec[:, :, 0:1]          # first frame, like denoiser.py:33
 

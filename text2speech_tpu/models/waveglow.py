@@ -73,6 +73,41 @@ class WNConv(nn.Module):
         )
 
 
+class SubpixelUpsample(nn.Module):
+    """Transposed-conv upsampling expressed as one MXU einsum + r shifted adds.
+
+    Numerically identical to ``ConvTranspose1d(k, stride)`` with k = r*stride
+    (the reference's mel upsampler, ``glow.py:183-185``: k=1024, s=256), but
+    avoids the lhs-dilated convolution XLA lowers conv_transpose to — where
+    255 of every 256 input positions are zeros.  Kernel layout matches flax
+    ``ConvTranspose`` ((k, in, out)) so weights interconvert.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, T, C_in] -> [B, (T-1)*stride + kernel, features]."""
+        k, s, cout = self.kernel_size, self.stride, self.features
+        assert k % s == 0, "subpixel path needs kernel % stride == 0"
+        r = k // s
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, cin, cout)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
+        B, T, _ = x.shape
+        kq = kernel.reshape(r, s, cin, cout)
+        # y[b, t, q, p, o] = sum_i x[b, t, i] * kq[q, p, i, o]
+        y = jnp.einsum("bti,qpio->btqpo", x, kq)
+        out = jnp.zeros((B, T + r - 1, s, cout), y.dtype)
+        for q in range(r):
+            out = out.at[:, q : q + T].add(y[:, :, q])
+        return out.reshape(B, (T + r - 1) * s, cout) + bias
+
+
 class Invertible1x1Conv(nn.Module):
     """Invertible pointwise mixing across group channels with exact logdet
     (``glow.py:62-102``).  Initialized to a random rotation (det = +1).
@@ -152,11 +187,10 @@ class WaveGlow(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.upsample = nn.ConvTranspose(
+        self.upsample = SubpixelUpsample(
             cfg.n_mel_channels,
-            (cfg.upsample_kernel,),
-            strides=(cfg.upsample_stride,),
-            padding="VALID",
+            cfg.upsample_kernel,
+            cfg.upsample_stride,
             name="upsample",
         )
         convinv = []

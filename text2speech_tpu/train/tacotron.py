@@ -108,7 +108,7 @@ class TacotronTrainer:
         self.model = Tacotron2(hp, n_vocab=N_SYMBOLS, num_speakers=len(data_dirs))
         rng = jax.random.PRNGKey(hp.seed)
         sample = self.dataset.make_batch(self.dataset.items[:2])
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             {"params": rng, "dropout": rng},
             jnp.asarray(sample.text),
             jnp.asarray(sample.input_lengths),

@@ -63,7 +63,7 @@ class WaveGlowTrainer:
 
         rng = jax.random.PRNGKey(cfg.seed)
         frames = cfg.segment_length // cfg.hop_length + 1
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             rng,
             jnp.zeros((1, cfg.n_mel_channels, frames)),
             jnp.zeros((1, cfg.segment_length)),

@@ -54,7 +54,7 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     frames = cfg.segment_length // cfg.hop_length + 1
-    variables = model.init(
+    variables = jax.jit(model.init)(
         rng,
         jnp.zeros((1, cfg.n_mel_channels, frames)),
         jnp.zeros((1, cfg.segment_length)),
@@ -72,8 +72,8 @@ def main():
         _, denoise = make_denoiser(model, variables)
 
     infer = jax.jit(
-        lambda mel, key: model.apply(
-            variables, mel, key, args.sigma, method=WaveGlow.infer
+        lambda v, mel, key: model.apply(
+            v, mel, key, args.sigma, method=WaveGlow.infer
         )
     )
 
@@ -82,7 +82,7 @@ def main():
         paths = [l.strip() for l in f if l.strip()]
     for i, p in enumerate(paths):
         mel = load_mel(p)[None]
-        audio = infer(jnp.asarray(mel), jax.random.PRNGKey(i))
+        audio = infer(variables, jnp.asarray(mel), jax.random.PRNGKey(i))
         if denoise is not None:
             audio = denoise(audio, args.denoiser_strength)
         out = np.asarray(audio)[0]
