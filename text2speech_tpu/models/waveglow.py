@@ -35,6 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config import WaveGlowConfig
+from ..ops.pallas.gated import gated_activation
 
 
 class WNConv(nn.Module):
@@ -60,6 +61,7 @@ class WNConv(nn.Module):
             ).reshape(shape),
             (cout,),
         )
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
         kernel = v / norm * g[None, None, :]
         pad = self.dilation * (k - 1) // 2
@@ -70,7 +72,7 @@ class WNConv(nn.Module):
             padding=[(pad, pad)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        ) + bias
 
 
 class SubpixelUpsample(nn.Module):
@@ -160,8 +162,8 @@ class WN(nn.Module):
             in_act = WNConv(
                 2 * C, self.kernel_size, dilation=2 ** i, name=f"in{i}"
             )(x)
-            in_act = in_act + cond_all[..., 2 * C * i : 2 * C * (i + 1)]
-            acts = jnp.tanh(in_act[..., :C]) * jax.nn.sigmoid(in_act[..., C:])
+            cond_i = cond_all[..., 2 * C * i : 2 * C * (i + 1)]
+            acts = gated_activation(in_act, cond_i)
             res_skip_feats = 2 * C if i < L - 1 else C
             res_skip = WNConv(res_skip_feats, 1, name=f"res_skip{i}")(acts)
             if i < L - 1:
@@ -324,9 +326,13 @@ def fold_weightnorm(params: dict) -> dict:
         if isinstance(tree, dict):
             if set(tree.keys()) >= {"g", "v"}:
                 v, g = tree["v"], tree["g"]
-                cout = v.shape[-1]
                 norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
-                return {"v": v / norm * g[None, None, :], "g": jnp.ones_like(g)}
+                folded = dict(tree)
+                folded["v"] = v / norm * g[None, None, :]
+                # WNConv normalizes v at every call; with g' = ||v'|| = |g|
+                # the computed kernel equals v' exactly.
+                folded["g"] = jnp.abs(g)
+                return folded
             return {k: fold(v) for k, v in tree.items()}
         return tree
 

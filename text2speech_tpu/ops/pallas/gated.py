@@ -1,0 +1,123 @@
+"""Fused gated-activation Pallas TPU kernel.
+
+The reference's single custom kernel is ``@torch.jit.script
+fused_add_tanh_sigmoid_multiply`` (``/root/reference/waveglow/glow.py:33-40``):
+``tanh((a+b)[:C]) * sigmoid((a+b)[C:])`` inside every WN coupling layer.  Here
+it is one VPU pass over a [block_t, 2C] VMEM tile — add, split, tanh/sigmoid,
+multiply — with a custom VJP whose backward is a second fused kernel, so
+neither direction materializes the intermediate sum in HBM.
+
+Layout: channels-last [B, T, 2C]; 2C must be lane-aligned (128 | 2C), which
+holds for every WaveGlow config (2C = 1024).  Falls back to plain jnp off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is optional at import time (CPU test runs)
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+BLOCK_T = 256
+
+
+def _fwd_kernel(a_ref, b_ref, out_ref):
+    x = a_ref[...] + b_ref[...]
+    c = x.shape[-1] // 2
+    out_ref[...] = jnp.tanh(x[..., :c]) * jax.nn.sigmoid(x[..., c:])
+
+
+def _bwd_kernel(a_ref, b_ref, g_ref, dx_ref):
+    x = a_ref[...] + b_ref[...]
+    c = x.shape[-1] // 2
+    t = jnp.tanh(x[..., :c])
+    s = jax.nn.sigmoid(x[..., c:])
+    g = g_ref[...]
+    du = g * (1.0 - t * t) * s
+    dv = g * t * s * (1.0 - s)
+    dx_ref[...] = jnp.concatenate([du, dv], axis=-1)
+
+
+def _grid_specs(shape_2c, out_c):
+    B, T, C2 = shape_2c
+    grid = (B, pl.cdiv(T, BLOCK_T))
+    in_spec = pl.BlockSpec(
+        (1, BLOCK_T, C2), lambda b, t: (b, t, 0)
+    )
+    out_spec = pl.BlockSpec(
+        (1, BLOCK_T, out_c), lambda b, t: (b, t, 0)
+    )
+    return grid, in_spec, out_spec
+
+
+def _pallas_fwd(a, b):
+    B, T, C2 = a.shape
+    grid, in_spec, out_spec = _grid_specs(a.shape, C2 // 2)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[in_spec, in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, C2 // 2), a.dtype),
+    )(a, b)
+
+
+def _pallas_bwd(a, b, g):
+    B, T, C2 = a.shape
+    grid, in_spec, _ = _grid_specs(a.shape, C2 // 2)
+    g_spec = pl.BlockSpec((1, BLOCK_T, C2 // 2), lambda bi, t: (bi, t, 0))
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[in_spec, in_spec, g_spec],
+        out_specs=in_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, C2), a.dtype),
+    )(a, b, g)
+
+
+@jax.custom_vjp
+def gated_activation_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """tanh((a+b)[..., :C]) * sigmoid((a+b)[..., C:]) for [B, T, 2C] inputs."""
+    return _pallas_fwd(a, b)
+
+
+def _vjp_fwd(a, b):
+    return _pallas_fwd(a, b), (a, b)
+
+
+def _vjp_bwd(res, g):
+    a, b = res
+    dx = _pallas_bwd(a, b, g)
+    return dx, dx
+
+
+gated_activation_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def gated_activation_reference(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    x = a + b
+    c = x.shape[-1] // 2
+    return jnp.tanh(x[..., :c]) * jax.nn.sigmoid(x[..., c:])
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu" and _HAS_PLTPU
+    except Exception:  # pragma: no cover
+        return False
+
+
+def gated_activation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU with lane-aligned channels, jnp elsewhere."""
+    if _on_tpu() and a.shape[-1] % 256 == 0 and a.ndim == 3:
+        return gated_activation_pallas(a, b)
+    return gated_activation_reference(a, b)
