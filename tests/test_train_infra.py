@@ -1,0 +1,163 @@
+"""Training-infrastructure tests: DP sharding equivalence on the virtual
+8-device mesh (SURVEY.md §4 item 4), Orbax checkpoint round-trip, the Noam
+schedule vs the reference formula, ValueWindow, and the npz data feeder.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from text2speech_tpu.config import HParams
+from text2speech_tpu.data.dataset import Batch
+from text2speech_tpu.models.tacotron2 import Tacotron2
+from text2speech_tpu.text import N_SYMBOLS
+from text2speech_tpu.train.state import create_train_state, noam_schedule
+from text2speech_tpu.train.tacotron import make_train_step
+from text2speech_tpu.utils.run_dirs import ValueWindow
+
+TINY = HParams(
+    embedding_size=16,
+    enc_conv_num_layers=1,
+    enc_conv_channels=16,
+    attention_rnn_dim=16,
+    decoder_rnn_dim=16,
+    attention_dim=8,
+    attention_location_n_filters=4,
+    attention_location_kernel_size=7,
+    prenet_dim=8,
+    n_mel_channels=8,
+    postnet_embedding_dim=8,
+    postnet_n_convolutions=2,
+)
+
+
+def _batch(B=8, T_in=12, T_out=16):
+    rng = np.random.RandomState(0)
+    return Batch(
+        text=(rng.randint(2, 70, (B, T_in))).astype(np.int32),
+        input_lengths=np.full((B,), T_in, np.int32),
+        mel=rng.randn(B, TINY.n_mel_channels, T_out).astype(np.float32),
+        gate=np.zeros((B, T_out), np.float32),
+        speaker_id=np.zeros((B,), np.int32),
+        output_lengths=np.full((B,), T_out, np.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_state():
+    model = Tacotron2(TINY, n_vocab=N_SYMBOLS)
+    b = _batch()
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.asarray(b.text), jnp.asarray(b.input_lengths),
+        jnp.asarray(b.mel), jnp.asarray(b.output_lengths),
+    )
+    return model, create_train_state(TINY, variables)
+
+
+def test_dp_matches_single_device(model_state):
+    """The same global batch must give (nearly) the same loss and updated
+    params whether run on 1 device or sharded over 8 — the property the
+    reference could not test without GPUs (SURVEY.md §4)."""
+    model, state = model_state
+    step_fn = jax.jit(make_train_step(model, TINY))
+    b = _batch()
+    rng = jax.random.PRNGKey(7)
+
+    jb = Batch(*map(jnp.asarray, b))
+    state1, metrics1 = step_fn(state, jb, rng)
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("data",))
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    state_s = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    batch_s = Batch(*[jax.device_put(np.asarray(x), dp) for x in b])
+    state8, metrics8 = step_fn(state_s, batch_s, rng)
+
+    assert float(metrics1["loss"]) == pytest.approx(
+        float(metrics8["loss"]), rel=1e-5
+    )
+    diffs = jax.tree.map(
+        lambda a, c: float(jnp.max(jnp.abs(a - c))), state1.params, state8.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+def test_checkpoint_roundtrip(model_state, tmp_path):
+    from text2speech_tpu.train.checkpoint import CheckpointManager
+
+    model, state = model_state
+    step_fn = jax.jit(make_train_step(model, TINY))
+    b = Batch(*map(jnp.asarray, _batch()))
+    state, _ = step_fn(state, b, jax.random.PRNGKey(1))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, wait=True)
+    assert mgr.latest_step() == 1
+
+    model2, fresh = model_state[0], create_train_state(
+        TINY,
+        {"params": jax.tree.map(jnp.zeros_like, state.params),
+         "batch_stats": jax.tree.map(jnp.zeros_like, state.batch_stats)},
+    )
+    restored, step = mgr.restore(fresh)
+    assert step == 1
+    same = jax.tree.map(
+        lambda a, c: bool(jnp.allclose(a, c)), restored.params, state.params
+    )
+    assert all(jax.tree.leaves(same))
+    mgr.close()
+
+
+def test_noam_schedule_matches_reference_formula():
+    sched = noam_schedule(1e-3, 4000)
+    for step in [0, 100, 3999, 4000, 10000, 100000]:
+        s = step + 1.0
+        want = 1e-3 * 4000 ** 0.5 * min(s * 4000 ** -1.5, s ** -0.5)
+        assert float(sched(jnp.asarray(step))) == pytest.approx(want, rel=1e-5)
+
+
+def test_value_window():
+    w = ValueWindow(3)
+    for v in [1, 2, 3, 4]:
+        w.append(v)
+    assert w.count == 3
+    assert w.average == pytest.approx(3.0)
+    w.reset()
+    assert w.count == 0
+
+
+def test_npz_feeder(tmp_path):
+    from text2speech_tpu.data.npz_dataset import NpzDataFeeder
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i, frames in enumerate([10, 50, 2000]):  # last exceeds max_n_frame
+        np.savez(
+            d / f"u{i}.npz",
+            audio=np.zeros(frames * 256, np.float32),
+            mel=rng.randn(frames, 8).astype(np.float32),
+            linear=rng.randn(frames, 513).astype(np.float32),
+            time_steps=frames * 256,
+            mel_frames=frames,
+            text="안녕",
+            tokens=np.asarray([13, 21, 4, 27, 62, 1], np.int32),
+            loss_coeff=1,
+        )
+    feeder = NpzDataFeeder(
+        [str(d)], TINY, batch_size=2, max_n_frame=1000,
+        text_bucket=8, mel_bucket=16,
+    )
+    assert sum(len(c) for c in feeder.corpus_files) == 2  # long one filtered
+    batch = next(iter(feeder.epoch(0)))
+    assert batch.mel.shape[1] == TINY.n_mel_channels
+    assert batch.mel.shape[2] % 16 == 0
+    assert batch.text.shape[1] % 8 == 0
+    assert (batch.gate[0, batch.output_lengths[0] - 1 :] == 1).all()

@@ -6,6 +6,7 @@ from .audio import (  # noqa: F401
     denormalize_spec,
     griffin_lim,
     inv_linear_spectrogram,
+    inv_mel_spectrogram,
     inv_mulaw,
     inv_mulaw_quantize,
     inv_preemphasis,

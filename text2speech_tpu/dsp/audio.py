@@ -299,3 +299,22 @@ def inv_linear_spectrogram(
     S = db_to_amp(D + hp.ref_level_db)
     y = griffin_lim(S ** hp.power, hp, key)
     return inv_preemphasis(y, hp.preemphasis, hp.preemphasize)
+
+
+def inv_mel_spectrogram(
+    mel: jnp.ndarray, hp: HParams, key: jax.Array
+) -> jnp.ndarray:
+    """dB mel spectrogram -> waveform via pinv(mel_basis) + Griffin-Lim
+    (``utils/audio.py:105-120, 207-211``)."""
+    D = denormalize_spec(mel, hp) if hp.signal_normalization else mel
+    amp = db_to_amp(D + hp.ref_level_db)
+    basis = _offline_mel_basis(hp.sample_rate, hp.filter_length, hp.n_mel_channels)
+    inv_basis = jnp.asarray(np.linalg.pinv(basis))
+    linear = jnp.maximum(
+        1e-10,
+        jnp.einsum("fm,bmt->bft", inv_basis, amp,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST),
+    )
+    y = griffin_lim(linear ** hp.power, hp, key)
+    return inv_preemphasis(y, hp.preemphasis, hp.preemphasize)
