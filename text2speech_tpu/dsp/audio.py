@@ -32,7 +32,17 @@ from .stft import STFTParams, istft, stft_mag_phase, stft_magnitude
 
 def load_wav(path: str, sr: int) -> np.ndarray:
     """Load a wav as float32 in [-1, 1] at sample rate ``sr``
-    (librosa.core.load equivalent, ``utils/audio.py:10-11``)."""
+    (librosa.core.load equivalent, ``utils/audio.py:10-11``).
+
+    Fast path: the native C++ decoder+resampler (:mod:`..native`), which
+    matches scipy bit-for-bit on taps it is handed; falls back to
+    scipy.io/scipy.signal when the native lib is unavailable."""
+    from ..native import load_wav_native
+
+    y = load_wav_native(path, sr)
+    if y is not None:
+        return y
+
     from scipy.io import wavfile
     from scipy.signal import resample_poly
 
