@@ -4,27 +4,35 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Methodology: the device sits behind a high-latency tunnel, so per-dispatch
-wall timing is dominated by RPC latency.  Each stage is therefore timed by
-chaining n iterations *inside* one jit (``lax.fori_loop`` with a data
-dependence so XLA cannot hoist the body), reading back a single scalar, and
-differencing T(n) against T(1).  Sanity anchor: the same method measures a
-4096^3 bf16 matmul chain at ~200 TFLOP/s on this chip (v5e peak ~197).
+Methodology: the device sits behind a high-latency tunnel where per-dispatch
+wall timing mostly measures RPC latency, so each stage is timed by **batch
+scaling**: run the jitted stage at batch B and 4B (both pre-compiled, both
+blocked on a scalar readback, inputs resident on device) and attribute
+T(4B) - T(B) to 3B batch-items of pure compute.  Sanity anchor: chained-matmul
+calibration measures this chip at ~200 TFLOP/s bf16 (v5e peak ~197).
 
 Primary metric: WaveGlow vocoder samples/sec/chip vs the only published
 reference number (2.75e6 samples/sec on V100, waveglow/README.md:15-17).
-Extras: end-to-end real-time factor (north star >50x, BASELINE.json).
+Extras: Tacotron mel frames/sec and the end-to-end real-time factor
+(north-star target >50x realtime per chip, BASELINE.json).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
-from functools import partial
 
 import numpy as np
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_bench_cache")),
+)
+
 import jax.numpy as jnp
 
 V100_BASELINE_SAMPLES_PER_SEC = 2_750_000.0
@@ -32,30 +40,30 @@ SR = 22050
 HOP = 256
 
 
-def _timed_chain(fn, n_iters: int):
-    """fn(n) runs n chained iterations on device and blocks on a scalar;
-    returns sec/iter as (T(n) - T(1)) / (n - 1)."""
-    t = {}
-    for n in (1, n_iters):          # compile both variants
-        fn(n)
-    for n in (1, n_iters):
+def _time_scaled(fn, args_small, args_big, scale_items: int, repeats: int = 3):
+    """Median of (T(big) - T(small)) / scale_items with scalar-readback
+    blocking; both variants pre-compiled and warmed."""
+    for args in (args_small, args_big):
+        float(fn(*args))  # compile + warm
+    diffs = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        fn(n)
-        t[n] = time.perf_counter() - t0
-    return max(t[n_iters] - t[1], 1e-9) / (n_iters - 1)
+        float(fn(*args_small))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fn(*args_big))
+        t_big = time.perf_counter() - t0
+        diffs.append(max(t_big - t_small, 1e-9))
+    return float(np.median(diffs)) / scale_items
 
 
-def bench_waveglow(batch: int = 8, frames: int = 400, n_iters: int = 6):
+def bench_waveglow(batch: int = 4, frames: int = 400):
     from text2speech_tpu.config import WaveGlowConfig
     from text2speech_tpu.models.waveglow import WaveGlow
 
     cfg = WaveGlowConfig(sampling_rate=SR)
     model = WaveGlow(cfg)
     rng = jax.random.PRNGKey(0)
-    mel = jnp.asarray(
-        np.random.RandomState(0).randn(batch, cfg.n_mel_channels, frames),
-        jnp.float32,
-    )
     seg = cfg.segment_length
     variables = jax.jit(model.init)(
         rng,
@@ -64,32 +72,29 @@ def bench_waveglow(batch: int = 8, frames: int = 400, n_iters: int = 6):
     )
     jax.block_until_ready(variables)
 
-    @partial(jax.jit, static_argnames="n")
-    def chained(v, m, key, n):
-        def body(i, carry):
-            m_i, acc = carry
-            audio = model.apply(
-                v, m_i, jax.random.fold_in(key, i), 0.666,
-                method=WaveGlow.infer,
-            )
-            s = jnp.mean(audio)
-            # data dependence: next mel depends on this audio (tiny, exact)
-            return (m + 1e-20 * s, acc + s)
+    def mel(b):
+        return jnp.asarray(
+            np.random.RandomState(0).randn(b, cfg.n_mel_channels, frames),
+            jnp.float32,
+        )
 
-        _, acc = jax.lax.fori_loop(0, n, body, (m, jnp.float32(0)))
-        return acc
-
-    sec_per_iter = _timed_chain(
-        lambda n: float(chained(variables, mel, rng, n)), n_iters
+    infer = jax.jit(
+        lambda v, m, k: jnp.mean(
+            model.apply(v, m, k, 0.666, method=WaveGlow.infer)
+        )
+    )
+    m1, m4 = mel(batch), mel(4 * batch)
+    jax.block_until_ready((m1, m4))
+    sec_per_item = _time_scaled(
+        infer, (variables, m1, rng), (variables, m4, rng), 3 * batch
     )
     t_up = (frames - 1) * cfg.upsample_stride + cfg.upsample_kernel
     cut = t_up - (cfg.upsample_kernel - cfg.upsample_stride)
-    n_samples = batch * (cut // cfg.n_group * cfg.n_group)
-    return n_samples / sec_per_iter
+    samples_per_item = cut // cfg.n_group * cfg.n_group
+    return samples_per_item / sec_per_item
 
 
-def bench_tacotron(batch: int = 8, t_in: int = 128, max_steps: int = 400,
-                   n_iters: int = 4):
+def bench_tacotron(batch: int = 4, t_in: int = 128, max_steps: int = 400):
     from text2speech_tpu.config import HParams
     from text2speech_tpu.models.tacotron2 import Tacotron2
     from text2speech_tpu.text import N_SYMBOLS
@@ -97,43 +102,43 @@ def bench_tacotron(batch: int = 8, t_in: int = 128, max_steps: int = 400,
     hp = HParams(sample_rate=SR, max_decoder_steps=max_steps)
     model = Tacotron2(hp, n_vocab=N_SYMBOLS)
     rng = jax.random.PRNGKey(0)
-    text = jnp.zeros((batch, t_in), jnp.int32) + 3
-    lengths = jnp.full((batch,), t_in, jnp.int32)
-    mels = jnp.zeros((batch, hp.n_mel_channels, 64))
-    out_lengths = jnp.full((batch,), 64, jnp.int32)
+
+    def inputs(b):
+        return (
+            jnp.zeros((b, t_in), jnp.int32) + 3,
+            jnp.full((b,), t_in, jnp.int32),
+        )
+
+    text, lengths = inputs(1)
     variables = jax.jit(model.init)(
-        {"params": rng, "dropout": rng}, text, lengths, mels, out_lengths
+        {"params": rng, "dropout": rng},
+        text, lengths,
+        jnp.zeros((1, hp.n_mel_channels, 64)),
+        jnp.full((1,), 64, jnp.int32),
     )
     jax.block_until_ready(variables)
 
-    @partial(jax.jit, static_argnames="n")
-    def chained(v, t, l, key, n):
-        def body(i, carry):
-            t_i, acc = carry
-            _, mel_post, _, _, _ = model.apply(
-                v, t_i, text_lengths=l, method=Tacotron2.inference,
-                rngs={"dropout": jax.random.fold_in(key, i)},
-            )
-            s = jnp.mean(mel_post)
-            # dependence: next text derives (vacuously but opaquely) from s
-            t_next = t + (s * 0).astype(jnp.int32)
-            return (t_next, acc + s)
-
-        _, acc = jax.lax.fori_loop(0, n, body, (t, jnp.float32(0)))
-        return acc
-
-    sec_per_iter = _timed_chain(
-        lambda n: float(chained(variables, text, lengths, rng, n)), n_iters
+    infer = jax.jit(
+        lambda v, t, l, k: jnp.mean(
+            model.apply(
+                v, t, text_lengths=l, method=Tacotron2.inference,
+                rngs={"dropout": k},
+            )[1]
+        )
     )
-    return batch * max_steps / sec_per_iter  # mel frames / sec
+    a1, a4 = inputs(batch), inputs(4 * batch)
+    sec_per_item = _time_scaled(
+        infer, (variables, *a1, rng), (variables, *a4, rng), 3 * batch
+    )
+    return max_steps / sec_per_item  # mel frames / sec
 
 
 def main():
     wg_sps = bench_waveglow()
     taco_fps = bench_tacotron()
 
-    # End-to-end: for 1 second of audio, Tacotron makes SR/HOP frames and
-    # WaveGlow makes SR samples; stages run sequentially.
+    # End-to-end: 1 second of audio needs SR/HOP mel frames then SR samples;
+    # stages run sequentially.
     e2e_rtf = 1.0 / ((SR / HOP) / taco_fps + SR / wg_sps)
     result = {
         "metric": "vocoder_samples_per_sec_per_chip",
