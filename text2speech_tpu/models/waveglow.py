@@ -45,6 +45,7 @@ class WNConv(nn.Module):
     features: int
     kernel_size: int = 1
     dilation: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,16 +64,16 @@ class WNConv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (cout,))
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
-        kernel = v / norm * g[None, None, :]
+        kernel = (v / norm * g[None, None, :]).astype(self.dtype)
         pad = self.dilation * (k - 1) // 2
         return jax.lax.conv_general_dilated(
-            x,
+            x.astype(self.dtype),
             kernel,
             window_strides=(1,),
             padding=[(pad, pad)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-        ) + bias
+        ) + bias.astype(self.dtype)
 
 
 class SubpixelUpsample(nn.Module):
@@ -88,6 +89,7 @@ class SubpixelUpsample(nn.Module):
     features: int
     kernel_size: int
     stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -101,13 +103,13 @@ class SubpixelUpsample(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (cout,))
         B, T, _ = x.shape
-        kq = kernel.reshape(r, s, cin, cout)
+        kq = kernel.reshape(r, s, cin, cout).astype(self.dtype)
         # y[b, t, q, p, o] = sum_i x[b, t, i] * kq[q, p, i, o]
-        y = jnp.einsum("bti,qpio->btqpo", x, kq)
+        y = jnp.einsum("bti,qpio->btqpo", x.astype(self.dtype), kq)
         out = jnp.zeros((B, T + r - 1, s, cout), y.dtype)
         for q in range(r):
             out = out.at[:, q : q + T].add(y[:, :, q])
-        return out.reshape(B, (T + r - 1) * s, cout) + bias
+        return out.reshape(B, (T + r - 1) * s, cout) + bias.astype(y.dtype)
 
 
 class Invertible1x1Conv(nn.Module):
@@ -147,25 +149,29 @@ class WN(nn.Module):
     n_channels: int = 512
     n_layers: int = 8
     kernel_size: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, audio_half: jnp.ndarray, spect: jnp.ndarray) -> jnp.ndarray:
         C, L = self.n_channels, self.n_layers
-        x = WNConv(C, 1, name="start")(audio_half)
+        x = WNConv(C, 1, dtype=self.dtype, name="start")(audio_half)
 
         # All layers' conditioning projections as one fused matmul
         # (equivalent to the reference's per-layer cond_layers).
-        cond_all = WNConv(2 * C * L, 1, name="cond")(spect)
+        cond_all = WNConv(2 * C * L, 1, dtype=self.dtype, name="cond")(spect)
 
         output = jnp.zeros(x.shape[:-1] + (C,), x.dtype)
         for i in range(L):
             in_act = WNConv(
-                2 * C, self.kernel_size, dilation=2 ** i, name=f"in{i}"
+                2 * C, self.kernel_size, dilation=2 ** i, dtype=self.dtype,
+                name=f"in{i}",
             )(x)
             cond_i = cond_all[..., 2 * C * i : 2 * C * (i + 1)]
             acts = gated_activation(in_act, cond_i)
             res_skip_feats = 2 * C if i < L - 1 else C
-            res_skip = WNConv(res_skip_feats, 1, name=f"res_skip{i}")(acts)
+            res_skip = WNConv(
+                res_skip_feats, 1, dtype=self.dtype, name=f"res_skip{i}"
+            )(acts)
             if i < L - 1:
                 x = x + res_skip[..., :C]
                 output = output + res_skip[..., C:]
@@ -177,15 +183,23 @@ class WN(nn.Module):
             (1,),
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="end",
         )
-        return end(output)  # [..., 0:n_half] = b, [..., n_half:] = log_s
+        # coupling terms (log_s, b) back in fp32: exp/affine stays exact
+        return end(output).astype(jnp.float32)  # [..., 0:n_half] = b, [..., n_half:] = log_s
 
 
 class WaveGlow(nn.Module):
-    """Full normalizing flow (``glow.py:178-292``)."""
+    """Full normalizing flow (``glow.py:178-292``).
+
+    ``compute_dtype=jnp.bfloat16`` runs the WN/upsample matmuls MXU-native;
+    the 1x1-conv inverse/logdet and the affine coupling arithmetic stay fp32
+    (the reference's fp16-with-fp32-convinv policy, waveglow/inference.py:41-43).
+    """
 
     cfg: WaveGlowConfig
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         cfg = self.cfg
@@ -193,6 +207,7 @@ class WaveGlow(nn.Module):
             cfg.n_mel_channels,
             cfg.upsample_kernel,
             cfg.upsample_stride,
+            dtype=self.compute_dtype,
             name="upsample",
         )
         convinv = []
@@ -210,6 +225,7 @@ class WaveGlow(nn.Module):
                     cfg.wn_n_channels,
                     cfg.wn_n_layers,
                     cfg.wn_kernel_size,
+                    dtype=self.compute_dtype,
                     name=f"wn{k}",
                 )
             )

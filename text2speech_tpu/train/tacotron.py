@@ -139,6 +139,17 @@ class TacotronTrainer:
         return step
 
     def fit(self, num_steps: int, log_every: int = 10):
+        """Run training; on KeyboardInterrupt/preemption the current step is
+        checkpointed before exit (reference train.py:118-120 behavior)."""
+        try:
+            self._fit(num_steps, log_every)
+        except KeyboardInterrupt:
+            step = int(self.state.step)
+            log(f"interrupted at step {step}; saving checkpoint")
+            self.ckpt.save(step, self.state, wait=True)
+            raise
+
+    def _fit(self, num_steps: int, log_every: int = 10):
         hp = self.hp
         step = int(self.state.step)
         epoch = step // max(1, len(self.dataset))
