@@ -10,6 +10,9 @@ from .audio import (  # noqa: F401
     inv_mulaw,
     inv_mulaw_quantize,
     inv_preemphasis,
+    frames_to_hours,
+    get_duration,
+    inv_spectrogram,
     linear_spectrogram,
     load_wav,
     mel_and_linear_spectrogram,

@@ -328,3 +328,18 @@ def inv_mel_spectrogram(
     )
     y = griffin_lim(linear ** hp.power, hp, key)
     return inv_preemphasis(y, hp.preemphasis, hp.preemphasize)
+
+
+def frames_to_hours(n_frames, hp: HParams) -> float:
+    """Total mel-frame count -> audio hours (``utils/audio.py:412-413``)."""
+    return sum(int(n) for n in n_frames) * hp.frame_shift_ms / (3600 * 1000)
+
+
+def get_duration(audio_arr, hp: HParams) -> float:
+    """Waveform length in seconds (``utils/audio.py:416-417``)."""
+    return len(audio_arr) / hp.sample_rate
+
+
+# Alias matching the reference's linear-spectrogram inversion entry point
+# (``utils/audio.py:128-132``).
+inv_spectrogram = inv_linear_spectrogram

@@ -30,20 +30,23 @@ BLOCK_T = 256
 
 
 def _fwd_kernel(a_ref, b_ref, out_ref):
-    x = a_ref[...] + b_ref[...]
+    # elementwise math in f32 (mosaic's bf16 logistic lowering is buggy);
+    # VMEM traffic stays in the IO dtype.
+    x = (a_ref[...] + b_ref[...]).astype(jnp.float32)
     c = x.shape[-1] // 2
-    out_ref[...] = jnp.tanh(x[..., :c]) * jax.nn.sigmoid(x[..., c:])
+    out = jnp.tanh(x[..., :c]) * jax.nn.sigmoid(x[..., c:])
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(a_ref, b_ref, g_ref, dx_ref):
-    x = a_ref[...] + b_ref[...]
+    x = (a_ref[...] + b_ref[...]).astype(jnp.float32)
     c = x.shape[-1] // 2
     t = jnp.tanh(x[..., :c])
     s = jax.nn.sigmoid(x[..., c:])
-    g = g_ref[...]
+    g = g_ref[...].astype(jnp.float32)
     du = g * (1.0 - t * t) * s
     dv = g * t * s * (1.0 - s)
-    dx_ref[...] = jnp.concatenate([du, dv], axis=-1)
+    dx_ref[...] = jnp.concatenate([du, dv], axis=-1).astype(dx_ref.dtype)
 
 
 def _grid_specs(shape_2c, out_c):
