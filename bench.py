@@ -62,7 +62,9 @@ def bench_waveglow(batch: int = 4, frames: int = 400):
     from text2speech_tpu.models.waveglow import WaveGlow
 
     cfg = WaveGlowConfig(sampling_rate=SR)
-    model = WaveGlow(cfg)
+    # bf16 compute with fp32 coupling/convinv islands — the TPU analogue of
+    # the reference's fp16-with-fp32-convinv inference (waveglow/inference.py:41-43).
+    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     seg = cfg.segment_length
     variables = jax.jit(model.init)(
