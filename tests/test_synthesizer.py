@@ -1,0 +1,110 @@
+"""End-to-end Synthesizer tests (text -> mel -> waveform -> wav file) with
+tiny random-weight models: batching, length trimming, denoiser path, file IO.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text2speech_tpu.config import HParams, WaveGlowConfig
+from text2speech_tpu.infer import Synthesizer
+from text2speech_tpu.models.tacotron2 import Tacotron2
+from text2speech_tpu.models.waveglow import WaveGlow
+from text2speech_tpu.text import N_SYMBOLS
+
+HP = HParams(
+    sample_rate=22050,
+    embedding_size=16,
+    enc_conv_num_layers=1,
+    enc_conv_channels=16,
+    attention_rnn_dim=16,
+    decoder_rnn_dim=16,
+    attention_dim=8,
+    attention_location_n_filters=4,
+    attention_location_kernel_size=7,
+    prenet_dim=8,
+    n_mel_channels=8,
+    postnet_embedding_dim=8,
+    postnet_n_convolutions=2,
+    max_decoder_steps=20,
+)
+WG = WaveGlowConfig(
+    n_mel_channels=8, n_flows=2, n_group=4, n_early_every=4,
+    wn_n_layers=2, wn_n_channels=16, upsample_kernel=64, upsample_stride=16,
+    sampling_rate=22050, hop_length=16,
+)
+
+
+@pytest.fixture(scope="module")
+def synthesizer():
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(HP, n_vocab=N_SYMBOLS)
+    tvars = taco.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+        jnp.zeros((1, HP.n_mel_channels, 8)), jnp.asarray([8]),
+    )
+    wg = WaveGlow(WG)
+    frames = 16
+    wvars = wg.init(
+        rng,
+        jnp.zeros((1, WG.n_mel_channels, frames)),
+        jnp.zeros((1, frames * WG.upsample_stride)),
+    )
+    return Synthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables={"params": wvars["params"]},
+        use_denoiser=False,
+    )
+
+
+def test_text_to_mel(synthesizer):
+    mel, lengths = synthesizer.text_to_mel(["안녕하세요.", "존경하는 사람"])
+    assert mel.shape[0] == 2 and mel.shape[1] == HP.n_mel_channels
+    assert np.isfinite(np.asarray(mel)).all()
+    assert (np.asarray(lengths) >= 1).all()
+
+
+def test_synthesize_batch_trims_lengths(synthesizer):
+    wavs = synthesizer.synthesize(["안녕하세요.", "네."])
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all()
+
+
+def test_synthesize_to_files(synthesizer, tmp_path):
+    paths = [str(tmp_path / "a.wav"), str(tmp_path / "b.wav")]
+    synthesizer.synthesize_to_files(["안녕하세요.", "네."], paths)
+    from scipy.io import wavfile
+
+    for p in paths:
+        sr, data = wavfile.read(p)
+        assert sr == WG.sampling_rate
+        assert data.dtype == np.int16 and len(data) > 0
+
+
+def test_denoiser_path():
+    from text2speech_tpu.models.denoiser import make_denoiser
+
+    wg = WaveGlow(WG)
+    rng = jax.random.PRNGKey(0)
+    frames = 16
+    wvars = wg.init(
+        rng,
+        jnp.zeros((1, WG.n_mel_channels, frames)),
+        jnp.zeros((1, frames * WG.upsample_stride)),
+    )
+    bias_spec, denoise = make_denoiser(
+        wg, wvars, filter_length=256, win_length=256, n_frames=16
+    )
+    assert np.isfinite(np.asarray(bias_spec)).all()
+    audio = jnp.asarray(
+        np.random.RandomState(0).randn(1, 4096).astype(np.float32)
+    )
+    out = denoise(audio, 0.1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert out.shape[0] == 1
