@@ -120,7 +120,22 @@ def _on_tpu() -> bool:
 
 
 def gated_activation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch: Pallas on TPU with lane-aligned channels, jnp elsewhere."""
-    if _on_tpu() and a.shape[-1] % 256 == 0 and a.ndim == 3:
+    """Dispatch for the WN gated activation.
+
+    Default is the jnp expression: XLA fuses it into the producing conv's
+    epilogue, which measures ~65% faster end-to-end on v5e than routing
+    through the standalone Pallas kernel (the opaque ``pallas_call`` forces an
+    HBM round-trip between the conv and the activation).  Set
+    ``T2S_PALLAS_GATED=1`` to use the Pallas kernel (useful when composing it
+    into larger hand-fused blocks).
+    """
+    import os
+
+    if (
+        os.environ.get("T2S_PALLAS_GATED") == "1"
+        and _on_tpu()
+        and a.shape[-1] % 256 == 0
+        and a.ndim == 3
+    ):
         return gated_activation_pallas(a, b)
     return gated_activation_reference(a, b)
