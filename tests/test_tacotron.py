@@ -161,3 +161,32 @@ def test_bce_with_logits_matches_definition():
     want = -(t * np.log(1 / (1 + np.exp(-x))) + (1 - t) * np.log(1 - 1 / (1 + np.exp(-x))))
     np.testing.assert_allclose(got[:-1], want, atol=1e-5)
     assert np.isfinite(got[-1]) and got[-1] < 1e-6  # gate=1e3, target=1 -> ~0
+
+
+def test_multi_speaker_conditioning():
+    """Different speaker ids must change the output when num_speakers > 1."""
+    model = Tacotron2(TINY, n_vocab=80, num_speakers=3)
+    rng = jax.random.PRNGKey(0)
+    text = jnp.zeros((2, T_IN), jnp.int32) + 3
+    lengths = jnp.asarray([T_IN, T_IN], jnp.int32)
+    mels = jnp.zeros((2, TINY.n_mel_channels, T_OUT))
+    out_lengths = jnp.asarray([T_OUT, T_OUT], jnp.int32)
+    sp = jnp.asarray([0, 2], jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        text, lengths, mels, out_lengths, speaker_ids=sp,
+    )
+    assert "speaker_proj" in variables["params"]
+
+    def run(speakers):
+        (mel_out, *_), _ = model.apply(
+            variables, text, lengths, mels, out_lengths,
+            speaker_ids=speakers, train=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        return np.asarray(mel_out)
+
+    out_a = run(jnp.asarray([0, 0], jnp.int32))
+    out_b = run(jnp.asarray([1, 1], jnp.int32))
+    assert not np.allclose(out_a, out_b)

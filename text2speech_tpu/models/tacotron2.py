@@ -391,12 +391,28 @@ class Tacotron2(nn.Module):
         self.speaker_embedding = nn.Embed(
             self.num_speakers, hp.speaker_embedding_size, name="speaker_embedding"
         )
+        # Speaker projection into the encoder space.  The reference builds
+        # this scaffolding (speaker_embed_table + Linear+Softsign + Linear,
+        # tacotron.py:27-29) but never wires it into forward; here it is
+        # functional whenever num_speakers > 1 and speaker_ids are given.
+        self.speaker_proj = nn.Dense(hp.enc_conv_channels, name="speaker_proj")
         self.encoder = Encoder(hp, name="encoder")
         self.decoder = Decoder(hp, name="decoder")
         self.postnet = Postnet(hp, name="postnet")
 
     def embed(self, text_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embedding(text_ids)
+
+    def _condition_on_speaker(
+        self, encoder_out: jnp.ndarray, speaker_ids: jnp.ndarray | None
+    ) -> jnp.ndarray:
+        """Additive speaker conditioning on the encoder memory
+        (softsign(embed) -> Dense, broadcast over time)."""
+        if speaker_ids is None or self.num_speakers <= 1:
+            return encoder_out
+        s = self.speaker_embedding(speaker_ids)
+        s = nn.soft_sign(s)
+        return encoder_out + self.speaker_proj(s)[:, None, :]
 
     def __call__(
         self,
@@ -412,6 +428,7 @@ class Tacotron2(nn.Module):
         hp = self.hp
         embedded = self.embed(text_ids)
         encoder_out = self.encoder(embedded, text_lengths, train=train)
+        encoder_out = self._condition_on_speaker(encoder_out, speaker_ids)
         rng = self.make_rng("dropout")
         mel_out, gate_out, align = self.decoder.teacher_forced(
             encoder_out, mels, text_lengths, rng, train=train
@@ -434,6 +451,7 @@ class Tacotron2(nn.Module):
         """Autoregressive synthesis (reference ``inference``, ``tacotron.py:51-65``)."""
         embedded = self.embed(text_ids)
         encoder_out = self.encoder(embedded, text_lengths, train=False)
+        encoder_out = self._condition_on_speaker(encoder_out, speaker_ids)
         rng = self.make_rng("dropout")
         mel_out, gate_out, align, out_lengths = self.decoder.autoregressive(
             encoder_out, rng, memory_lengths=text_lengths, max_steps=max_steps

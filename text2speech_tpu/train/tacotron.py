@@ -46,6 +46,7 @@ def make_train_step(model: Tacotron2, hp: HParams):
                 batch.input_lengths,
                 batch.mel,
                 batch.output_lengths,
+                speaker_ids=batch.speaker_id,
                 train=True,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
@@ -73,6 +74,7 @@ def make_eval_step(model: Tacotron2):
             batch.input_lengths,
             batch.mel,
             batch.output_lengths,
+            speaker_ids=batch.speaker_id,
             train=False,
             rngs={"dropout": rng},
         )
@@ -114,6 +116,7 @@ class TacotronTrainer:
             jnp.asarray(sample.input_lengths),
             jnp.asarray(sample.mel),
             jnp.asarray(sample.output_lengths),
+            speaker_ids=jnp.asarray(sample.speaker_id),
         )
         state = create_train_state(
             hp, variables, noam_schedule(hp.learning_rate, hp.warmup_steps)
