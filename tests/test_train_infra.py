@@ -161,3 +161,49 @@ def test_npz_feeder(tmp_path):
     assert batch.mel.shape[2] % 16 == 0
     assert batch.text.shape[1] % 8 == 0
     assert (batch.gate[0, batch.output_lengths[0] - 1 :] == 1).all()
+
+
+def test_waveglow_config_from_reference_json(tmp_path):
+    """The reference 4-block config.json format loads directly
+    (waveglow/train.py:147-157 parsing contract)."""
+    import json
+
+    from text2speech_tpu.config import WaveGlowConfig
+
+    blocks = {
+        "train_config": {
+            "epochs": 100000, "learning_rate": 1e-4, "sigma": 1.0,
+            "iters_per_checkpoint": 2000, "batch_size": 3, "seed": 1234,
+            "output_directory": "checkpoints", "checkpoint_path": "",
+        },
+        "data_config": {
+            "training_files": "train_files.txt", "segment_length": 16000,
+            "sampling_rate": 22050, "filter_length": 1024, "hop_length": 256,
+            "win_length": 1024, "mel_fmin": 0.0, "mel_fmax": 8000.0,
+        },
+        "dist_config": {"dist_backend": "nccl", "dist_url": "tcp://localhost:54321"},
+        "waveglow_config": {
+            "n_mel_channels": 80, "n_flows": 12, "n_group": 8,
+            "n_early_every": 4, "n_early_size": 2,
+            "WN_config": {"n_layers": 8, "n_channels": 512, "kernel_size": 3},
+        },
+    }
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(blocks))
+    cfg = WaveGlowConfig.from_json(str(p))
+    assert cfg.n_flows == 12 and cfg.wn_n_channels == 512
+    assert cfg.segment_length == 16000 and cfg.batch_size == 3
+    assert cfg.n_remaining_channels == 4
+
+
+def test_hparams_legacy_aliases():
+    from text2speech_tpu.config import HParams
+
+    hp = HParams.from_dict({
+        "fft_size": 2048, "hop_size": 512, "win_size": 2048,
+        "num_mels": 96, "sample_rate": 22050, "rescaling_max": True,
+    })
+    assert hp.filter_length == 2048 and hp.hop_length == 512
+    assert hp.n_mel_channels == 96
+    assert hp.rescaling_max == 1.0
+    assert hp.n_freq == 1025
