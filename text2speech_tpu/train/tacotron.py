@@ -123,8 +123,6 @@ class TacotronTrainer:
         )
         self.state = replicate(state, self.mesh)
 
-        batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
-        rep = NamedSharding(self.mesh, P())
         self._train_step = jax.jit(
             make_train_step(self.model, hp),
             donate_argnums=(0,),
