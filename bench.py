@@ -96,43 +96,54 @@ def bench_waveglow(batch: int = 4, frames: int = 400):
     return samples_per_item / sec_per_item
 
 
-def bench_tacotron(batch: int = 4, t_in: int = 128, max_steps: int = 400):
+def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
+    """Decode throughput in mel frames/sec.
+
+    The decoder is a sequential scan, so batch scaling measures ~0 marginal
+    cost; instead the **scan length** is scaled (400 vs 800 steps, same
+    batch) and the difference attributed to 400 steps of pure decode.
+    """
     from text2speech_tpu.config import HParams
     from text2speech_tpu.models.tacotron2 import Tacotron2
     from text2speech_tpu.text import N_SYMBOLS
 
-    hp = HParams(sample_rate=SR, max_decoder_steps=max_steps)
+    hp = HParams(sample_rate=SR, max_decoder_steps=2 * base_steps)
     model = Tacotron2(hp, n_vocab=N_SYMBOLS)
     rng = jax.random.PRNGKey(0)
-
-    def inputs(b):
-        return (
-            jnp.zeros((b, t_in), jnp.int32) + 3,
-            jnp.full((b,), t_in, jnp.int32),
-        )
-
-    text, lengths = inputs(1)
+    text = jnp.zeros((batch, t_in), jnp.int32) + 3
+    lengths = jnp.full((batch,), t_in, jnp.int32)
     variables = jax.jit(model.init)(
         {"params": rng, "dropout": rng},
         text, lengths,
-        jnp.zeros((1, hp.n_mel_channels, 64)),
-        jnp.full((1,), 64, jnp.int32),
+        jnp.zeros((batch, hp.n_mel_channels, 64)),
+        jnp.full((batch,), 64, jnp.int32),
     )
     jax.block_until_ready(variables)
 
-    infer = jax.jit(
-        lambda v, t, l, k: jnp.mean(
-            model.apply(
-                v, t, text_lengths=l, method=Tacotron2.inference,
-                rngs={"dropout": k},
-            )[1]
+    def make_infer(n_steps):
+        return jax.jit(
+            lambda v, t, l, k: jnp.mean(
+                model.apply(
+                    v, t, text_lengths=l, max_steps=n_steps,
+                    method=Tacotron2.inference, rngs={"dropout": k},
+                )[1]
+            )
         )
-    )
-    a1, a4 = inputs(batch), inputs(4 * batch)
-    sec_per_item = _time_scaled(
-        infer, (variables, *a1, rng), (variables, *a4, rng), 3 * batch
-    )
-    return max_steps / sec_per_item  # mel frames / sec
+
+    short, long = make_infer(base_steps), make_infer(2 * base_steps)
+    for fn in (short, long):
+        float(fn(variables, text, lengths, rng))
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(short(variables, text, lengths, rng))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(long(variables, text, lengths, rng))
+        t_l = time.perf_counter() - t0
+        diffs.append(max(t_l - t_s, 1e-9))
+    sec = float(np.median(diffs))
+    return batch * base_steps / sec  # aggregate mel frames / sec
 
 
 def main():

@@ -14,7 +14,9 @@ from text2speech_tpu.infer import load_synthesizer
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--taco_checkpoint", required=True)
-    parser.add_argument("--waveglow_checkpoint", required=True)
+    parser.add_argument("--waveglow_checkpoint", default=None,
+                        help="omit to synthesize with Griffin-Lim instead")
+    parser.add_argument("--griffin_lim_iters", type=int, default=60)
     parser.add_argument("--text", default="이 것은 제작되고 있는 중입니다.")
     parser.add_argument("--out", default="tone_440.wav")
     parser.add_argument("--sigma", type=float, default=0.666)
@@ -32,16 +34,49 @@ def main():
         if args.waveglow_config
         else WaveGlowConfig(sampling_rate=args.sample_rate)
     )
-    synth = load_synthesizer(
-        hp, args.taco_checkpoint, wg_cfg, args.waveglow_checkpoint,
-        use_denoiser=args.denoiser_strength > 0,
-    )
-    synth.synthesize_to_files(
-        [args.text], [args.out],
-        sample_rate=args.sample_rate,
-        sigma=args.sigma,
-        denoiser_strength=args.denoiser_strength,
-    )
+    if args.waveglow_checkpoint:
+        synth = load_synthesizer(
+            hp, args.taco_checkpoint, wg_cfg, args.waveglow_checkpoint,
+            use_denoiser=args.denoiser_strength > 0,
+        )
+        synth.synthesize_to_files(
+            [args.text], [args.out],
+            sample_rate=args.sample_rate,
+            sigma=args.sigma,
+            denoiser_strength=args.denoiser_strength,
+        )
+    else:
+        # Vocoder-free path: Tacotron mel -> pinv(mel basis) + Griffin-Lim
+        # (the reference's utils/audio.py:105-120 inversion chain).
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from text2speech_tpu.dsp.audio import save_wav
+        from text2speech_tpu.dsp.mel import dynamic_range_decompression
+        from text2speech_tpu.dsp.audio import (
+            amp_to_db,
+            db_to_amp,
+            griffin_lim,
+            _offline_mel_basis,
+        )
+        from text2speech_tpu.infer import load_synthesizer as _ls
+
+        synth = _ls(hp, args.taco_checkpoint, wg_cfg, args.taco_checkpoint,
+                    use_denoiser=False)
+        mel_post, out_lengths = synth.text_to_mel([args.text])
+        T = int(out_lengths[0])
+        # model mels are log-clamp (online convention): invert to magnitude
+        mel_amp = dynamic_range_decompression(mel_post[:, :, :T])
+        basis = _offline_mel_basis(hp.sample_rate, hp.filter_length,
+                                   hp.n_mel_channels)
+        inv_basis = jnp.asarray(np.linalg.pinv(basis))
+        linear = jnp.maximum(
+            1e-10, jnp.einsum("fm,bmt->bft", inv_basis, mel_amp)
+        )
+        wav = griffin_lim(linear ** hp.power, hp, jax.random.PRNGKey(0),
+                          n_iters=args.griffin_lim_iters)
+        save_wav(np.asarray(wav)[0], args.out, args.sample_rate)
     print(f"wrote {args.out}")
 
 
