@@ -146,9 +146,50 @@ def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
     return batch * base_steps / sec  # aggregate mel frames / sec
 
 
+def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050):
+    """Corpus preprocessing throughput (mel frames/sec) on a synthetic
+    KSS-shaped corpus: native wav decode -> trim -> batched device
+    mel+linear -> npz (BASELINE.json metric #1)."""
+    import shutil
+    import tempfile
+
+    from scipy.io import wavfile
+
+    from text2speech_tpu.config import HParams
+    from text2speech_tpu.data.preprocess import preprocess_corpus
+
+    hp = HParams(sample_rate=sr)
+    root = tempfile.mkdtemp(prefix="bench_pp_")
+    try:
+        os.makedirs(f"{root}/1")
+        rng = np.random.RandomState(0)
+        lines = []
+        n = int(seconds * sr)
+        t = np.arange(n) / sr
+        for i in range(n_utts):
+            sig = 0.4 * np.sin(2 * np.pi * (150 + 7 * i) * t) + 0.01 * rng.randn(n)
+            wavfile.write(
+                f"{root}/1/1_{i:04d}.wav", sr, (sig * 32767).astype(np.int16)
+            )
+            lines.append(f"1/1_{i:04d}.wav|텍스트 예시 문장|텍스트 예시 문장|3.0초")
+        with open(f"{root}/transcript.txt", "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        out = f"{root}/out"
+        # warm the device program on a copy-shaped run, then time
+        meta = preprocess_corpus(hp, root, out, device_batch=16)
+        t0 = time.perf_counter()
+        meta = preprocess_corpus(hp, root, out, device_batch=16)
+        dt = time.perf_counter() - t0
+        frames = sum(int(m[4]) for m in meta)
+        return frames / dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     wg_sps = bench_waveglow()
     taco_fps = bench_tacotron()
+    pp_fps = bench_preprocess()
 
     # End-to-end: 1 second of audio needs SR/HOP mel frames then SR samples;
     # stages run sequentially.
@@ -162,6 +203,7 @@ def main():
         "tacotron_frames_per_sec": round(taco_fps, 1),
         "e2e_rtf": round(e2e_rtf, 2),
         "e2e_rtf_target": 50.0,
+        "preprocess_mel_frames_per_sec": round(pp_fps, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
