@@ -1,0 +1,160 @@
+"""CLI smoke tests: run the actual entry-point scripts in subprocesses on a
+synthetic corpus (preprocess -> train 3 steps -> resume 1 step;
+waveglow_train 2 steps; mel2samp dump).  Catches argparse/wiring breakage
+module tests can't.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from tests.conftest import REPO_ROOT
+
+TINY_HP = {
+    "sample_rate": 22050,
+    "trim_silence": False,
+    "batch_size": 2,
+    "embedding_size": 16,
+    "enc_conv_num_layers": 1,
+    "enc_conv_channels": 16,
+    "attention_rnn_dim": 16,
+    "decoder_rnn_dim": 16,
+    "attention_dim": 8,
+    "attention_location_n_filters": 4,
+    "attention_location_kernel_size": 7,
+    "prenet_dim": 8,
+    "n_mel_channels": 8,
+    "postnet_embedding_dim": 8,
+    "postnet_n_convolutions": 2,
+    "max_decoder_steps": 16,
+    "checkpoint_interval": 2,
+}
+
+
+def run_cli(script, argv, cwd):
+    """Run a repo CLI under forced-CPU jax in a subprocess."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys, runpy; sys.argv = [%r] + %r;"
+        "runpy.run_path(%r, run_name='__main__')"
+        % (script, argv, os.path.join(str(REPO_ROOT), script))
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=cwd, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": str(REPO_ROOT)},
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clikss")
+    (root / "1").mkdir()
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        n = 8000 + 500 * i
+        t = np.arange(n) / 22050
+        sig = 0.4 * np.sin(2 * np.pi * (200 + 40 * i) * t) + 0.01 * rng.randn(n)
+        wavfile.write(str(root / "1" / f"u{i}.wav"), 22050,
+                      (sig * 32767).astype(np.int16))
+        lines.append(f"1/u{i}.wav|안녕하세요 {i}번|안녕하세요 {i}번|1.0초")
+    (root / "transcript.txt").write_text("\n".join(lines), encoding="utf-8")
+    (root / "val.txt").write_text("\n".join(lines[:2]), encoding="utf-8")
+    hp_path = root / "tiny_hparams.json"
+    from text2speech_tpu.config import HParams
+
+    HParams(**TINY_HP).save(str(hp_path))
+    return root
+
+
+def test_preprocess_cli(corpus, tmp_path):
+    out = tmp_path / "pp"
+    r = run_cli(
+        "preprocess.py",
+        ["--in_dir", str(corpus), "--out_dir", str(out),
+         "--hparams", str(corpus / "tiny_hparams.json"), "--device_batch", "4"],
+        cwd=str(corpus),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out / "train.txt").exists()
+    assert len(list(out.glob("*.npz"))) == 4
+
+
+def test_train_cli_and_resume(corpus, tmp_path):
+    log_dir = tmp_path / "runs"
+    r = run_cli(
+        "train.py",
+        ["--data_paths", str(corpus), "--log_dir", str(log_dir),
+         "--hparams", str(corpus / "tiny_hparams.json"),
+         "--num_steps", "3", "--checkpoint_interval", "2"],
+        cwd=str(corpus),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    run_dirs = list(log_dir.iterdir())
+    assert len(run_dirs) == 1
+    run_dir = run_dirs[0]
+    assert (run_dir / "params.json").exists()
+    assert (run_dir / "train.log").exists()
+    ckpts = list((run_dir / "checkpoints").iterdir())
+    assert ckpts, "no checkpoint written"
+
+    # resume: reload hparams + checkpoint, run to step 4
+    r2 = run_cli(
+        "train.py",
+        ["--data_paths", str(corpus), "--load_path", str(run_dir),
+         "--num_steps", "4", "--checkpoint_interval", "10"],
+        cwd=str(corpus),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "Resumed from checkpoint" in (r2.stdout + r2.stderr)
+
+
+def test_waveglow_train_cli(corpus, tmp_path):
+    filelist = tmp_path / "files.txt"
+    filelist.write_text(
+        "\n".join(str(corpus / "1" / f"u{i}.wav") for i in range(4))
+    )
+    cfg = {
+        "train_config": {"learning_rate": 1e-4, "sigma": 1.0,
+                         "iters_per_checkpoint": 2, "batch_size": 2, "seed": 1},
+        "data_config": {"segment_length": 2048, "sampling_rate": 22050,
+                        "filter_length": 256, "hop_length": 64,
+                        "win_length": 256, "mel_fmin": 0.0, "mel_fmax": 8000.0},
+        "waveglow_config": {"n_mel_channels": 80, "n_flows": 2, "n_group": 4,
+                            "n_early_every": 4, "n_early_size": 2,
+                            "WN_config": {"n_layers": 2, "n_channels": 16,
+                                          "kernel_size": 3}},
+    }
+    cfg_path = tmp_path / "wg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "wg_out"
+    r = run_cli(
+        "waveglow_train.py",
+        ["-c", str(cfg_path), "--training_files", str(filelist),
+         "--output_directory", str(out), "--num_steps", "2"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert list(out.iterdir())
+
+
+def test_mel2samp_cli(corpus, tmp_path):
+    filelist = tmp_path / "files.txt"
+    filelist.write_text(str(corpus / "1" / "u0.wav"))
+    out = tmp_path / "mels"
+    r = run_cli(
+        "mel2samp.py",
+        ["-f", str(filelist), "-o", str(out)],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    mels = list(out.glob("*.npy"))
+    assert len(mels) == 1
+    m = np.load(mels[0])
+    assert m.shape[0] == 80

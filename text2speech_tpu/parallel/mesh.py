@@ -41,6 +41,17 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def make_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """Data mesh over the most devices that evenly divide ``batch_size``
+    (a 2-utterance debug batch on an 8-device host shouldn't crash)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P(DATA_AXIS))

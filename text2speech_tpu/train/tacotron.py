@@ -27,7 +27,7 @@ from ..config import HParams
 from ..data.dataset import Batch, TextMelDataset
 from ..models.losses import tacotron2_loss
 from ..models.tacotron2 import Tacotron2
-from ..parallel.mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+from ..parallel.mesh import DATA_AXIS, make_data_mesh, make_mesh, replicate, shard_batch
 from ..utils import infolog
 from ..utils.logger import MetricsLogger
 from ..utils.run_dirs import ValueWindow
@@ -98,7 +98,7 @@ class TacotronTrainer:
     ):
         self.hp = hp
         self.run_dir = run_dir
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_data_mesh(hp.batch_size)
         self.dataset = TextMelDataset(data_dirs, hp, "train")
         try:
             self.valset = TextMelDataset(data_dirs, hp, "val")

@@ -22,7 +22,7 @@ from ..config import WaveGlowConfig
 from ..data.mel2samp import Mel2Samp, VocoderBatch, files_to_list
 from ..models.losses import waveglow_loss
 from ..models.waveglow import WaveGlow
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_data_mesh, make_mesh, replicate, shard_batch
 from ..utils import infolog
 from ..utils.logger import MetricsLogger
 from .checkpoint import CheckpointManager
@@ -55,7 +55,7 @@ class WaveGlowTrainer:
         mesh=None,
     ):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_data_mesh(cfg.batch_size)
         self.dataset = Mel2Samp(
             files_to_list(training_files), cfg, shuffle_seed=cfg.seed
         )

@@ -37,6 +37,8 @@ def main():
     parser.add_argument("--skip_path_filter", type=str2bool, default=False)
     parser.add_argument("--checkpoint_interval", type=int, default=1000)
     parser.add_argument("--num_steps", type=int, default=100000)
+    parser.add_argument("--hparams", default=None,
+                        help="params.json overriding the defaults")
     args = parser.parse_args()
 
     data_paths = args.data_paths.split(",")
@@ -46,7 +48,7 @@ def main():
         hp = load_hparams(run_dir)
     else:
         run_dir = make_run_dir(args.log_dir, os.path.basename(data_paths[0].rstrip("/")))
-        hp = HParams()
+        hp = HParams.load(args.hparams) if args.hparams else HParams()
     if args.batch_size:
         hp = hp.replace(batch_size=args.batch_size)
     hp = hp.replace(
