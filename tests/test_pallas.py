@@ -41,3 +41,24 @@ def test_gated_pallas_interpret_matches_reference(monkeypatch):
     da_r, db_r = jax.vjp(gated.gated_activation_reference, a, b)[1](jnp.asarray(g))
     np.testing.assert_allclose(np.asarray(da_p), np.asarray(da_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), atol=1e-5)
+
+
+def test_wn_layer_fused_interpret_parity(monkeypatch):
+    """Fused WN-layer kernel == XLA composite (interpret mode, both rs widths,
+    edge tiles exercised via 3 tiles)."""
+    from text2speech_tpu.ops.pallas import wn_layer as wl
+
+    rng = np.random.RandomState(0)
+    B, T, C, d = 2, 3 * wl.BT, 64, 16
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32)) * 0.1
+    cond = jnp.asarray(rng.randn(B, T, 2 * C).astype(np.float32)) * 0.1
+    w_in = jnp.asarray(rng.randn(3, C, 2 * C).astype(np.float32)) * 0.05
+    b_in = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    for rs_out in (2 * C, C):
+        w_rs = jnp.asarray(rng.randn(C, rs_out).astype(np.float32)) * 0.05
+        b_rs = jnp.asarray(rng.randn(rs_out).astype(np.float32)) * 0.05
+        xf, sf = wl.wn_layer_fused(x, cond, w_in, b_in, w_rs, b_rs, d,
+                                   interpret=True)
+        xr, sr = wl.wn_layer_reference(x, cond, w_in, b_in, w_rs, b_rs, d)
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(xr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sf), np.asarray(sr), atol=1e-5)
