@@ -45,7 +45,7 @@ def test_normalize_numbers_pipeline():
     # pounds
     assert normalize_numbers("£5") == "five pounds"
     # decimal
-    assert normalize_numbers("pi is 3.14") == "pi is three point one four"
+    assert normalize_numbers("pi is 3.14") == "pi is three point fourteen"  # ref reads decimals as cardinals
     # ordinal suffix
     assert normalize_numbers("the 3rd time") == "the third time"
     # year-style reading
