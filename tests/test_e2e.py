@@ -197,3 +197,29 @@ def test_waveglow_synthesis_from_mel():
     )
     assert np.isfinite(np.asarray(audio)).all()
     assert audio.shape[1] > 0
+
+
+def test_preprocess_mulaw_quantize_branch(corpus, tmp_path):
+    """input_type='mulaw-quantize' writes int16 codes and trims mid-scale
+    silence (kss.py:77-87 branch)."""
+    hp = HP.replace(input_type="mulaw-quantize", quantize_channels=256,
+                    silence_threshold=2)
+    out_dir = str(tmp_path / "mq")
+    meta = preprocess_corpus(hp, corpus, out_dir, device_batch=2,
+                             length_bucket=4096)
+    assert meta
+    npz = np.load(os.path.join(out_dir, meta[0][6]), allow_pickle=True)
+    audio = npz["audio"]
+    assert audio.dtype == np.int16
+    assert audio.min() >= 0 and audio.max() <= 255
+
+
+def test_preprocess_mulaw_branch(corpus, tmp_path):
+    hp = HP.replace(input_type="mulaw")
+    out_dir = str(tmp_path / "ml")
+    meta = preprocess_corpus(hp, corpus, out_dir, device_batch=2,
+                             length_bucket=4096)
+    npz = np.load(os.path.join(out_dir, meta[0][6]), allow_pickle=True)
+    audio = npz["audio"]
+    assert audio.dtype == np.float32
+    assert np.abs(audio).max() <= 1.0 + 1e-6
