@@ -55,8 +55,6 @@ def main():
         from text2speech_tpu.dsp.audio import save_wav
         from text2speech_tpu.dsp.mel import dynamic_range_decompression
         from text2speech_tpu.dsp.audio import (
-            amp_to_db,
-            db_to_amp,
             griffin_lim,
             _offline_mel_basis,
         )

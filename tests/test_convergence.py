@@ -5,7 +5,6 @@ flow' test the shape suite can't provide.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +16,7 @@ from text2speech_tpu.models.tacotron2 import Tacotron2
 from text2speech_tpu.models.losses import waveglow_loss
 from text2speech_tpu.models.waveglow import WaveGlow
 from text2speech_tpu.text import N_SYMBOLS
-from text2speech_tpu.train.state import TrainState, create_train_state
+from text2speech_tpu.train.state import create_train_state
 from text2speech_tpu.train.tacotron import make_train_step
 
 TINY = HParams(

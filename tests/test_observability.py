@@ -2,7 +2,6 @@
 TensorBoard event files, infolog writes its run log."""
 
 import glob
-import os
 
 import numpy as np
 

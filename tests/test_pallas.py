@@ -2,7 +2,6 @@
 (forward + VJP) against the jnp reference."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -2,8 +2,6 @@
 tiny random-weight models: batching, length trimming, denoiser path, file IO.
 """
 
-import os
-
 import numpy as np
 import pytest
 

@@ -3,8 +3,6 @@
 schedule vs the reference formula, ValueWindow, and the npz data feeder.
 """
 
-import os
-
 import numpy as np
 import pytest
 

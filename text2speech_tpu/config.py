@@ -12,8 +12,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
-from typing import Any, Mapping, Sequence
+from dataclasses import dataclass
+from typing import Any, Mapping
 
 
 # Legacy key names (reference hparams.py / utils/audio.py) -> canonical field name.

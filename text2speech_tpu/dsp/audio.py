@@ -15,7 +15,6 @@ one knowingly inexact substitution (<1e-3 waveform L1; SURVEY.md §7.3).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

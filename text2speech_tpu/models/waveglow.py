@@ -27,7 +27,7 @@ Weight-normalized convs (``glow.py:123-152``) are explicitly parametrized as
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -15,19 +15,15 @@ training runs regardless of speaker count (reference only trains when
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Iterable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from ..config import HParams
 from ..data.dataset import Batch, TextMelDataset
 from ..models.losses import tacotron2_loss
 from ..models.tacotron2 import Tacotron2
-from ..parallel.mesh import DATA_AXIS, make_data_mesh, make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_data_mesh, replicate, shard_batch
 from ..utils import infolog
 from ..utils.logger import MetricsLogger
 from ..utils.run_dirs import ValueWindow

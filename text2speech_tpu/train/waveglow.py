@@ -22,7 +22,7 @@ from ..config import WaveGlowConfig
 from ..data.mel2samp import Mel2Samp, VocoderBatch, files_to_list
 from ..models.losses import waveglow_loss
 from ..models.waveglow import WaveGlow
-from ..parallel.mesh import make_data_mesh, make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_data_mesh, replicate, shard_batch
 from ..utils import infolog
 from ..utils.logger import MetricsLogger
 from .checkpoint import CheckpointManager

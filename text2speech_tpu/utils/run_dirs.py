@@ -4,7 +4,6 @@ ValueWindow rolling average, and str2bool for CLIs."""
 
 from __future__ import annotations
 
-import json
 import os
 from datetime import datetime
 

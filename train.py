@@ -10,8 +10,6 @@ Multiple comma-separated data paths = multi-speaker (speaker id per corpus).
 import argparse
 import os
 
-import numpy as np
-
 from text2speech_tpu.config import HParams
 from text2speech_tpu.utils import infolog
 from text2speech_tpu.utils.run_dirs import (
