@@ -106,3 +106,52 @@ def test_denoiser_path():
     out = denoise(audio, 0.1)
     assert np.isfinite(np.asarray(out)).all()
     assert out.shape[0] == 1
+
+
+def test_load_synthesizer_from_checkpoints(tmp_path):
+    """Orbax checkpoints for both models -> load_synthesizer -> synthesis
+    (the inference.py CLI path end to end, minus argparse)."""
+    import optax
+
+    from text2speech_tpu.infer import load_synthesizer
+    from text2speech_tpu.train.checkpoint import CheckpointManager
+    from text2speech_tpu.train.state import TrainState, create_train_state
+
+    rng = jax.random.PRNGKey(0)
+
+    taco = Tacotron2(HP, n_vocab=N_SYMBOLS)
+    tvars = taco.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+        jnp.zeros((1, HP.n_mel_channels, 8)), jnp.asarray([8]),
+    )
+    tstate = create_train_state(HP, tvars)
+    tdir = str(tmp_path / "taco")
+    m1 = CheckpointManager(tdir)
+    m1.save(5, tstate, wait=True)
+
+    wg = WaveGlow(WG)
+    frames = WG.segment_length // WG.hop_length + 1
+    wvars = jax.jit(wg.init)(
+        rng,
+        jnp.zeros((1, WG.n_mel_channels, frames)),
+        jnp.zeros((1, WG.segment_length)),
+    )
+    tx = optax.adam(WG.learning_rate)
+    wstate = TrainState(
+        step=jnp.zeros((), jnp.int32), params=wvars["params"],
+        batch_stats={}, opt_state=tx.init(wvars["params"]), tx=tx,
+    )
+    wdir = str(tmp_path / "wg")
+    m2 = CheckpointManager(wdir)
+    m2.save(7, wstate, wait=True)
+
+    synth = load_synthesizer(HP, tdir, WG, wdir, use_denoiser=False)
+    wavs = synth.synthesize(["안녕하세요."])
+    assert len(wavs) == 1 and np.isfinite(wavs[0]).all() and len(wavs[0]) > 0
+    # loaded params must equal the saved ones
+    same = jax.tree.map(
+        lambda a, c: bool(jnp.allclose(a, c)),
+        synth.wg_variables["params"], wstate.params,
+    )
+    assert all(jax.tree.leaves(same))
