@@ -108,7 +108,8 @@ def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
     from text2speech_tpu.text import N_SYMBOLS
 
     hp = HParams(sample_rate=SR, max_decoder_steps=2 * base_steps)
-    model = Tacotron2(hp, n_vocab=N_SYMBOLS)
+    # bf16 serving precision (attention softmax stays fp32 inside the model)
+    model = Tacotron2(hp, n_vocab=N_SYMBOLS, compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     text = jnp.zeros((batch, t_in), jnp.int32) + 3
     lengths = jnp.full((batch,), t_in, jnp.int32)

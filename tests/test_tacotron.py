@@ -190,3 +190,32 @@ def test_multi_speaker_conditioning():
     out_a = run(jnp.asarray([0, 0], jnp.int32))
     out_b = run(jnp.asarray([1, 1], jnp.int32))
     assert not np.allclose(out_a, out_b)
+
+
+def test_bf16_inference_close_to_f32():
+    """compute_dtype=bf16 inference stays finite and close to f32 (the
+    serving-precision policy; fp32 remains the training default)."""
+    f32_model = Tacotron2(TINY, n_vocab=80)
+    rng = jax.random.PRNGKey(0)
+    text = jnp.zeros((1, T_IN), jnp.int32) + 7
+    lengths = jnp.asarray([T_IN], jnp.int32)
+    mels = jnp.zeros((1, TINY.n_mel_channels, T_OUT))
+    out_lengths = jnp.asarray([T_OUT], jnp.int32)
+    variables = f32_model.init(
+        {"params": rng, "dropout": rng}, text, lengths, mels, out_lengths
+    )
+    bf16_model = Tacotron2(TINY, n_vocab=80, compute_dtype=jnp.bfloat16)
+
+    def infer(model):
+        return model.apply(
+            variables, text, text_lengths=lengths,
+            method=Tacotron2.inference, rngs={"dropout": jax.random.PRNGKey(5)},
+        )
+
+    mel_f32 = np.asarray(infer(f32_model)[1])
+    out_bf16 = infer(bf16_model)
+    mel_bf16 = np.asarray(out_bf16[1])
+    assert mel_bf16.dtype == np.float32  # outputs cast back
+    assert np.isfinite(mel_bf16).all()
+    # early frames (before stop-token divergence) should be close-ish
+    assert np.abs(mel_bf16[:, :, :3] - mel_f32[:, :, :3]).max() < 0.15

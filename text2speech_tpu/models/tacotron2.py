@@ -46,6 +46,7 @@ class Conv1d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     param_dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -58,6 +59,7 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=nn.initializers.xavier_uniform(),
             param_dtype=self.param_dtype,
+            dtype=self.dtype,
         )(x)
 
 
@@ -66,11 +68,12 @@ class Prenet(nn.Module):
     (reference ``tacotron/modules.py:11-22`` passes training=True always)."""
 
     sizes: tuple[int, ...] = (256, 256)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dropout_rng: jax.Array) -> jnp.ndarray:
         for i, size in enumerate(self.sizes):
-            x = nn.Dense(size, use_bias=False, name=f"fc{i}")(x)
+            x = nn.Dense(size, use_bias=False, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = jax.random.bernoulli(sub, 0.5, x.shape)
@@ -83,6 +86,7 @@ class Encoder(nn.Module):
     (reference ``tacotron/tacotron.py:167-220``)."""
 
     hp: HParams
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -94,13 +98,17 @@ class Encoder(nn.Module):
         hp = self.hp
         x = embedded
         for i in range(hp.enc_conv_num_layers):
-            x = Conv1d(hp.enc_conv_channels, hp.enc_conv_kernel_size, name=f"conv{i}")(x)
+            x = Conv1d(hp.enc_conv_channels, hp.enc_conv_kernel_size,
+                       dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=f"bn{i}"
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                name=f"bn{i}",
             )(x)
             x = nn.relu(x)
             x = nn.Dropout(rate=hp.dropout_prob, deterministic=not train)(x)
-        return BiLSTM(hp.enc_conv_channels // 2, name="bilstm")(x, lengths)
+        return BiLSTM(
+            hp.enc_conv_channels // 2, dtype=self.dtype, name="bilstm"
+        )(x, lengths)
 
 
 class Postnet(nn.Module):
@@ -108,6 +116,7 @@ class Postnet(nn.Module):
     (reference ``tacotron/modules.py:94-137``)."""
 
     hp: HParams
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -117,9 +126,11 @@ class Postnet(nn.Module):
         n = hp.postnet_n_convolutions
         for i in range(n):
             feats = hp.n_mel_channels if i == n - 1 else hp.postnet_embedding_dim
-            x = Conv1d(feats, hp.postnet_kernel_size, name=f"conv{i}")(x)
+            x = Conv1d(feats, hp.postnet_kernel_size, dtype=self.dtype,
+                       name=f"conv{i}")(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=f"bn{i}"
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                name=f"bn{i}",
             )(x)
             if i != n - 1:
                 x = jnp.tanh(x)
@@ -137,20 +148,26 @@ class LocationAttention(nn.Module):
     """
 
     hp: HParams
+    dtype: Any = None
 
     def setup(self):
         hp = self.hp
-        self.query_layer = nn.Dense(hp.attention_dim, use_bias=False, name="query")
-        self.memory_layer = nn.Dense(hp.attention_dim, use_bias=False, name="memory")
-        self.v = nn.Dense(1, use_bias=False, name="v")
+        self.query_layer = nn.Dense(
+            hp.attention_dim, use_bias=False, dtype=self.dtype, name="query"
+        )
+        self.memory_layer = nn.Dense(
+            hp.attention_dim, use_bias=False, dtype=self.dtype, name="memory"
+        )
+        self.v = nn.Dense(1, use_bias=False, dtype=self.dtype, name="v")
         self.location_conv = Conv1d(
             hp.attention_location_n_filters,
             hp.attention_location_kernel_size,
             use_bias=False,
+            dtype=self.dtype,
             name="loc_conv",
         )
         self.location_dense = nn.Dense(
-            hp.attention_dim, use_bias=False, name="loc_dense"
+            hp.attention_dim, use_bias=False, dtype=self.dtype, name="loc_dense"
         )
 
     def process_memory(self, memory: jnp.ndarray) -> jnp.ndarray:
@@ -168,13 +185,13 @@ class LocationAttention(nn.Module):
         processed_loc = self.location_dense(self.location_conv(attention_weights_cat))
         energies = self.v(
             jnp.tanh(processed_query + processed_loc + processed_memory)
-        )[..., 0]
+        )[..., 0].astype(jnp.float32)
         if mask is not None:
             energies = jnp.where(mask, energies, -jnp.inf)
-        weights = jax.nn.softmax(energies, axis=1)
+        weights = jax.nn.softmax(energies, axis=1).astype(memory.dtype)
         context = jnp.einsum(
             "bt,bte->be", weights, memory, preferred_element_type=jnp.float32
-        )
+        ).astype(memory.dtype)
         return context, weights
 
 
@@ -195,17 +212,22 @@ class Decoder(nn.Module):
     """
 
     hp: HParams
+    dtype: Any = None
 
     def setup(self):
         hp = self.hp
-        self.prenet = Prenet((hp.prenet_dim, hp.prenet_dim), name="prenet")
-        self.attention_rnn = LSTMCell(hp.attention_rnn_dim, name="attention_rnn")
-        self.attention = LocationAttention(hp, name="attention")
-        self.decoder_rnn = LSTMCell(hp.decoder_rnn_dim, name="decoder_rnn")
+        self.prenet = Prenet((hp.prenet_dim, hp.prenet_dim), dtype=self.dtype,
+                             name="prenet")
+        self.attention_rnn = LSTMCell(hp.attention_rnn_dim, dtype=self.dtype,
+                                      name="attention_rnn")
+        self.attention = LocationAttention(hp, dtype=self.dtype, name="attention")
+        self.decoder_rnn = LSTMCell(hp.decoder_rnn_dim, dtype=self.dtype,
+                                    name="decoder_rnn")
         self.mel_proj = nn.Dense(
-            hp.n_mel_channels * hp.n_frames_per_step, name="mel_proj"
+            hp.n_mel_channels * hp.n_frames_per_step, dtype=self.dtype,
+            name="mel_proj",
         )
-        self.gate_proj = nn.Dense(1, name="gate_proj")
+        self.gate_proj = nn.Dense(1, dtype=self.dtype, name="gate_proj")
 
     def initial_state(self, memory: jnp.ndarray) -> DecoderState:
         hp = self.hp
@@ -371,6 +393,7 @@ class Tacotron2(nn.Module):
     hp: HParams
     n_vocab: int = 80
     num_speakers: int = 1
+    compute_dtype: Any = None   # e.g. jnp.bfloat16 for MXU-native inference
 
     def setup(self):
         hp = self.hp
@@ -396,12 +419,13 @@ class Tacotron2(nn.Module):
         # tacotron.py:27-29) but never wires it into forward; here it is
         # functional whenever num_speakers > 1 and speaker_ids are given.
         self.speaker_proj = nn.Dense(hp.enc_conv_channels, name="speaker_proj")
-        self.encoder = Encoder(hp, name="encoder")
-        self.decoder = Decoder(hp, name="decoder")
-        self.postnet = Postnet(hp, name="postnet")
+        self.encoder = Encoder(hp, dtype=self.compute_dtype, name="encoder")
+        self.decoder = Decoder(hp, dtype=self.compute_dtype, name="decoder")
+        self.postnet = Postnet(hp, dtype=self.compute_dtype, name="postnet")
 
     def embed(self, text_ids: jnp.ndarray) -> jnp.ndarray:
-        return self.embedding(text_ids)
+        e = self.embedding(text_ids)
+        return e.astype(self.compute_dtype) if self.compute_dtype else e
 
     def _condition_on_speaker(
         self, encoder_out: jnp.ndarray, speaker_ids: jnp.ndarray | None
@@ -434,6 +458,10 @@ class Tacotron2(nn.Module):
             encoder_out, mels, text_lengths, rng, train=train
         )
         mel_post = mel_out + self.postnet(mel_out, train=train)
+        mel_out, mel_post, gate_out, align = (
+            mel_out.astype(jnp.float32), mel_post.astype(jnp.float32),
+            gate_out.astype(jnp.float32), align.astype(jnp.float32),
+        )
 
         if hp.mask_padding:
             mel_out, mel_post, gate_out = mask_outputs(
@@ -457,6 +485,10 @@ class Tacotron2(nn.Module):
             encoder_out, rng, memory_lengths=text_lengths, max_steps=max_steps
         )
         mel_post = mel_out + self.postnet(mel_out, train=False)
+        mel_out, mel_post, gate_out, align = (
+            mel_out.astype(jnp.float32), mel_post.astype(jnp.float32),
+            gate_out.astype(jnp.float32), align.astype(jnp.float32),
+        )
         mel_out, mel_post, gate_out = mask_outputs(
             mel_out, mel_post, gate_out, out_lengths
         )

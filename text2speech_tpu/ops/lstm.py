@@ -20,10 +20,12 @@ from flax import linen as nn
 
 class LSTMCell(nn.Module):
     """Single-step LSTM cell, gates fused into one input and one recurrent
-    matmul.  State is ``(h, c)``."""
+    matmul.  State is ``(h, c)``.  ``dtype`` sets the computation dtype
+    (bf16 = MXU-native matmuls; params stay ``param_dtype``)."""
 
     features: int
     param_dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, state, x):
@@ -33,12 +35,14 @@ class LSTMCell(nn.Module):
             4 * H,
             use_bias=True,
             param_dtype=self.param_dtype,
+            dtype=self.dtype,
             name="ih",
         )
         rdense = nn.Dense(
             4 * H,
             use_bias=True,
             param_dtype=self.param_dtype,
+            dtype=self.dtype,
             name="hh",
         )
         gates = dense(x) + rdense(h)
@@ -67,11 +71,14 @@ class UnidirectionalLSTM(nn.Module):
 
     features: int
     param_dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
         B = xs.shape[0]
-        cell = LSTMCell(self.features, param_dtype=self.param_dtype)
+        cell = LSTMCell(
+            self.features, param_dtype=self.param_dtype, dtype=self.dtype
+        )
         scan = nn.scan(
             lambda c, carry, x: c(carry, x),
             variable_broadcast="params",
@@ -79,7 +86,8 @@ class UnidirectionalLSTM(nn.Module):
             in_axes=1,
             out_axes=1,
         )
-        init = LSTMCell.init_state(B, self.features, xs.dtype)
+        state_dtype = self.dtype or xs.dtype
+        init = LSTMCell.init_state(B, self.features, state_dtype)
         _, ys = scan(cell, init, xs)
         return ys
 
@@ -105,21 +113,25 @@ class BiLSTM(nn.Module):
 
     features: int
     param_dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray | None = None):
         fwd = UnidirectionalLSTM(
-            self.features, param_dtype=self.param_dtype, name="fwd"
+            self.features, param_dtype=self.param_dtype, dtype=self.dtype,
+            name="fwd",
         )(xs)
         if lengths is None:
             rev_in = xs[:, ::-1]
             bwd = UnidirectionalLSTM(
-                self.features, param_dtype=self.param_dtype, name="bwd"
+                self.features, param_dtype=self.param_dtype, dtype=self.dtype,
+                name="bwd",
             )(rev_in)[:, ::-1]
         else:
             rev_in = reverse_padded(xs, lengths)
             bwd_rev = UnidirectionalLSTM(
-                self.features, param_dtype=self.param_dtype, name="bwd"
+                self.features, param_dtype=self.param_dtype, dtype=self.dtype,
+                name="bwd",
             )(rev_in)
             bwd = reverse_padded(bwd_rev, lengths)
         out = jnp.concatenate([fwd, bwd], axis=-1)
