@@ -58,13 +58,16 @@ def _time_scaled(fn, args_small, args_big, scale_items: int, repeats: int = 3):
 
 
 def bench_waveglow(batch: int = 4, frames: int = 400):
+    """Fused-Pallas serving path (bf16 WN-layer kernels with in-kernel cond
+    projection + in-place skip accumulation; fp32 coupling/convinv islands —
+    the TPU analogue of the reference's fp16-with-fp32-convinv inference,
+    waveglow/inference.py:41-43)."""
     from text2speech_tpu.config import WaveGlowConfig
     from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.models.waveglow_fused import infer_fused
 
     cfg = WaveGlowConfig(sampling_rate=SR)
-    # bf16 compute with fp32 coupling/convinv islands — the TPU analogue of
-    # the reference's fp16-with-fp32-convinv inference (waveglow/inference.py:41-43).
-    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16)
+    model = WaveGlow(cfg)
     rng = jax.random.PRNGKey(0)
     seg = cfg.segment_length
     variables = jax.jit(model.init)(
@@ -81,18 +84,15 @@ def bench_waveglow(batch: int = 4, frames: int = 400):
         )
 
     infer = jax.jit(
-        lambda v, m, k: jnp.mean(
-            model.apply(v, m, k, 0.666, method=WaveGlow.infer)
-        )
+        lambda p, m, k: jnp.mean(infer_fused(p, cfg, m, k, 0.666))
     )
+    params = variables["params"]
     m1, m4 = mel(batch), mel(4 * batch)
     jax.block_until_ready((m1, m4))
     sec_per_item = _time_scaled(
-        infer, (variables, m1, rng), (variables, m4, rng), 3 * batch
+        infer, (params, m1, rng), (params, m4, rng), 3 * batch
     )
-    t_up = (frames - 1) * cfg.upsample_stride + cfg.upsample_kernel
-    cut = t_up - (cfg.upsample_kernel - cfg.upsample_stride)
-    samples_per_item = cut // cfg.n_group * cfg.n_group
+    samples_per_item = (frames + 3) * cfg.upsample_stride  # true Tg * n_group
     return samples_per_item / sec_per_item
 
 

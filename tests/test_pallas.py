@@ -61,3 +61,39 @@ def test_wn_layer_fused_interpret_parity(monkeypatch):
         xr, sr = wl.wn_layer_reference(x, cond, w_in, b_in, w_rs, b_rs, d)
         np.testing.assert_allclose(np.asarray(xf), np.asarray(xr), atol=1e-5)
         np.testing.assert_allclose(np.asarray(sf), np.asarray(sr), atol=1e-5)
+
+
+def test_fused_infer_matches_exact_interior():
+    """infer_fused (pallas serving path, interpret mode on CPU) equals the
+    exact unfused infer away from the tail halo (sigma=0, fp32)."""
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.models.waveglow_fused import infer_fused
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, n_flows=4, n_group=8, n_early_every=2,
+        n_early_size=2, wn_n_layers=3, wn_n_channels=32,
+        upsample_kernel=64, upsample_stride=16,
+    )
+    model = WaveGlow(cfg)
+    rng = np.random.RandomState(0)
+    spect = jnp.asarray(rng.randn(2, 8, 700).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), spect, jnp.zeros((2, 700 * 16))
+    )
+    params = jax.tree.map(
+        lambda x: x + 0.01 * np.random.RandomState(1).randn(*x.shape).astype(
+            np.float32),
+        variables["params"],
+    )
+    exact = model.apply(
+        {"params": params}, spect, jax.random.PRNGKey(5), 0.0,
+        method=WaveGlow.infer,
+    )
+    fused = infer_fused(params, cfg, spect, jax.random.PRNGKey(5), 0.0,
+                        compute_dtype=jnp.float32)
+    n = min(exact.shape[1], fused.shape[1])
+    cutoff = n - 129 * cfg.n_group  # tail halo may differ (padded synthesis)
+    np.testing.assert_allclose(
+        np.asarray(exact)[:, :cutoff], np.asarray(fused)[:, :cutoff], atol=1e-5
+    )

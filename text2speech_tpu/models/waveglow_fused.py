@@ -1,0 +1,149 @@
+"""Fused-kernel WaveGlow inference (serving path).
+
+Pure function over the model's params tree: the 96 WN coupling layers run
+through the fused Pallas layer kernel (:mod:`..ops.pallas.wn_block` —
+dilated-tap matmuls + gated activation + res/skip matmul in one VMEM pass),
+everything else (upsample, cond projections, invertible 1x1, affine coupling)
+as plain jnp.  Weight-norm is folded on the fly.
+
+Time axis is tiled: T_groups is zero-extended to a multiple of the kernel
+tile (BT=512) plus one zero pad-tile each side, maintained zero across flows.
+Synthesis within the true length is equivalent to running the unfused model
+on the zero-extended mel, so the last <=128 groups near the true end can
+differ marginally from exact-length unfused inference (standard padded-batch
+edge behavior); the rest matches to bf16 precision.
+
+Forward/training keeps the XLA composite (this kernel defines no VJP).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WaveGlowConfig
+from ..ops.pallas.wn_block import BT, wn_layer_spect
+
+
+def _fold(p):
+    """(v, g[, bias]) weight-norm conv params -> (kernel [k,in,out], bias)."""
+    v, g = p["v"], p["g"]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+    kernel = v / norm * g[None, None, :]
+    bias = p.get("bias")
+    return kernel, bias
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def infer_fused(
+    params: dict,
+    cfg: WaveGlowConfig,
+    spect: jnp.ndarray,          # [B, n_mel, frames]
+    key: jax.Array,
+    sigma: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """mel -> audio [B, samples] with fused WN layers."""
+    B = spect.shape[0]
+    L, C = cfg.wn_n_layers, cfg.wn_n_channels
+
+    # --- upsample (subpixel matmul, = SubpixelUpsample) ------------------
+    k, s = cfg.upsample_kernel, cfg.upsample_stride
+    r = k // s
+    up_kernel = params["upsample"]["kernel"].astype(compute_dtype)
+    up_bias = params["upsample"]["bias"]
+    x = spect.transpose(0, 2, 1).astype(compute_dtype)   # [B, F, n_mel]
+    F = x.shape[1]
+    kq = up_kernel.reshape(r, s, up_kernel.shape[1], up_kernel.shape[2])
+    y = jnp.einsum("bti,qpio->btqpo", x, kq)
+    out = jnp.zeros((B, F + r - 1, s, y.shape[-1]), y.dtype)
+    for q in range(r):
+        out = out.at[:, q : q + F].add(y[:, :, q])
+    up = out.reshape(B, (F + r - 1) * s, -1) + up_bias.astype(y.dtype)
+    cut = k - s
+    up = up[:, : up.shape[1] - cut]                      # [B, T_samples, n_mel]
+
+    # --- group + pad to tile multiple -------------------------------------
+    G = cfg.n_group
+    Tg = up.shape[1] // G
+    spect_g = up[:, : Tg * G].reshape(B, Tg, G, -1)
+    spect_g = spect_g.transpose(0, 1, 3, 2).reshape(B, Tg, -1)  # [B, Tg, mel*G]
+
+    Tg_r = max(_round_up(Tg, BT), 2 * BT)  # kernel needs >=1 interior tile... >=3 total
+    Tp = Tg_r + 2 * BT
+    ext = jnp.zeros((B, Tg_r - Tg, spect_g.shape[-1]), spect_g.dtype)
+    padz = jnp.zeros((B, BT, spect_g.shape[-1]), spect_g.dtype)
+    spect_p = jnp.concatenate([padz, spect_g, ext, padz], axis=1)  # [B, Tp, 640]
+
+    tile_mask = jnp.zeros((1, Tp, 1), compute_dtype).at[:, BT : BT + Tg_r].set(1.0)
+
+    # --- initial noise -----------------------------------------------------
+    key, sub = jax.random.split(key)
+    audio = sigma * jax.random.normal(
+        sub, (B, Tp, cfg.n_remaining_channels), compute_dtype
+    )
+    audio = audio * tile_mask
+
+    for k_flow in reversed(range(cfg.n_flows)):
+        wn = params[f"wn{k_flow}"]
+        n_half = audio.shape[-1] // 2
+        x0 = audio[..., :n_half]
+        x1 = audio[..., n_half:]
+
+        cond_k, cond_b = _fold(wn["cond"])   # [1, M, 2C*L], [2C*L]
+        start_k, start_b = _fold(wn["start"])
+        xh = (
+            jnp.einsum("btc,co->bto", x0, start_k[0].astype(compute_dtype))
+            + start_b.astype(compute_dtype)
+        ) * tile_mask
+
+        skip_total = jnp.zeros_like(xh)
+        for li in range(L):
+            w_in, b_in = _fold(wn[f"in{li}"])
+            w_rs, b_rs = _fold(wn[f"res_skip{li}"])
+            xh, skip_total = wn_layer_spect(
+                xh,
+                spect_p.astype(compute_dtype),
+                w_in.astype(compute_dtype),
+                b_in.astype(jnp.float32),
+                cond_k[0, :, 2 * C * li : 2 * C * (li + 1)].astype(compute_dtype),
+                cond_b[2 * C * li : 2 * C * (li + 1)].astype(jnp.float32),
+                w_rs[0].astype(compute_dtype),
+                b_rs.astype(jnp.float32),
+                skip_total,
+                dilation=2 ** li,
+            )
+
+        end_k = wn["end"]["kernel"][0]
+        end_b = wn["end"]["bias"]
+        wn_out = (
+            jnp.einsum("btc,co->bto", skip_total.astype(jnp.float32),
+                       end_k.astype(jnp.float32))
+            + end_b
+        )
+        b_term = wn_out[..., :n_half]
+        s_term = wn_out[..., n_half:]
+        x1 = ((x1.astype(jnp.float32) - b_term) * jnp.exp(-s_term)).astype(
+            compute_dtype
+        )
+        audio = jnp.concatenate([x0, x1], axis=-1) * tile_mask
+
+        W = params[f"convinv{k_flow}"]["W"].astype(jnp.float32)
+        W_inv = jnp.linalg.inv(W)
+        audio = (
+            audio.astype(jnp.float32) @ W_inv.T
+        ).astype(compute_dtype)
+
+        if k_flow % cfg.n_early_every == 0 and k_flow > 0:
+            key, sub = jax.random.split(key)
+            z = sigma * jax.random.normal(
+                sub, (B, Tp, cfg.n_early_size), compute_dtype
+            )
+            audio = jnp.concatenate([z * tile_mask, audio], axis=-1)
+
+    real = audio[:, BT : BT + Tg]                        # [B, Tg, n_group]
+    return real.reshape(B, Tg * cfg.n_group).astype(jnp.float32)

@@ -1,0 +1,262 @@
+"""Fused WN-layer Pallas kernel, BlockSpec-only variant.
+
+Same math as :mod:`.wn_layer` (dilated k=3 conv + cond + gated tanh·σ +
+res/skip matmul, ``/root/reference/waveglow/glow.py:154-175``) but the halo is
+read through *three neighboring BlockSpec tiles* of a BT-padded array instead
+of manual DMA — no ``ANY`` memory space, no ``make_async_copy``, so it lowers
+through the ordinary Mosaic pipeline (the manual-DMA variant crashes this
+rig's remote compiler; see CLAUDE.md).
+
+Layout contract: x and cond are padded by one tile (BT) of zeros on both
+sides of the time axis; outputs are produced in the same padded layout so an
+entire 8-layer WN block runs padded with ONE pad at block entry:
+
+    xp   : [B, T + 2*BT, C]
+    cond : [B, T + 2*BT, 2C]
+    out  : (x_new padded, skip padded)
+
+Grid (B, T//BT + 2): edge programs write zero tiles (keeping the padding
+invariant for the next layer); interior programs see tiles (t-1, t, t+1) and
+compute on the centered window.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+BT = 512
+
+
+def _kernel(xm_ref, x0_ref, xp_ref, cond_ref, w_in_ref, b_in_ref,
+            w_rs_ref, b_rs_ref, x_out_ref, skip_out_ref, *,
+            dilation: int, n_prog: int, has_res: bool):
+    t = pl.program_id(1)
+    d = dilation
+    is_pad = (t == 0) | (t == n_prog - 1)
+
+    @pl.when(is_pad)
+    def _():
+        x_out_ref[...] = jnp.zeros_like(x_out_ref)
+        skip_out_ref[...] = jnp.zeros_like(skip_out_ref)
+
+    @pl.when(~is_pad)
+    def _():
+        w = w_in_ref[...]
+        # centered window via static slices of the three neighbor tiles
+        left = xm_ref[0, BT - d :, :]               # [d, C]
+        mid = x0_ref[0]                              # [BT, C]
+        right = xp_ref[0, :d, :]                     # [d, C]
+        xwin = jnp.concatenate([left, mid, right], axis=0)  # [BT + 2d, C]
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond_ref[0].astype(jnp.float32)
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        if has_res:
+            x_out_ref[0] = (mid.astype(jnp.float32) + rs[:, :C]).astype(
+                x_out_ref.dtype
+            )
+            skip_out_ref[0] = rs[:, C:].astype(skip_out_ref.dtype)
+        else:
+            x_out_ref[0] = mid
+            skip_out_ref[0] = rs.astype(skip_out_ref.dtype)
+
+
+def wn_layer_padded(
+    xp: jnp.ndarray,       # [B, T + 2*BT, C], zero-padded tiles at both ends
+    cond_p: jnp.ndarray,   # [B, T + 2*BT, 2C*n_cond] (layer `cond_index` used)
+    w_in: jnp.ndarray,     # [3, C, 2C]
+    b_in: jnp.ndarray,     # [2C] f32
+    w_rs: jnp.ndarray,     # [C, 2C] or [C, C] (last layer)
+    b_rs: jnp.ndarray,
+    dilation: int,
+    cond_index: int = 0,
+    interpret: bool | None = None,
+):
+    """One fused WN layer on padded layout -> (x_new padded, skip padded).
+
+    ``cond_p`` may stack all layers' conditioning along channels (the fused
+    cond projection); ``cond_index`` selects this layer's 2C-slice via the
+    BlockSpec index map — no sliced-operand copies.
+    """
+    if interpret is None:  # auto-interpret off-TPU (CPU tests)
+        interpret = jax.default_backend() != "tpu"
+    B, Tp, C = xp.shape
+    assert Tp % BT == 0 and Tp // BT >= 3, (Tp, BT)
+    assert dilation <= BT
+    assert cond_p.shape[-1] % (2 * C) == 0
+    n_prog = Tp // BT
+    has_res = w_rs.shape[-1] == 2 * C
+
+    kern = functools.partial(
+        _kernel, dilation=dilation, n_prog=n_prog, has_res=has_res
+    )
+    li = cond_index
+    x_out, skip_out = pl.pallas_call(
+        kern,
+        grid=(B, n_prog),
+        in_specs=[
+            # clamp the neighbor index at the edges; edge programs only write
+            # zeros so the (duplicate) tile they read is irrelevant
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t: (b, jnp.maximum(t - 1, 0), 0)),
+            pl.BlockSpec((1, BT, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_prog: (b, jnp.minimum(t + 1, n - 1), 0)),
+            pl.BlockSpec((1, BT, 2 * C), lambda b, t: (b, t, li)),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec(w_rs.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_rs.shape, lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, BT, C), lambda b, t: (b, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, C), xp.dtype),
+            jax.ShapeDtypeStruct((B, Tp, C), xp.dtype),
+        ],
+        interpret=interpret,
+    )(xp, xp, xp, cond_p, w_in, b_in, w_rs, b_rs)
+    return x_out, skip_out
+
+
+def pad_tiles(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] -> [B, T + 2*BT, C] with zero tiles both sides (T % BT == 0)."""
+    B, T, C = x.shape
+    assert T % BT == 0
+    z = jnp.zeros((B, BT, C), x.dtype)
+    return jnp.concatenate([z, x, z], axis=1)
+
+
+def unpad_tiles(x: jnp.ndarray) -> jnp.ndarray:
+    return x[:, BT:-BT]
+
+
+def _kernel_spect(xm_ref, x0_ref, xp_ref, spect_ref, w_in_ref, b_in_ref,
+                  w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
+                  x_out_ref, skip_out_ref, *,
+                  dilation: int, n_prog: int, has_res: bool):
+    """Variant computing the conditioning projection in-kernel (the 2C cond
+    term is spect_tile @ w_cond — no materialized cond_all) and accumulating
+    the skip sum in place (acc aliases skip_out)."""
+    t = pl.program_id(1)
+    d = dilation
+    is_pad = (t == 0) | (t == n_prog - 1)
+
+    @pl.when(is_pad)
+    def _():
+        x_out_ref[...] = jnp.zeros_like(x_out_ref)
+        skip_out_ref[...] = jnp.zeros_like(skip_out_ref)
+
+    @pl.when(~is_pad)
+    def _():
+        w = w_in_ref[...]
+        left = xm_ref[0, BT - d :, :]
+        mid = x0_ref[0]
+        right = xp_ref[0, :d, :]
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        cond = (
+            jnp.dot(spect_ref[0], w_cond_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_cond_ref[...]
+        )
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        acc = acc_ref[0]
+        if has_res:
+            x_out_ref[0] = (mid.astype(jnp.float32) + rs[:, :C]).astype(
+                x_out_ref.dtype
+            )
+            skip_out_ref[0] = (acc + rs[:, C:].astype(acc.dtype))
+        else:
+            x_out_ref[0] = mid
+            skip_out_ref[0] = (acc + rs.astype(acc.dtype))
+
+
+def wn_layer_spect(
+    xp: jnp.ndarray,        # [B, Tp, C] padded hidden
+    spect_p: jnp.ndarray,   # [B, Tp, M] padded grouped mel (M = n_mel*n_group)
+    w_in: jnp.ndarray,      # [3, C, 2C]
+    b_in: jnp.ndarray,      # [2C] f32
+    w_cond: jnp.ndarray,    # [M, 2C]
+    b_cond: jnp.ndarray,    # [2C] f32
+    w_rs: jnp.ndarray,      # [C, 2C] or [C, C]
+    b_rs: jnp.ndarray,
+    skip_acc: jnp.ndarray,  # [B, Tp, C] running skip sum (donated)
+    dilation: int,
+    interpret: bool | None = None,
+):
+    """Fused WN layer with in-kernel conditioning projection and in-place
+    skip accumulation -> (x_new padded, skip_acc + skip)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Tp, C = xp.shape
+    M = spect_p.shape[-1]
+    assert Tp % BT == 0 and Tp // BT >= 3 and dilation <= BT
+    n_prog = Tp // BT
+    has_res = w_rs.shape[-1] == 2 * C
+
+    kern = functools.partial(
+        _kernel_spect, dilation=dilation, n_prog=n_prog, has_res=has_res
+    )
+    x_out, skip_out = pl.pallas_call(
+        kern,
+        grid=(B, n_prog),
+        in_specs=[
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t: (b, jnp.maximum(t - 1, 0), 0)),
+            pl.BlockSpec((1, BT, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_prog: (b, jnp.minimum(t + 1, n - 1), 0)),
+            pl.BlockSpec((1, BT, M), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((M, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec(w_rs.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_rs.shape, lambda b, t: (0,)),
+            pl.BlockSpec((1, BT, C), lambda b, t: (b, t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, BT, C), lambda b, t: (b, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, C), xp.dtype),
+            jax.ShapeDtypeStruct((B, Tp, C), xp.dtype),
+        ],
+        input_output_aliases={10: 1},
+        interpret=interpret,
+    )(xp, xp, xp, spect_p, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc)
+    return x_out, skip_out
