@@ -155,3 +155,27 @@ def test_load_synthesizer_from_checkpoints(tmp_path):
         synth.wg_variables["params"], wstate.params,
     )
     assert all(jax.tree.leaves(same))
+
+
+def test_fused_vocoder_option():
+    """use_fused_vocoder routes mel->audio through the fused Pallas path
+    (interpret mode on CPU)."""
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(HP, n_vocab=N_SYMBOLS)
+    tvars = taco.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+        jnp.zeros((1, HP.n_mel_channels, 8)), jnp.asarray([8]),
+    )
+    wg = WaveGlow(WG)
+    wvars = wg.init(
+        rng, jnp.zeros((1, WG.n_mel_channels, 16)),
+        jnp.zeros((1, 16 * WG.upsample_stride)),
+    )
+    synth = Synthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables={"params": wvars["params"]},
+        use_denoiser=False, use_fused_vocoder=True,
+    )
+    wavs = synth.synthesize(["안녕."])
+    assert len(wavs) == 1 and np.isfinite(wavs[0]).all() and len(wavs[0]) > 0

@@ -35,6 +35,7 @@ class Synthesizer:
     waveglow: WaveGlow
     wg_variables: dict
     use_denoiser: bool = True
+    use_fused_vocoder: bool = False   # fused-Pallas serving path (TPU)
 
     def __post_init__(self):
         # Params are jit ARGUMENTS, never closure captures — captured arrays
@@ -53,8 +54,19 @@ class Synthesizer:
                 rngs={"dropout": rng},
             )
 
-        def audio_fn(variables, mel, rng, sigma):
-            return wg.apply(variables, mel, rng, sigma, method=WaveGlow.infer)
+        if self.use_fused_vocoder:
+            from .models.waveglow_fused import infer_fused
+
+            wg_cfg = self.wg_cfg
+
+            def audio_fn(variables, mel, rng, sigma):
+                return infer_fused(variables["params"], wg_cfg, mel, rng, sigma)
+        else:
+
+            def audio_fn(variables, mel, rng, sigma):
+                return wg.apply(
+                    variables, mel, rng, sigma, method=WaveGlow.infer
+                )
 
         self._infer_mel = jax.jit(mel_fn, static_argnames=("max_steps",))
         self._infer_audio = jax.jit(audio_fn)
