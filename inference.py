@@ -21,6 +21,8 @@ def main():
     parser.add_argument("--out", default="tone_440.wav")
     parser.add_argument("--sigma", type=float, default=0.666)
     parser.add_argument("--denoiser_strength", type=float, default=0.0)
+    parser.add_argument("--fused_vocoder", action="store_true",
+                        help="use the fused-Pallas WaveGlow serving path")
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument("--hparams", default=None)
     parser.add_argument("--waveglow_config", default=None)
@@ -39,6 +41,9 @@ def main():
             hp, args.taco_checkpoint, wg_cfg, args.waveglow_checkpoint,
             use_denoiser=args.denoiser_strength > 0,
         )
+        synth.use_fused_vocoder = args.fused_vocoder
+        if args.fused_vocoder:
+            synth.__post_init__()  # rebuild jitted fns with the fused path
         synth.synthesize_to_files(
             [args.text], [args.out],
             sample_rate=args.sample_rate,
