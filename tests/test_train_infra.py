@@ -205,3 +205,45 @@ def test_hparams_legacy_aliases():
     assert hp.n_mel_channels == 96
     assert hp.rescaling_max == 1.0
     assert hp.n_freq == 1025
+
+
+def test_dp_batch_stats_match_single_device(model_state):
+    """BatchNorm batch statistics computed from a sharded global batch must
+    equal the single-device statistics (mean over a sharded axis is already
+    global under jit — the 'sync BN' property, docs/SCALING.md)."""
+    model, state = model_state
+    step_fn = jax.jit(make_train_step(model, TINY))
+    b = _batch()
+    rng = jax.random.PRNGKey(11)
+
+    state1, _ = step_fn(state, Batch(*map(jnp.asarray, b)), rng)
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("data",))
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    state_s = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    batch_s = Batch(*[jax.device_put(np.asarray(x), dp) for x in b])
+    state8, _ = step_fn(state_s, batch_s, rng)
+
+    diffs = jax.tree.map(
+        lambda a, c: float(jnp.max(jnp.abs(a - c))),
+        state1.batch_stats, state8.batch_stats,
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+def test_profiling_utils(tmp_path):
+    from text2speech_tpu.utils.profiling import StepTimer, annotate, trace_capture
+
+    timer = StepTimer()
+    x = jnp.ones((64, 64))
+    with timer.step(block_on=x):
+        with annotate("matmul"):
+            y = (x @ x).sum()
+    assert timer.last_host >= 0 and timer.last_device >= timer.last_host * 0
+
+    with trace_capture(str(tmp_path / "prof")):
+        jax.block_until_ready(x @ x)
+    # a trace directory with at least one artifact should exist
+    import glob
+    assert glob.glob(str(tmp_path / "prof" / "**"), recursive=True)
