@@ -1,10 +1,12 @@
 """Fused-kernel WaveGlow inference (serving path).
 
 Pure function over the model's params tree: the 96 WN coupling layers run
-through the fused Pallas layer kernel (:mod:`..ops.pallas.wn_block` —
-dilated-tap matmuls + gated activation + res/skip matmul in one VMEM pass),
-everything else (upsample, cond projections, invertible 1x1, affine coupling)
-as plain jnp.  Weight-norm is folded on the fly.
+through the fused streaming Pallas layer kernel (:mod:`..ops.pallas.wn_block`
+``wn_layer_stream`` — dilated-tap matmuls + in-kernel conditioning projection
++ gated activation + res/skip matmul + in-place skip accumulation in one VMEM
+pass, reading each hidden tile from HBM exactly once via a 2-tile ring),
+everything else (upsample, invertible 1x1, affine coupling) as plain jnp.
+Weight-norm is folded on the fly.
 
 Time axis is tiled: T_groups is zero-extended to a multiple of the kernel
 tile (BT=512) plus one zero pad-tile each side, maintained zero across flows.
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WaveGlowConfig
-from ..ops.pallas.wn_block import BT, wn_layer_spect
+from ..ops.pallas.wn_block import BT, wn_layer_stream
 
 
 def _fold(p):
@@ -105,7 +107,7 @@ def infer_fused(
         for li in range(L):
             w_in, b_in = _fold(wn[f"in{li}"])
             w_rs, b_rs = _fold(wn[f"res_skip{li}"])
-            xh, skip_total = wn_layer_spect(
+            xh, skip_total = wn_layer_stream(
                 xh,
                 spect_p.astype(compute_dtype),
                 w_in.astype(compute_dtype),

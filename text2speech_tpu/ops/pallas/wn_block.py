@@ -260,3 +260,132 @@ def wn_layer_spect(
         interpret=interpret,
     )(xp, xp, xp, spect_p, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc)
     return x_out, skip_out
+
+
+def _kernel_stream(x0_ref, spect_ref, w_in_ref, b_in_ref,
+                   w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
+                   x_out_ref, skip_out_ref, ring, *,
+                   dilation: int, n_prog: int, has_res: bool):
+    """Streaming variant: grid has one extra step; each step reads ONE x tile
+    and computes the PREVIOUS tile's output from a 2-tile VMEM ring (tiles
+    t-2, t-1 in scratch + first d rows of tile t) — 1x HBM reads of x
+    instead of 3x neighbor-tile reads."""
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1                      # output tile index
+    is_pad_out = (j <= 0) | (j >= n_prog - 1)
+
+    @pl.when((t >= 1) & is_pad_out)
+    def _():
+        x_out_ref[...] = jnp.zeros_like(x_out_ref)
+        skip_out_ref[...] = jnp.zeros_like(skip_out_ref)
+
+    @pl.when((t >= 1) & ~is_pad_out)
+    def _():
+        w = w_in_ref[...]
+        # store at step s puts tile s in slot (s+1)%2, so before this step's
+        # store: tile t-1 is in slot t%2, tile t-2 in slot (t+1)%2
+        prev1 = ring[t % 2]        # tile t-1
+        prev2 = ring[(t + 1) % 2]  # tile t-2
+        left = prev2[BT - d :, :]
+        mid = prev1
+        right = x0_ref[0, :d, :]
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        cond = (
+            jnp.dot(spect_ref[0], w_cond_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_cond_ref[...]
+        )
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        acc = acc_ref[0]
+        if has_res:
+            x_out_ref[0] = (mid.astype(jnp.float32) + rs[:, :C]).astype(
+                x_out_ref.dtype
+            )
+            skip_out_ref[0] = acc + rs[:, C:].astype(acc.dtype)
+        else:
+            x_out_ref[0] = mid
+            skip_out_ref[0] = acc + rs.astype(acc.dtype)
+
+    # store the current tile into the ring for the next two steps
+    @pl.when(t <= n_prog - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream(
+    xp: jnp.ndarray,
+    spect_p: jnp.ndarray,
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    w_cond: jnp.ndarray,
+    b_cond: jnp.ndarray,
+    w_rs: jnp.ndarray,
+    b_rs: jnp.ndarray,
+    skip_acc: jnp.ndarray,
+    dilation: int,
+    interpret: bool | None = None,
+):
+    """Streaming fused WN layer (single-read x) — same contract as
+    :func:`wn_layer_spect`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Tp, C = xp.shape
+    M = spect_p.shape[-1]
+    assert Tp % BT == 0 and Tp // BT >= 3 and dilation <= BT
+    n_prog = Tp // BT
+    has_res = w_rs.shape[-1] == 2 * C
+
+    import numpy as _np
+
+    def out_idx(b, t, n=n_prog):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream, dilation=dilation, n_prog=n_prog, has_res=has_res
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    x_out, skip_out = pl.pallas_call(
+        kern,
+        grid=(B, n_prog + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_prog: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, M), out_idx),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((M, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec(w_rs.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_rs.shape, lambda b, t: (0,)),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, C), xp.dtype),
+            jax.ShapeDtypeStruct((B, Tp, C), xp.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, C), xp.dtype)],
+        input_output_aliases={8: 1},
+        interpret=interpret,
+    )(xp, spect_p, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc)
+    return x_out, skip_out
