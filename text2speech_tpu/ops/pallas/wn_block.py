@@ -351,8 +351,6 @@ def wn_layer_stream(
     n_prog = Tp // BT
     has_res = w_rs.shape[-1] == 2 * C
 
-    import numpy as _np
-
     def out_idx(b, t, n=n_prog):
         return (b, jnp.clip(t - 1, 0, n - 1), 0)
 
