@@ -97,3 +97,31 @@ def test_fused_infer_matches_exact_interior():
     np.testing.assert_allclose(
         np.asarray(exact)[:, :cutoff], np.asarray(fused)[:, :cutoff], atol=1e-5
     )
+
+
+def test_wn_stream_long_sequence_and_max_dilation():
+    """Streaming ring kernel parity at 6 tiles and the model's max dilation
+    (d=128), exercising ring reuse across many grid steps."""
+    from text2speech_tpu.ops.pallas import wn_block as wb
+
+    rng = np.random.RandomState(3)
+    B, C, M = 2, 64, 48
+    T = 6 * wb.BT
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32)) * 0.1
+    sp = jnp.asarray(rng.randn(B, T, M).astype(np.float32)) * 0.1
+    w_in = jnp.asarray(rng.randn(3, C, 2 * C).astype(np.float32)) * 0.05
+    b_in = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    w_c = jnp.asarray(rng.randn(M, 2 * C).astype(np.float32)) * 0.05
+    b_c = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    w_rs = jnp.asarray(rng.randn(C, 2 * C).astype(np.float32)) * 0.05
+    b_rs = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    for d in (1, 128):
+        xp = wb.pad_tiles(x)
+        spp = wb.pad_tiles(sp)
+        acc = jnp.asarray(rng.randn(*xp.shape).astype(np.float32)) * 0.1
+        xa, sa = wb.wn_layer_spect(xp, spp, w_in, b_in, w_c, b_c,
+                                   w_rs, b_rs, acc, d)
+        xb, sb = wb.wn_layer_stream(xp, spp, w_in, b_in, w_c, b_c,
+                                    w_rs, b_rs, acc, d)
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-5)
