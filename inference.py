@@ -65,7 +65,7 @@ def main():
         )
         from text2speech_tpu.infer import load_synthesizer as _ls
 
-        synth = _ls(hp, args.taco_checkpoint, wg_cfg, args.taco_checkpoint,
+        synth = _ls(hp, args.taco_checkpoint, wg_cfg, None,
                     use_denoiser=False)
         mel_post, out_lengths = synth.text_to_mel([args.text])
         T = int(out_lengths[0])

@@ -179,3 +179,26 @@ def test_fused_vocoder_option():
     )
     wavs = synth.synthesize(["안녕."])
     assert len(wavs) == 1 and np.isfinite(wavs[0]).all() and len(wavs[0]) > 0
+
+
+def test_load_synthesizer_without_vocoder_checkpoint(tmp_path):
+    """wg_ckpt_dir=None supports the Griffin-Lim (mel-only) CLI path."""
+    import optax
+
+    from text2speech_tpu.infer import load_synthesizer
+    from text2speech_tpu.train.checkpoint import CheckpointManager
+    from text2speech_tpu.train.state import create_train_state
+
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(HP, n_vocab=N_SYMBOLS)
+    tvars = taco.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+        jnp.zeros((1, HP.n_mel_channels, 8)), jnp.asarray([8]),
+    )
+    tdir = str(tmp_path / "taco")
+    CheckpointManager(tdir).save(1, create_train_state(HP, tvars), wait=True)
+
+    synth = load_synthesizer(HP, tdir, WG, None, use_denoiser=False)
+    mel, lengths = synth.text_to_mel(["안녕하세요."])
+    assert np.isfinite(np.asarray(mel)).all() and int(lengths[0]) >= 1

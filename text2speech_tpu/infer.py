@@ -128,10 +128,13 @@ def load_synthesizer(
     hp: HParams,
     taco_ckpt_dir: str,
     wg_cfg: WaveGlowConfig,
-    wg_ckpt_dir: str,
+    wg_ckpt_dir: str | None,
     use_denoiser: bool = True,
 ) -> Synthesizer:
-    """Restore both models from Orbax checkpoints and build a Synthesizer."""
+    """Restore both models from Orbax checkpoints and build a Synthesizer.
+
+    ``wg_ckpt_dir=None`` leaves the vocoder at random init (for mel-only /
+    Griffin-Lim use of :meth:`Synthesizer.text_to_mel`)."""
     import jax.numpy as jnp
 
     from .train.checkpoint import CheckpointManager
@@ -165,7 +168,8 @@ def load_synthesizer(
         opt_state=optax.adam(wg_cfg.learning_rate).init(wvars["params"]),
         tx=optax.adam(wg_cfg.learning_rate),
     )
-    wstate, _ = CheckpointManager(wg_ckpt_dir).restore(wstate)
+    if wg_ckpt_dir is not None:
+        wstate, _ = CheckpointManager(wg_ckpt_dir).restore(wstate)
 
     return Synthesizer(
         hp=hp,
