@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Worked example: the full framework API on a synthetic corpus.
+
+The reference ships notebook scratch files (Untitled.py/.ipynb) as its demo;
+this is the equivalent guided tour — runs on CPU or TPU in a few minutes:
+
+    python examples/demo.py [--workdir /tmp/t2s_demo]
+
+1. builds a tiny synthetic Korean corpus (sine "speech" + transcript.txt)
+2. preprocesses it to reference-format .npz (batched device DSP)
+3. trains a small Tacotron-2 for a few steps (sharded-jit data parallel)
+4. trains a small WaveGlow for a few steps
+5. synthesizes a sentence end-to-end and writes out.wav
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", default="/tmp/t2s_demo")
+    parser.add_argument("--steps", type=int, default=5)
+    args = parser.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    from scipy.io import wavfile
+
+    from text2speech_tpu.config import HParams, WaveGlowConfig
+    from text2speech_tpu.data.preprocess import preprocess_corpus, write_metadata
+    from text2speech_tpu.infer import Synthesizer
+    from text2speech_tpu.train.tacotron import TacotronTrainer
+    from text2speech_tpu.train.waveglow import WaveGlowTrainer
+
+    hp = HParams(
+        sample_rate=22050, trim_silence=False, batch_size=2,
+        embedding_size=32, enc_conv_num_layers=1, enc_conv_channels=32,
+        attention_rnn_dim=32, decoder_rnn_dim=32, attention_dim=16,
+        attention_location_n_filters=4, attention_location_kernel_size=11,
+        prenet_dim=16, postnet_embedding_dim=16, postnet_n_convolutions=2,
+        max_decoder_steps=40, checkpoint_interval=args.steps,
+    )
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=hp.n_mel_channels, n_flows=2, n_group=8,
+        n_early_every=4, wn_n_layers=2, wn_n_channels=32,
+        sampling_rate=hp.sample_rate, batch_size=2, segment_length=4096,
+        iters_per_checkpoint=args.steps,
+    )
+
+    # 1. synthetic corpus ---------------------------------------------------
+    corpus = os.path.join(args.workdir, "corpus")
+    os.makedirs(os.path.join(corpus, "1"), exist_ok=True)
+    texts = ["안녕하세요.", "반갑습니다.", "오늘 날씨가 좋네요.", "감사합니다."]
+    rng = np.random.RandomState(0)
+    lines = []
+    for i, t in enumerate(texts):
+        n = 11025 + 2000 * i
+        tt = np.arange(n) / hp.sample_rate
+        sig = 0.4 * np.sin(2 * np.pi * (180 + 40 * i) * tt) + 0.01 * rng.randn(n)
+        wavfile.write(
+            os.path.join(corpus, "1", f"u{i}.wav"), hp.sample_rate,
+            (sig * 32767).astype(np.int16),
+        )
+        lines.append(f"1/u{i}.wav|{t}|{t}|dur")
+    with open(os.path.join(corpus, "transcript.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    with open(os.path.join(corpus, "val.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines[:2]))
+
+    # 2. preprocess ---------------------------------------------------------
+    pp_out = os.path.join(args.workdir, "preprocessed")
+    meta = preprocess_corpus(hp, corpus, pp_out, device_batch=4)
+    write_metadata(meta, pp_out, hp)
+
+    # 3. train Tacotron-2 a few steps ---------------------------------------
+    run_dir = os.path.join(args.workdir, "taco_run")
+    os.makedirs(run_dir, exist_ok=True)
+    trainer = TacotronTrainer(hp, [corpus], run_dir)
+    trainer.fit(args.steps)
+    print(f"tacotron trained {args.steps} steps")
+
+    # 4. train WaveGlow a few steps ------------------------------------------
+    filelist = os.path.join(args.workdir, "train_files.txt")
+    with open(filelist, "w") as f:
+        for i in range(len(texts)):
+            f.write(os.path.join(corpus, "1", f"u{i}.wav") + "\n")
+    wg_dir = os.path.join(args.workdir, "wg_run")
+    wg_trainer = WaveGlowTrainer(wg_cfg, filelist, wg_dir)
+    wg_trainer.fit(args.steps)
+    print(f"waveglow trained {args.steps} steps")
+
+    # 5. synthesize ----------------------------------------------------------
+    synth = Synthesizer(
+        hp=hp,
+        taco=trainer.model,
+        taco_variables={
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        },
+        wg_cfg=wg_cfg,
+        waveglow=wg_trainer.model,
+        wg_variables={"params": wg_trainer.state.params},
+        use_denoiser=False,
+    )
+    out_path = os.path.join(args.workdir, "out.wav")
+    synth.synthesize_to_files(["안녕하세요."], [out_path])
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
