@@ -79,11 +79,12 @@ def test_preprocess_contract(corpus, tmp_path):
     write_metadata(meta, out_dir, HP)
     assert os.path.exists(os.path.join(out_dir, "train.txt"))
 
-    # npz key contract (kss.py:149-158)
+    # npz key contract (kss.py:149-158): EXACT key-set equality — no extras
     npz = np.load(os.path.join(out_dir, meta[0][6]), allow_pickle=True)
-    for key in ("audio", "mel", "linear", "time_steps", "mel_frames", "text",
-                "tokens", "loss_coeff"):
-        assert key in npz, key
+    assert set(npz.files) == {
+        "audio", "mel", "linear", "time_steps", "mel_frames", "text",
+        "tokens", "loss_coeff",
+    }, sorted(npz.files)
     frames = int(npz["mel_frames"])
     assert npz["mel"].shape == (frames, HP.n_mel_channels)
     assert npz["linear"].shape == (frames, HP.n_freq)

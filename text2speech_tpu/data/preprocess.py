@@ -199,7 +199,6 @@ def preprocess_corpus(
                 text=it.text,
                 tokens=text_to_sequence(it.text),
                 loss_coeff=1,
-                allow_pickle=False,
             )
             metadata.append(
                 (
