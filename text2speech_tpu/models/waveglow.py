@@ -301,18 +301,45 @@ class WaveGlow(nn.Module):
 
     # -- inference ----------------------------------------------------------
 
-    def infer(self, spect: jnp.ndarray, key: jax.Array, sigma: float = 1.0):
+    def infer(
+        self,
+        spect: jnp.ndarray,
+        key: jax.Array | None,
+        sigma: float = 1.0,
+        noise: tuple[jnp.ndarray, ...] | None = None,
+    ):
         """mel [B, n_mel, frames] -> audio [B, samples]
         (``glow.py:251-292``): run flows in reverse from Gaussian noise,
-        re-injecting sigma*z at the early-output points."""
+        re-injecting sigma*z at the early-output points.
+
+        ``noise`` optionally supplies the standard-normal draws explicitly
+        (deterministic serving / cross-framework parity): a tuple whose first
+        element is the initial [B, T_g, n_remaining_channels] draw, followed
+        by one [B, T_g, n_early_size] draw per early-injection point in
+        consumption order (descending k with k % n_early_every == 0, k > 0 —
+        the order ``glow.py:270-289`` consumes them).
+        """
         cfg = self.cfg
         cond = self._upsample_group_spect(spect, None)
         B, T_g, _ = cond.shape
 
+        noise_iter = iter(noise) if noise is not None else None
+
+        def next_noise(sub, shape):
+            if noise_iter is not None:
+                z = next(noise_iter, None)
+                assert z is not None, (
+                    "noise tuple exhausted: need 1 initial draw + one per "
+                    "early-injection point"
+                )
+                assert z.shape == shape, (z.shape, shape)
+                return jnp.asarray(z, cond.dtype)
+            return jax.random.normal(sub, shape, cond.dtype)
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
         key, sub = jax.random.split(key)
-        x = sigma * jax.random.normal(
-            sub, (B, T_g, cfg.n_remaining_channels), cond.dtype
-        )
+        x = sigma * next_noise(sub, (B, T_g, cfg.n_remaining_channels))
 
         for k in reversed(range(cfg.n_flows)):
             n_half = x.shape[-1] // 2
@@ -326,9 +353,7 @@ class WaveGlow(nn.Module):
 
             if k % cfg.n_early_every == 0 and k > 0:
                 key, sub = jax.random.split(key)
-                z = sigma * jax.random.normal(
-                    sub, (B, T_g, cfg.n_early_size), cond.dtype
-                )
+                z = sigma * next_noise(sub, (B, T_g, cfg.n_early_size))
                 x = jnp.concatenate([z, x], axis=-1)
 
         return x.reshape(B, T_g * cfg.n_group)

@@ -81,7 +81,10 @@ def infer_fused(
     padz = jnp.zeros((B, BT, spect_g.shape[-1]), spect_g.dtype)
     spect_p = jnp.concatenate([padz, spect_g, ext, padz], axis=1)  # [B, Tp, 640]
 
-    tile_mask = jnp.zeros((1, Tp, 1), compute_dtype).at[:, BT : BT + Tg_r].set(1.0)
+    # valid-frame mask: only the REAL Tg frames, not the tile-rounding pad —
+    # pad frames must stay zero so halo reads match the reference's implicit
+    # conv zero-padding (glow.py:136-137)
+    tile_mask = jnp.zeros((1, Tp, 1), compute_dtype).at[:, BT : BT + Tg].set(1.0)
 
     # --- initial noise -----------------------------------------------------
     key, sub = jax.random.split(key)
@@ -118,6 +121,7 @@ def infer_fused(
                 b_rs.astype(jnp.float32),
                 skip_total,
                 dilation=2 ** li,
+                n_valid=Tg,
             )
 
         end_k = wn["end"]["kernel"][0]

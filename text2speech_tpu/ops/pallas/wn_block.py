@@ -31,9 +31,26 @@ from jax.experimental import pallas as pl
 BT = 512
 
 
+def _row_mask(out_tile, n_valid: int, n_prog: int, shape):
+    """Static-shape validity mask for a partial final tile.
+
+    Real-frame index of row r in output tile j is (j-1)*BT + r (the first
+    tile is padding).  Returns None when every interior row is valid (exact
+    tile multiple) so the common case compiles with no masking at all.
+    """
+    if n_valid >= (n_prog - 2) * BT:
+        return None
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return ((out_tile - 1) * BT + rows) < n_valid
+
+
+def _mask_rows(val, mask):
+    return val if mask is None else jnp.where(mask, val, jnp.zeros_like(val))
+
+
 def _kernel(xm_ref, x0_ref, xp_ref, cond_ref, w_in_ref, b_in_ref,
             w_rs_ref, b_rs_ref, x_out_ref, skip_out_ref, *,
-            dilation: int, n_prog: int, has_res: bool):
+            dilation: int, n_prog: int, has_res: bool, n_valid: int):
     t = pl.program_id(1)
     d = dilation
     is_pad = (t == 0) | (t == n_prog - 1)
@@ -67,13 +84,18 @@ def _kernel(xm_ref, x0_ref, xp_ref, cond_ref, w_in_ref, b_in_ref,
             jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
             + b_rs_ref[...]
         )
+        # zero rows past the real sequence end so bias-driven activations in
+        # the rounding pad never leak into the tail through the next layer's
+        # halo reads (reference convs implicitly zero-pad, glow.py:136-137)
+        vmask = _row_mask(t, n_valid, n_prog, (BT, 1))
         if has_res:
-            x_out_ref[0] = (mid.astype(jnp.float32) + rs[:, :C]).astype(
-                x_out_ref.dtype
+            x_out_ref[0] = _mask_rows(
+                (mid.astype(jnp.float32) + rs[:, :C]).astype(x_out_ref.dtype),
+                vmask,
             )
             skip_out_ref[0] = rs[:, C:].astype(skip_out_ref.dtype)
         else:
-            x_out_ref[0] = mid
+            x_out_ref[0] = _mask_rows(mid, vmask)
             skip_out_ref[0] = rs.astype(skip_out_ref.dtype)
 
 
@@ -87,6 +109,7 @@ def wn_layer_padded(
     dilation: int,
     cond_index: int = 0,
     interpret: bool | None = None,
+    n_valid: int | None = None,
 ):
     """One fused WN layer on padded layout -> (x_new padded, skip padded).
 
@@ -102,9 +125,12 @@ def wn_layer_padded(
     assert cond_p.shape[-1] % (2 * C) == 0
     n_prog = Tp // BT
     has_res = w_rs.shape[-1] == 2 * C
+    if n_valid is None:
+        n_valid = Tp - 2 * BT
 
     kern = functools.partial(
-        _kernel, dilation=dilation, n_prog=n_prog, has_res=has_res
+        _kernel, dilation=dilation, n_prog=n_prog, has_res=has_res,
+        n_valid=n_valid,
     )
     li = cond_index
     x_out, skip_out = pl.pallas_call(
@@ -152,7 +178,7 @@ def unpad_tiles(x: jnp.ndarray) -> jnp.ndarray:
 def _kernel_spect(xm_ref, x0_ref, xp_ref, spect_ref, w_in_ref, b_in_ref,
                   w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
                   x_out_ref, skip_out_ref, *,
-                  dilation: int, n_prog: int, has_res: bool):
+                  dilation: int, n_prog: int, has_res: bool, n_valid: int):
     """Variant computing the conditioning projection in-kernel (the 2C cond
     term is spect_tile @ w_cond — no materialized cond_all) and accumulating
     the skip sum in place (acc aliases skip_out)."""
@@ -194,13 +220,15 @@ def _kernel_spect(xm_ref, x0_ref, xp_ref, spect_ref, w_in_ref, b_in_ref,
             + b_rs_ref[...]
         )
         acc = acc_ref[0]
+        vmask = _row_mask(t, n_valid, n_prog, (BT, 1))
         if has_res:
-            x_out_ref[0] = (mid.astype(jnp.float32) + rs[:, :C]).astype(
-                x_out_ref.dtype
+            x_out_ref[0] = _mask_rows(
+                (mid.astype(jnp.float32) + rs[:, :C]).astype(x_out_ref.dtype),
+                vmask,
             )
             skip_out_ref[0] = (acc + rs[:, C:].astype(acc.dtype))
         else:
-            x_out_ref[0] = mid
+            x_out_ref[0] = _mask_rows(mid, vmask)
             skip_out_ref[0] = (acc + rs.astype(acc.dtype))
 
 
@@ -216,6 +244,7 @@ def wn_layer_spect(
     skip_acc: jnp.ndarray,  # [B, Tp, C] running skip sum (donated)
     dilation: int,
     interpret: bool | None = None,
+    n_valid: int | None = None,
 ):
     """Fused WN layer with in-kernel conditioning projection and in-place
     skip accumulation -> (x_new padded, skip_acc + skip)."""
@@ -226,9 +255,12 @@ def wn_layer_spect(
     assert Tp % BT == 0 and Tp // BT >= 3 and dilation <= BT
     n_prog = Tp // BT
     has_res = w_rs.shape[-1] == 2 * C
+    if n_valid is None:
+        n_valid = Tp - 2 * BT
 
     kern = functools.partial(
-        _kernel_spect, dilation=dilation, n_prog=n_prog, has_res=has_res
+        _kernel_spect, dilation=dilation, n_prog=n_prog, has_res=has_res,
+        n_valid=n_valid,
     )
     x_out, skip_out = pl.pallas_call(
         kern,
@@ -265,7 +297,7 @@ def wn_layer_spect(
 def _kernel_stream(x0_ref, spect_ref, w_in_ref, b_in_ref,
                    w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
                    x_out_ref, skip_out_ref, ring, *,
-                   dilation: int, n_prog: int, has_res: bool):
+                   dilation: int, n_prog: int, has_res: bool, n_valid: int):
     """Streaming variant: grid has one extra step; each step reads ONE x tile
     and computes the PREVIOUS tile's output from a 2-tile VMEM ring (tiles
     t-2, t-1 in scratch + first d rows of tile t) — 1x HBM reads of x
@@ -313,13 +345,15 @@ def _kernel_stream(x0_ref, spect_ref, w_in_ref, b_in_ref,
             + b_rs_ref[...]
         )
         acc = acc_ref[0]
+        vmask = _row_mask(j, n_valid, n_prog, (BT, 1))
         if has_res:
-            x_out_ref[0] = (mid.astype(jnp.float32) + rs[:, :C]).astype(
-                x_out_ref.dtype
+            x_out_ref[0] = _mask_rows(
+                (mid.astype(jnp.float32) + rs[:, :C]).astype(x_out_ref.dtype),
+                vmask,
             )
             skip_out_ref[0] = acc + rs[:, C:].astype(acc.dtype)
         else:
-            x_out_ref[0] = mid
+            x_out_ref[0] = _mask_rows(mid, vmask)
             skip_out_ref[0] = acc + rs.astype(acc.dtype)
 
     # store the current tile into the ring for the next two steps
@@ -340,6 +374,7 @@ def wn_layer_stream(
     skip_acc: jnp.ndarray,
     dilation: int,
     interpret: bool | None = None,
+    n_valid: int | None = None,
 ):
     """Streaming fused WN layer (single-read x) — same contract as
     :func:`wn_layer_spect`."""
@@ -350,12 +385,15 @@ def wn_layer_stream(
     assert Tp % BT == 0 and Tp // BT >= 3 and dilation <= BT
     n_prog = Tp // BT
     has_res = w_rs.shape[-1] == 2 * C
+    if n_valid is None:
+        n_valid = Tp - 2 * BT
 
     def out_idx(b, t, n=n_prog):
         return (b, jnp.clip(t - 1, 0, n - 1), 0)
 
     kern = functools.partial(
-        _kernel_stream, dilation=dilation, n_prog=n_prog, has_res=has_res
+        _kernel_stream, dilation=dilation, n_prog=n_prog, has_res=has_res,
+        n_valid=n_valid,
     )
     from jax.experimental.pallas import tpu as pltpu
 
