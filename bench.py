@@ -187,10 +187,60 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_preprocess_device(batch: int = 8, seconds: float = 3.0, sr: int = 22050):
+    """Device DSP-core throughput (fused mel+linear MXU STFT) in mel
+    frames/sec, batch-scaled with scalar readback — transfers excluded.
+
+    This is the real-host capability number: on this rig the end-to-end
+    figure (bench_preprocess) is bound by the tunnel's ~25 MB/s device->host
+    link (each frame ships (80+513)*4 B of f32 spectrogram), which no real
+    TPU host has (see BASELINE.md)."""
+    from text2speech_tpu.config import HParams
+    from text2speech_tpu.dsp.audio import mel_and_linear_spectrogram
+
+    hp = HParams(sample_rate=sr)
+    n = int(seconds * sr)
+    pad = hp.filter_length // 2
+    T = n + 2 * pad
+    frames_per_item = 1 + n // hp.hop_length
+
+    fn = jax.jit(
+        lambda y: sum(
+            jnp.mean(s) for s in mel_and_linear_spectrogram(y, hp, center=False)
+        )
+    )
+    rng = np.random.RandomState(0)
+    y1 = jnp.asarray(rng.randn(batch, T), jnp.float32)
+    y4 = jnp.asarray(rng.randn(4 * batch, T), jnp.float32)
+    jax.block_until_ready((y1, y4))
+    sec_per_item = _time_scaled(fn, (y1,), (y4,), 3 * batch)
+    return frames_per_item / sec_per_item
+
+
+def bench_preprocess_cpu_baseline():
+    """Reference CPU chain (kss.py:45-160 numpy re-timing) on THIS host —
+    the denominator for the preprocess metrics."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "preprocess_cpu_baseline.py")],
+            capture_output=True, text=True, timeout=600, check=True,
+        )
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
+    except Exception:
+        return None
+
+
 def main():
     wg_sps = bench_waveglow()
     taco_fps = bench_tacotron()
     pp_fps = bench_preprocess()
+    pp_dev_fps = bench_preprocess_device()
+    pp_cpu_fps = bench_preprocess_cpu_baseline()
 
     # End-to-end: 1 second of audio needs SR/HOP mel frames then SR samples;
     # stages run sequentially.
@@ -205,6 +255,8 @@ def main():
         "e2e_rtf": round(e2e_rtf, 2),
         "e2e_rtf_target": 50.0,
         "preprocess_mel_frames_per_sec": round(pp_fps, 1),
+        "preprocess_device_frames_per_sec": round(pp_dev_fps, 1),
+        "preprocess_cpu_baseline_frames_per_sec": pp_cpu_fps,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -10,8 +10,10 @@ CPU.  Here the chain is split hardware-appropriately:
   silence trim, mu-law branch, per-utterance reflect pre-pad;
 * **device stage** (one jitted call per padded batch): fused mel+linear
   spectrograms — a single batched MXU STFT matmul for the whole batch
-  (``dsp.mel_and_linear_spectrogram(center=False)``);
-* **write stage**: identical on-disk contract — ``.npz`` with keys
+  (``dsp.mel_and_linear_spectrogram(center=False)``), double-buffered: batch
+  k+1 is dispatched before batch k's device->host transfer is awaited, so
+  compute, transfer and writes overlap;
+* **write stage** (same thread pool): identical on-disk contract — ``.npz`` with keys
   ``audio, mel, linear, time_steps, mel_frames, text, tokens, loss_coeff``
   (``kss.py:149-158``) and pipe-delimited ``train.txt`` rows
   (``preprocess.py:15-26``).
@@ -153,6 +155,58 @@ def preprocess_corpus(
         for i in range(0, len(items), device_batch):
             yield items[i : i + device_batch]
 
+    def _write_one(it: _HostItem, frames: int, mel: np.ndarray,
+                   linear: np.ndarray, npz_name: str) -> None:
+        # time-resolution adjustment (kss.py:122-136)
+        out = np.pad(it.out, pad, mode="reflect")
+        out = out[: frames * hop]
+        assert len(out) >= frames * hop and len(out) % hop == 0
+        np.savez(
+            os.path.join(out_dir, npz_name),
+            audio=out.astype(it.out_dtype),
+            mel=mel.T,
+            linear=linear.T,
+            time_steps=len(out),
+            mel_frames=frames,
+            text=it.text,
+            tokens=text_to_sequence(it.text),
+            loss_coeff=1,
+        )
+
+    def _drain(pending) -> None:
+        """Block on the device result of a previously-dispatched batch and
+        hand the npz writes to the IO pool."""
+        chunk, n_frames, mel_dev, lin_dev = pending
+        mel_b = np.asarray(mel_dev)
+        lin_b = np.asarray(lin_dev)
+        for j, it in enumerate(chunk):
+            frames = n_frames[j]
+            wav_id = os.path.splitext(os.path.basename(it.wav_path))[0]
+            npz_name = f"{wav_id}.npz"
+            write_futures.append(pool.submit(
+                _write_one, it, frames,
+                mel_b[j, :, :frames].astype(np.float32),
+                lin_b[j, :, :frames].astype(np.float32),
+                npz_name,
+            ))
+            time_steps = frames * hop
+            metadata.append(
+                (
+                    f"{wav_id}-audio.npy",
+                    f"{wav_id}-mel.npy",
+                    f"{wav_id}-linear.npy",
+                    time_steps,
+                    frames,
+                    it.text,
+                    npz_name,
+                )
+            )
+
+    # Double-buffered device loop: dispatch batch k+1 (async under jit)
+    # BEFORE blocking on batch k's device->host transfer, so compute,
+    # transfer and npz writes overlap.
+    write_futures: list = []
+    pending = None
     for chunk in batches():
         # host reflect pre-pad (per-utterance edges), then zero-pad to bucket
         n_frames = [1 + it.n_samples // hop for it in chunk]
@@ -172,45 +226,14 @@ def preprocess_corpus(
         for j, it in enumerate(chunk):
             batch[j, : it.n_samples + 2 * pad] = np.pad(it.wav, pad, mode="reflect")
 
-        mel_b, lin_b = device_fn(jnp.asarray(batch))
-        mel_b = np.asarray(mel_b)
-        lin_b = np.asarray(lin_b)
-
-        for j, it in enumerate(chunk):
-            frames = n_frames[j]
-            mel = mel_b[j, :, :frames].astype(np.float32)
-            linear = lin_b[j, :, :frames].astype(np.float32)
-
-            # time-resolution adjustment (kss.py:122-136)
-            out = np.pad(it.out, pad, mode="reflect")
-            out = out[: frames * hop]
-            assert len(out) >= frames * hop and len(out) % hop == 0
-            time_steps = len(out)
-
-            wav_id = os.path.splitext(os.path.basename(it.wav_path))[0]
-            npz_name = f"{wav_id}.npz"
-            np.savez(
-                os.path.join(out_dir, npz_name),
-                audio=out.astype(it.out_dtype),
-                mel=mel.T,
-                linear=linear.T,
-                time_steps=time_steps,
-                mel_frames=frames,
-                text=it.text,
-                tokens=text_to_sequence(it.text),
-                loss_coeff=1,
-            )
-            metadata.append(
-                (
-                    f"{wav_id}-audio.npy",
-                    f"{wav_id}-mel.npy",
-                    f"{wav_id}-linear.npy",
-                    time_steps,
-                    frames,
-                    it.text,
-                    npz_name,
-                )
-            )
+        mel_dev, lin_dev = device_fn(jnp.asarray(batch))   # async dispatch
+        if pending is not None:
+            _drain(pending)
+        pending = (chunk, n_frames, mel_dev, lin_dev)
+    if pending is not None:
+        _drain(pending)
+    for f in write_futures:
+        f.result()   # surface write errors
     return metadata
 
 
