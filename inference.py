@@ -11,6 +11,28 @@ from text2speech_tpu.config import HParams, WaveGlowConfig
 from text2speech_tpu.infer import load_synthesizer
 
 
+def _save_plots(plot_dir, wav_path, mel, align, text):
+    """Render alignment + mel diagnostics next to the synthesized wav
+    (reference ``inference.py:88-90``).  mel: [n_mel, T]; align:
+    [T_dec, T_enc]."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from text2speech_tpu.utils.plotting import plot_alignment, plot_spectrogram
+
+    os.makedirs(plot_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(wav_path))[0]
+    align_png = os.path.join(plot_dir, f"{stem}_alignment.png")
+    mel_png = os.path.join(plot_dir, f"{stem}_mel.png")
+    plt.imsave(align_png, plot_alignment(align.T, info=text))
+    plt.imsave(mel_png, plot_spectrogram(mel))
+    print(f"wrote {align_png} {mel_png}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--taco_checkpoint", required=True)
@@ -26,6 +48,9 @@ def main():
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument("--hparams", default=None)
     parser.add_argument("--waveglow_config", default=None)
+    parser.add_argument("--plot_dir", default=None,
+                        help="also render alignment + mel plots here "
+                             "(reference inference.py:88-90 diagnostics)")
     args = parser.parse_args()
 
     hp = HParams.load(args.hparams) if args.hparams else HParams(
@@ -44,12 +69,29 @@ def main():
         synth.use_fused_vocoder = args.fused_vocoder
         if args.fused_vocoder:
             synth.__post_init__()  # rebuild jitted fns with the fused path
-        synth.synthesize_to_files(
-            [args.text], [args.out],
-            sample_rate=args.sample_rate,
-            sigma=args.sigma,
-            denoiser_strength=args.denoiser_strength,
+
+        import numpy as np
+
+        from text2speech_tpu.dsp.audio import save_wav
+
+        mel_post, out_lengths, align = synth.text_to_mel(
+            [args.text], with_align=True
         )
+        T = int(out_lengths[0])
+        audio = np.asarray(
+            synth.mel_to_audio(
+                mel_post[:, :, :T], args.sigma,
+                denoiser_strength=args.denoiser_strength,
+            )
+        )[0, : T * wg_cfg.hop_length]
+        save_wav(audio, args.out, args.sample_rate)
+        if args.plot_dir:
+            _save_plots(
+                args.plot_dir, args.out,
+                np.asarray(mel_post)[0, :, :T],
+                np.asarray(align)[0, :T],
+                args.text,
+            )
     else:
         # Vocoder-free path: Tacotron mel -> pinv(mel basis) + Griffin-Lim
         # (the reference's utils/audio.py:105-120 inversion chain).
@@ -67,8 +109,17 @@ def main():
 
         synth = _ls(hp, args.taco_checkpoint, wg_cfg, None,
                     use_denoiser=False)
-        mel_post, out_lengths = synth.text_to_mel([args.text])
+        mel_post, out_lengths, align = synth.text_to_mel(
+            [args.text], with_align=True
+        )
         T = int(out_lengths[0])
+        if args.plot_dir:
+            _save_plots(
+                args.plot_dir, args.out,
+                np.asarray(mel_post)[0, :, :T],
+                np.asarray(align)[0, :T],
+                args.text,
+            )
         # model mels are log-clamp (online convention): invert to magnitude
         mel_amp = dynamic_range_decompression(mel_post[:, :, :T])
         basis = _offline_mel_basis(hp.sample_rate, hp.filter_length,

@@ -13,7 +13,11 @@ import os
 import time
 
 from text2speech_tpu.config import HParams
-from text2speech_tpu.data.preprocess import preprocess_corpus, write_metadata
+from text2speech_tpu.data.preprocess import (
+    get_transcript_parser,
+    preprocess_corpus,
+    write_metadata,
+)
 
 
 def main():
@@ -41,6 +45,7 @@ def main():
         num_workers=args.num_workers,
         device_batch=args.device_batch,
         progress=tqdm,
+        parser=get_transcript_parser(args.name),
     )
     write_metadata(metadata, out_dir, hp)
     frames = sum(int(m[4]) for m in metadata)

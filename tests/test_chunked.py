@@ -1,0 +1,122 @@
+"""Long-utterance chunked synthesis (docs/SCALING.md §Long-utterance):
+frame-axis windowed WaveGlow inference must reproduce single-pass
+``WaveGlow.infer`` when fed the same full-utterance noise — exactly at the
+utterance boundaries (identical conv zero-padding) and to float tolerance on
+the interior once the overlap exceeds the dilated stacks' receptive field.
+Scales ``/root/reference/waveglow/glow.py:251-292`` which has no long-form
+path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text2speech_tpu.config import WaveGlowConfig
+from text2speech_tpu.models.chunked import draw_noise, infer_long, noise_schedule
+from text2speech_tpu.models.waveglow import WaveGlow
+
+# Receptive-field accounting for the overlap choice: each WN stack
+# (3 layers, k=3, dilations 1/2/4) reaches 2*(1+2+4) = 14 grouped steps per
+# side; 6 stacked flows contaminate <= 84 grouped steps in from a chunk edge,
+# plus 3 frames of upsampler support.  gpf = stride/n_group = 2 groups/frame,
+# so overlap_frames=64 (128 grouped steps) clears it with margin.
+CFG = WaveGlowConfig(
+    n_mel_channels=16,
+    n_flows=6,
+    n_group=8,
+    n_early_every=2,
+    n_early_size=2,
+    wn_n_layers=3,
+    wn_n_channels=32,
+    wn_kernel_size=3,
+    upsample_kernel=64,
+    upsample_stride=16,
+    segment_length=1024,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = WaveGlow(CFG)
+    spect = jnp.zeros((1, CFG.n_mel_channels, 20))
+    audio = jnp.zeros((1, 20 * CFG.upsample_stride))
+    variables = model.init(jax.random.PRNGKey(0), spect, audio)
+    return model, variables
+
+
+def test_noise_schedule():
+    # 6 flows, early at k=2,4 -> initial(4ch) + two 2ch injections
+    assert noise_schedule(CFG) == [4, 2, 2]
+    assert noise_schedule(WaveGlowConfig()) == [4, 2, 2]
+
+
+def test_chunked_matches_single_pass(model_and_vars):
+    model, variables = model_and_vars
+    frames = 200
+    rng = np.random.RandomState(0)
+    spect = jnp.asarray(
+        rng.randn(2, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(7), 2, frames * gpf)
+
+    ref = model.apply(
+        variables, spect, None, 0.9, noise=noise, method=WaveGlow.infer
+    )
+    out = infer_long(
+        model, variables, spect, None, sigma=0.9,
+        chunk_frames=32, overlap_frames=64, noise=noise,
+    )
+    assert out.shape == ref.shape == (2, frames * CFG.upsample_stride)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=0
+    )
+    # boundary windows are pinned to the utterance edges: bitwise-equal math
+    hop = CFG.upsample_stride
+    np.testing.assert_allclose(
+        np.asarray(out[:, : 8 * hop]), np.asarray(ref[:, : 8 * hop]),
+        atol=1e-6, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, -8 * hop :]), np.asarray(ref[:, -8 * hop :]),
+        atol=1e-6, rtol=0,
+    )
+
+
+def test_short_utterance_falls_back_to_single_pass(model_and_vars):
+    model, variables = model_and_vars
+    frames = 40  # < chunk + 2*overlap
+    rng = np.random.RandomState(1)
+    spect = jnp.asarray(
+        rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(3), 1, frames * gpf)
+    ref = model.apply(
+        variables, spect, None, 1.0, noise=noise, method=WaveGlow.infer
+    )
+    out = infer_long(
+        model, variables, spect, None,
+        chunk_frames=32, overlap_frames=16, noise=noise,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_chunked_deterministic_from_key(model_and_vars):
+    model, variables = model_and_vars
+    frames = 200
+    rng = np.random.RandomState(2)
+    spect = jnp.asarray(
+        rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    a = infer_long(
+        model, variables, spect, jax.random.PRNGKey(5),
+        chunk_frames=64, overlap_frames=32,
+    )
+    b = infer_long(
+        model, variables, spect, jax.random.PRNGKey(5),
+        chunk_frames=64, overlap_frames=32,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

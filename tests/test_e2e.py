@@ -224,3 +224,29 @@ def test_preprocess_mulaw_branch(corpus, tmp_path):
     audio = npz["audio"]
     assert audio.dtype == np.float32
     assert np.abs(audio).max() <= 1.0 + 1e-6
+
+
+def test_dataset_path_filter_and_holdout(corpus, tmp_path):
+    """The wired reference flags: missing-wav rows are dropped unless
+    --skip_path_filter, and --num_test_per_speaker holds out a validation
+    split when the corpus ships no val.txt."""
+    import shutil
+
+    root = tmp_path / "kss2"
+    shutil.copytree(corpus, root)
+    with open(root / "transcript.txt", "a", encoding="utf-8") as f:
+        f.write("\n1/missing.wav|없는 파일|없는 파일|1.0초")
+
+    ds = TextMelDataset([str(root)], HP, "train", batch_size=2)
+    assert len(ds.items) == len(TEXTS)          # missing row filtered out
+
+    ds_skip = TextMelDataset([str(root)], HP, "train", batch_size=2,
+                             skip_path_filter=True)
+    assert len(ds_skip.items) == len(TEXTS) + 1  # filter skipped
+
+    val = ds.hold_out_per_speaker(2)
+    assert val is not None
+    assert len(val.items) == 2 and len(ds.items) == len(TEXTS) - 2
+    assert not set(map(tuple, val.items)) & set(map(tuple, ds.items))
+    # too-aggressive holdout that can't fill a train batch -> refused
+    assert ds.hold_out_per_speaker(len(ds.items)) is None

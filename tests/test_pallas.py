@@ -125,3 +125,42 @@ def test_wn_stream_long_sequence_and_max_dilation():
                                     w_rs, b_rs, acc, d)
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
         np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-5)
+
+
+def test_wn_stream_final_end_projection_parity():
+    """Final-layer kernel with folded end projection == streaming kernel +
+    explicit end matmul on the real (unpadded, valid) region."""
+    from text2speech_tpu.ops.pallas import wn_block as wb
+
+    rng = np.random.RandomState(4)
+    B, C, M, E = 2, 64, 48, 8
+    T = 4 * wb.BT
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32)) * 0.1
+    sp = jnp.asarray(rng.randn(B, T, M).astype(np.float32)) * 0.1
+    w_in = jnp.asarray(rng.randn(3, C, 2 * C).astype(np.float32)) * 0.05
+    b_in = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    w_c = jnp.asarray(rng.randn(M, 2 * C).astype(np.float32)) * 0.05
+    b_c = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    w_rs = jnp.asarray(rng.randn(C, C).astype(np.float32)) * 0.05
+    b_rs = jnp.asarray(rng.randn(C).astype(np.float32)) * 0.05
+    w_end = jnp.asarray(rng.randn(C, E).astype(np.float32)) * 0.05
+    b_end = jnp.asarray(rng.randn(E).astype(np.float32)) * 0.05
+    for d, n_valid in ((1, T), (64, T - 100)):
+        xp = wb.pad_tiles(x)
+        spp = wb.pad_tiles(sp)
+        acc = jnp.asarray(rng.randn(*xp.shape).astype(np.float32)) * 0.1
+        _, skip = wb.wn_layer_stream(
+            xp, spp, w_in, b_in, w_c, b_c, w_rs, b_rs, acc, d,
+            n_valid=n_valid,
+        )
+        want = jnp.einsum("btc,ce->bte", skip, w_end) + b_end
+        got = wb.wn_layer_stream_final(
+            xp, spp, w_in, b_in, w_c, b_c, w_rs, b_rs, acc,
+            w_end, b_end, d, n_valid=n_valid,
+        )
+        assert got.shape == (B, xp.shape[1], E)
+        np.testing.assert_allclose(
+            np.asarray(wb.unpad_tiles(got))[:, :n_valid],
+            np.asarray(wb.unpad_tiles(want))[:, :n_valid],
+            atol=1e-4,
+        )

@@ -1,0 +1,164 @@
+"""Smoke tests for the two user-facing synthesis CLIs (``inference.py``,
+``waveglow_inference.py``) — the reference's ``inference.py`` and
+``waveglow/inference.py`` surfaces.  Random-init checkpoints are written
+in-process, then each script runs in a forced-CPU subprocess and must produce
+wavs (and, for ``inference.py --plot_dir``, alignment/mel diagnostics —
+reference ``inference.py:88-90``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from tests.test_cli import TINY_HP, run_cli
+
+TINY_WG = dict(
+    n_mel_channels=8,
+    n_flows=2,
+    n_group=4,
+    n_early_every=4,
+    n_early_size=2,
+    wn_n_layers=2,
+    wn_n_channels=16,
+    wn_kernel_size=3,
+    upsample_kernel=128,
+    upsample_stride=64,
+    hop_length=64,
+    segment_length=2048,
+    sampling_rate=22050,
+)
+
+
+@pytest.fixture(scope="module")
+def ckpts(tmp_path_factory):
+    """Random-init Tacotron + WaveGlow checkpoints in the exact layout
+    ``load_synthesizer`` / the CLIs restore from."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from text2speech_tpu.config import HParams, WaveGlowConfig
+    from text2speech_tpu.models.tacotron2 import Tacotron2
+    from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.text import N_SYMBOLS
+    from text2speech_tpu.train.checkpoint import CheckpointManager
+    from text2speech_tpu.train.state import TrainState, create_train_state
+
+    root = tmp_path_factory.mktemp("synth_ckpts")
+    hp = HParams(**TINY_HP)
+    hp_path = root / "hp.json"
+    hp.save(str(hp_path))
+
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(hp, n_vocab=N_SYMBOLS)
+    tvars = jax.jit(taco.init)(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.asarray([8]),
+        jnp.zeros((1, hp.n_mel_channels, 8)),
+        jnp.asarray([8]),
+    )
+    tstate = create_train_state(hp, tvars)
+    tdir = root / "taco_ckpt"
+    m = CheckpointManager(str(tdir))
+    m.save(1, tstate, wait=True)
+
+    wg_cfg = WaveGlowConfig(**TINY_WG)
+    cfg_path = root / "wg.json"
+    cfg_path.write_text(json.dumps({
+        "train_config": {"learning_rate": wg_cfg.learning_rate},
+        "data_config": {
+            "segment_length": wg_cfg.segment_length,
+            "sampling_rate": wg_cfg.sampling_rate,
+            "hop_length": wg_cfg.hop_length,
+        },
+        "waveglow_config": {
+            "n_mel_channels": wg_cfg.n_mel_channels,
+            "n_flows": wg_cfg.n_flows,
+            "n_group": wg_cfg.n_group,
+            "n_early_every": wg_cfg.n_early_every,
+            "n_early_size": wg_cfg.n_early_size,
+            "upsample_kernel": wg_cfg.upsample_kernel,
+            "upsample_stride": wg_cfg.upsample_stride,
+            "WN_config": {
+                "n_layers": wg_cfg.wn_n_layers,
+                "n_channels": wg_cfg.wn_n_channels,
+                "kernel_size": wg_cfg.wn_kernel_size,
+            },
+        },
+    }))
+
+    wg = WaveGlow(wg_cfg)
+    frames = wg_cfg.segment_length // wg_cfg.hop_length + 1
+    wvars = jax.jit(wg.init)(
+        rng,
+        jnp.zeros((1, wg_cfg.n_mel_channels, frames)),
+        jnp.zeros((1, wg_cfg.segment_length)),
+    )
+    tx = optax.adam(wg_cfg.learning_rate)
+    wstate = TrainState(
+        step=jnp.zeros((), jnp.int32), params=wvars["params"],
+        batch_stats={}, opt_state=tx.init(wvars["params"]), tx=tx,
+    )
+    wdir = root / "wg_ckpt"
+    CheckpointManager(str(wdir)).save(1, wstate, wait=True)
+
+    return dict(root=root, hp=str(hp_path), taco=str(tdir), wg=str(wdir),
+                wg_cfg=str(cfg_path))
+
+
+def test_inference_cli_with_plots(ckpts, tmp_path):
+    out = tmp_path / "utt.wav"
+    plots = tmp_path / "plots"
+    r = run_cli(
+        "inference.py",
+        ["--taco_checkpoint", ckpts["taco"],
+         "--waveglow_checkpoint", ckpts["wg"],
+         "--hparams", ckpts["hp"],
+         "--waveglow_config", ckpts["wg_cfg"],
+         "--text", "안녕하세요.",
+         "--out", str(out),
+         "--plot_dir", str(plots)],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    sr, wav = wavfile.read(str(out))
+    assert sr == 22050 and wav.dtype == np.int16 and wav.size > 0
+    assert (plots / "utt_alignment.png").exists()
+    assert (plots / "utt_mel.png").exists()
+
+
+def test_waveglow_inference_cli(ckpts, tmp_path):
+    frames = 64
+    mel = np.random.RandomState(0).randn(8, frames).astype(np.float32)
+    mel_path = tmp_path / "m0.npy"
+    np.save(str(mel_path), mel)
+    filelist = tmp_path / "mels.txt"
+    filelist.write_text(str(mel_path))
+    out = tmp_path / "wavs"
+    r = run_cli(
+        "waveglow_inference.py",
+        ["-f", str(filelist), "-w", ckpts["wg"], "-o", str(out),
+         "--config", ckpts["wg_cfg"], "-s", "0.6"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    sr, wav = wavfile.read(str(out / "m0_synthesis.wav"))
+    assert sr == 22050
+    assert wav.size == frames * TINY_WG["upsample_stride"]
+
+    # long-form chunked path writes the same-length audio
+    out2 = tmp_path / "wavs_chunked"
+    r2 = run_cli(
+        "waveglow_inference.py",
+        ["-f", str(filelist), "-w", ckpts["wg"], "-o", str(out2),
+         "--config", ckpts["wg_cfg"], "-s", "0.6",
+         "--chunk_frames", "16", "--overlap_frames", "8"],
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    _, wav2 = wavfile.read(str(out2 / "m0_synthesis.wav"))
+    assert wav2.size == frames * TINY_WG["upsample_stride"]

@@ -247,3 +247,37 @@ def test_profiling_utils(tmp_path):
     # a trace directory with at least one artifact should exist
     import glob
     assert glob.glob(str(tmp_path / "prof" / "**"), recursive=True)
+
+
+def test_initialize_distributed_trigger_logic(monkeypatch):
+    """Weak-spot regression (parallel/mesh.py): tuning kwargs alone must NOT
+    force multi-host init; coordinator env vars (with or without the JAX_
+    prefix) and managed-environment markers must."""
+    from text2speech_tpu.parallel import mesh as pmesh
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                "SLURM_JOB_NUM_NODES"):
+        monkeypatch.delenv(var, raising=False)
+
+    assert pmesh.initialize_distributed() is False
+    assert pmesh.initialize_distributed(local_device_ids=[0]) is False
+    assert calls == []
+
+    assert pmesh.initialize_distributed(
+        coordinator_address="h:1234", num_processes=2, process_id=0
+    ) is True
+    assert calls[-1]["coordinator_address"] == "h:1234"
+
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "other:99")
+    assert pmesh.initialize_distributed() is True
+    assert calls[-1]["coordinator_address"] == "other:99"
+    monkeypatch.delenv("COORDINATOR_ADDRESS")
+
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    assert pmesh.initialize_distributed() is True
+    assert calls[-1]["coordinator_address"] is None  # jax auto-detects

@@ -84,13 +84,51 @@ class TextMelDataset:
     mel_bucket: int = 64
     shuffle_seed: int = 1234
     io_workers: int = 8
+    skip_path_filter: bool = False
 
     def __post_init__(self):
         self.items = load_manifest(self.data_dirs, self.split)
+        if not self.skip_path_filter:
+            # Drop manifest rows whose wav is missing on disk (the reference
+            # feeder's path filtering; --skip_path_filter skips the stat calls
+            # on corpora known to be complete).
+            kept = [it for it in self.items if os.path.exists(it[0])]
+            if len(kept) < len(self.items):
+                from ..utils import infolog
+
+                infolog.log(
+                    f"path filter: dropped {len(self.items) - len(kept)} "
+                    f"manifest rows with missing wavs"
+                )
+            self.items = kept
         self.batch_size = self.batch_size or self.hp.batch_size
         self.frontend = MelFrontend.from_hparams(self.hp)
         self._mel_fn = jax.jit(self.frontend.mel_spectrogram)
         self._pool = ThreadPoolExecutor(self.io_workers)
+
+    def hold_out_per_speaker(self, n: int) -> "TextMelDataset | None":
+        """Remove the last ``n`` manifest rows of every speaker from this
+        dataset and return them as a validation dataset (used when a corpus
+        ships no ``val.txt`` — the reference's ``num_test_per_speaker``
+        held-out split).  Returns None if the remainder could not fill one
+        training batch."""
+        import copy
+
+        by_speaker: dict[int, list] = {}
+        for it in self.items:
+            by_speaker.setdefault(it[2], []).append(it)
+        held, kept = [], []
+        for speaker in sorted(by_speaker):
+            rows = by_speaker[speaker]
+            held.extend(rows[len(rows) - n :])
+            kept.extend(rows[: len(rows) - n])
+        if not held or len(kept) < self.batch_size:
+            return None
+        val = copy.copy(self)
+        val.items = held
+        val.split = "val"
+        self.items = kept
+        return val
 
     def __len__(self) -> int:
         return len(self.items) // self.batch_size

@@ -44,7 +44,8 @@ from ..text import text_to_sequence
 
 
 def parse_transcript(in_dir: str) -> list[tuple[str, str]]:
-    """``transcript.txt`` rows ``wav|text|text2|…`` -> (wav_path, text) pairs.
+    """KSS ``transcript.txt`` rows ``wav|text|text2|…`` -> (wav_path, text)
+    pairs.
 
     When the two text columns differ in word count the reference emits both
     (``kss.py:31-41``); matching rows emit one.
@@ -63,6 +64,42 @@ def parse_transcript(in_dir: str) -> list[tuple[str, str]]:
             else:
                 rows.append((wav, sp[1]))
     return rows
+
+
+# --- dataset dispatch --------------------------------------------------------
+# The reference resolves ``datasets.<name>`` via importlib
+# (``preprocess.py:57``) so users can drop in new corpus modules.  Here the
+# per-dataset surface is just the transcript parser (everything downstream —
+# DSP, batching, npz writing — is corpus-independent): register one with
+# :func:`register_transcript_parser`, or ship a module ``datasets.<name>``
+# (or importable ``<name>``) exposing ``parse_transcript(in_dir)``.
+
+_TRANSCRIPT_PARSERS = {"kss": parse_transcript}
+
+
+def register_transcript_parser(name: str, fn) -> None:
+    _TRANSCRIPT_PARSERS[name] = fn
+
+
+def get_transcript_parser(name: str):
+    """Resolve a dataset name to its transcript parser."""
+    if name in _TRANSCRIPT_PARSERS:
+        return _TRANSCRIPT_PARSERS[name]
+    import importlib
+
+    for modname in (f"datasets.{name}", name):
+        try:
+            mod = importlib.import_module(modname)
+        except ImportError:
+            continue
+        fn = getattr(mod, "parse_transcript", None)
+        if fn is not None:
+            _TRANSCRIPT_PARSERS[name] = fn
+            return fn
+    raise ValueError(
+        f"unknown dataset {name!r}: not registered and no importable "
+        f"'datasets.{name}' / '{name}' module with parse_transcript()"
+    )
 
 
 @dataclass
@@ -129,12 +166,14 @@ def preprocess_corpus(
     device_batch: int = 16,
     length_bucket: int = 16384,
     progress=lambda x: x,
+    parser=None,
 ) -> list[tuple]:
     """Full corpus preprocessing; returns ``train.txt`` metadata rows
     (``(audio_fn, mel_fn, linear_fn, time_steps, mel_frames, text, npz_fn)``,
-    ``kss.py:167``)."""
+    ``kss.py:167``).  ``parser`` overrides the transcript parser (see
+    :func:`get_transcript_parser`; default KSS format)."""
     os.makedirs(out_dir, exist_ok=True)
-    rows = parse_transcript(in_dir)
+    rows = (parser or parse_transcript)(in_dir)
     pad = hp.filter_length // 2
     hop = hp.hop_length
     device_fn = _device_batch_fn(hp)

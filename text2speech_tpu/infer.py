@@ -68,8 +68,18 @@ class Synthesizer:
                     variables, mel, rng, sigma, method=WaveGlow.infer
                 )
 
+        from .models.chunked import infer_long
+
+        def audio_long_fn(variables, mel, noise, sigma, chunk, ov):
+            return infer_long(
+                wg, variables, mel, None, sigma, chunk, ov, noise=noise
+            )
+
         self._infer_mel = jax.jit(mel_fn, static_argnames=("max_steps",))
         self._infer_audio = jax.jit(audio_fn)
+        self._infer_audio_long = jax.jit(
+            audio_long_fn, static_argnames=("chunk", "ov")
+        )
         if self.use_denoiser:
             _, self._denoise = make_denoiser(self.waveglow, self.wg_variables)
         else:
@@ -77,14 +87,21 @@ class Synthesizer:
 
     # --- public API --------------------------------------------------------
 
-    def text_to_mel(self, texts, seed: int = 0, max_steps: int | None = None):
-        """list[str] -> (mel_post [B, n_mel, T], out_lengths [B])."""
+    def text_to_mel(self, texts, seed: int = 0, max_steps: int | None = None,
+                    with_align: bool = False):
+        """list[str] -> (mel_post [B, n_mel, T], out_lengths [B]).
+
+        ``with_align=True`` additionally returns the attention alignment
+        [B, T_dec, T_enc] for synthesis-time diagnostics (the reference
+        renders it per utterance, ``inference.py:88-90``)."""
         ids, lengths = encode_batch(texts)
         rng = jax.random.PRNGKey(seed)
-        _, mel_post, _, _, out_lengths = self._infer_mel(
+        _, mel_post, _, align, out_lengths = self._infer_mel(
             self.taco_variables, jnp.asarray(ids), jnp.asarray(lengths), rng,
             max_steps=max_steps,
         )
+        if with_align:
+            return mel_post, out_lengths, align
         return mel_post, out_lengths
 
     def mel_to_audio(self, mel, sigma: float = 0.666, seed: int = 0,
@@ -95,6 +112,61 @@ class Synthesizer:
         if denoiser_strength > 0 and self._denoise is not None:
             audio = self._denoise(audio, denoiser_strength)
         return audio
+
+    def mel_to_audio_long(
+        self,
+        mel,
+        sigma: float = 0.666,
+        seed: int = 0,
+        denoiser_strength: float = 0.0,
+        chunk_frames: int = 256,
+        overlap_frames: int = 16,
+    ):
+        """Frame-axis chunked vocoding for arbitrarily long mels
+        (:mod:`.models.chunked`): bounded per-window activation memory, all
+        windows in one batched device call."""
+        from .models.chunked import draw_noise
+
+        gpf = self.wg_cfg.upsample_stride // self.wg_cfg.n_group
+        noise = draw_noise(
+            self.wg_cfg,
+            jax.random.PRNGKey(seed + 1),
+            mel.shape[0],
+            mel.shape[2] * gpf,
+        )
+        audio = self._infer_audio_long(
+            self.wg_variables, mel, noise, sigma,
+            chunk=chunk_frames, ov=overlap_frames,
+        )
+        if denoiser_strength > 0 and self._denoise is not None:
+            audio = self._denoise(audio, denoiser_strength)
+        return audio
+
+    def synthesize_long(
+        self,
+        texts,
+        sigma: float = 0.666,
+        seed: int = 0,
+        denoiser_strength: float = 0.0,
+        max_steps: int | None = None,
+        chunk_frames: int = 256,
+        overlap_frames: int = 16,
+    ):
+        """Like :meth:`synthesize` but vocodes through the chunked long-form
+        path — use for utterances whose mels exceed comfortable single-pass
+        activation memory."""
+        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps)
+        T = int(np.max(np.asarray(out_lengths)))
+        audio = self.mel_to_audio_long(
+            mel_post[:, :, :T], sigma, seed, denoiser_strength,
+            chunk_frames, overlap_frames,
+        )
+        audio = np.asarray(audio)
+        hop = self.wg_cfg.hop_length
+        return [
+            audio[i, : int(out_lengths[i]) * hop]
+            for i in range(audio.shape[0])
+        ]
 
     def synthesize(
         self,

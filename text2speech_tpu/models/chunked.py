@@ -1,0 +1,128 @@
+"""Frame-axis chunked WaveGlow synthesis for arbitrarily long utterances.
+
+Implements the design written in ``docs/SCALING.md`` §Long-utterance: the
+WaveGlow reverse pass has no sequential dependency across time, so a long
+mel is split on the frame axis into fixed-width windows (chunk + overlap on
+each side), every window is synthesized in ONE batched device call (the
+window axis is an ordinary batch axis — it shards over the data mesh axis
+like any batch, turning utterance length into free parallelism), and the
+interiors are concatenated.
+
+Equivalence story (tested in ``tests/test_chunked.py``):
+
+* the standard-normal draws are made ONCE for the full utterance and sliced
+  per window, so corresponding time positions see identical noise;
+* the first/last windows are pinned to the utterance boundaries, so their
+  outer edges see the exact same conv zero-padding as a single-pass
+  ``WaveGlow.infer`` — bitwise the same computation;
+* interior seams differ only within the receptive field of the dilated WN
+  stacks; with ``overlap_frames * hop / n_group`` grouped steps of overlap
+  larger than that receptive field, the kept interiors match single-pass
+  inference to float tolerance.
+
+Reference behavior being scaled: ``/root/reference/waveglow/glow.py:251-292``
+(whole-utterance reverse pass; the reference has no long-form path and simply
+grows activation memory linearly with utterance length).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WaveGlowConfig
+from .waveglow import WaveGlow
+
+
+def noise_schedule(cfg: WaveGlowConfig) -> list[int]:
+    """Channel widths of the standard-normal draws ``WaveGlow.infer``
+    consumes, in consumption order: the initial draw, then one per
+    early-injection point (descending k, ``glow.py:270-289``)."""
+    widths = [cfg.n_remaining_channels]
+    for k in reversed(range(cfg.n_flows)):
+        if k % cfg.n_early_every == 0 and k > 0:
+            widths.append(cfg.n_early_size)
+    return widths
+
+
+def draw_noise(
+    cfg: WaveGlowConfig, key: jax.Array, batch: int, t_groups: int,
+    dtype=jnp.float32,
+) -> tuple[jnp.ndarray, ...]:
+    """Draw the full-utterance noise tuple for ``WaveGlow.infer(noise=...)``."""
+    draws = []
+    for width in noise_schedule(cfg):
+        key, sub = jax.random.split(key)
+        draws.append(jax.random.normal(sub, (batch, t_groups, width), dtype))
+    return tuple(draws)
+
+
+def infer_long(
+    model: WaveGlow,
+    variables: dict,
+    spect: jnp.ndarray,
+    key: jax.Array | None,
+    sigma: float = 1.0,
+    chunk_frames: int = 256,
+    overlap_frames: int = 16,
+    noise: tuple[jnp.ndarray, ...] | None = None,
+) -> jnp.ndarray:
+    """mel [B, n_mel, frames] -> audio [B, frames * hop], chunked on frames.
+
+    All windows have identical width (``chunk + 2*overlap`` frames; boundary
+    windows are position-clamped, not shortened), so the stacked
+    ``[B * n_windows]`` batch compiles once and runs as one device call.
+    Falls back to a single ``WaveGlow.infer`` pass when the utterance is
+    shorter than one window.
+
+    ``noise`` optionally supplies the full-utterance draws explicitly (see
+    :func:`draw_noise`); otherwise they are drawn from ``key``.
+    """
+    cfg = model.cfg
+    hop = cfg.upsample_stride
+    if hop % cfg.n_group != 0:
+        raise ValueError("chunked synthesis needs hop % n_group == 0")
+    gpf = hop // cfg.n_group          # audio groups per mel frame
+
+    B, _, frames = spect.shape
+    t_groups = frames * gpf
+    if noise is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        noise = draw_noise(cfg, key, B, t_groups, jnp.float32)
+
+    width = chunk_frames + 2 * overlap_frames
+    if frames <= width:
+        return model.apply(
+            variables, spect, None, sigma, noise=noise,
+            method=WaveGlow.infer,
+        )
+
+    n_windows = -(-frames // chunk_frames)
+    starts = [i * chunk_frames for i in range(n_windows)]
+    win_starts = [
+        min(max(s - overlap_frames, 0), frames - width) for s in starts
+    ]
+
+    # [n, B, ...] stacks -> [n*B, ...] batch
+    mel_w = jnp.concatenate(
+        [spect[:, :, ws : ws + width] for ws in win_starts], axis=0
+    )
+    noise_w = tuple(
+        jnp.concatenate(
+            [z[:, ws * gpf : (ws + width) * gpf] for ws in win_starts], axis=0
+        )
+        for z in noise
+    )
+
+    audio_w = model.apply(
+        variables, mel_w, None, sigma, noise=noise_w, method=WaveGlow.infer,
+    )                                  # [n*B, width * hop]
+    audio_w = audio_w.reshape(n_windows, B, width * hop)
+
+    pieces = []
+    for i, (s, ws) in enumerate(zip(starts, win_starts)):
+        keep = min(chunk_frames, frames - s)
+        off = (s - ws) * hop
+        pieces.append(audio_w[i, :, off : off + keep * hop])
+    return jnp.concatenate(pieces, axis=1)

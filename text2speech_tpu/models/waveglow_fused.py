@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WaveGlowConfig
-from ..ops.pallas.wn_block import BT, wn_layer_stream
+from ..ops.pallas.wn_block import BT, wn_layer_stream, wn_layer_stream_final
 
 
 def _fold(p):
@@ -107,7 +107,7 @@ def infer_fused(
         ) * tile_mask
 
         skip_total = jnp.zeros_like(xh)
-        for li in range(L):
+        for li in range(L - 1):
             w_in, b_in = _fold(wn[f"in{li}"])
             w_rs, b_rs = _fold(wn[f"res_skip{li}"])
             xh, skip_total = wn_layer_stream(
@@ -124,12 +124,27 @@ def infer_fused(
                 n_valid=Tg,
             )
 
+        # last layer with the end projection (glow.py:166-175) folded in:
+        # its hidden/skip tiles never round-trip through HBM
+        li = L - 1
+        w_in, b_in = _fold(wn[f"in{li}"])
+        w_rs, b_rs = _fold(wn[f"res_skip{li}"])
         end_k = wn["end"]["kernel"][0]
         end_b = wn["end"]["bias"]
-        wn_out = (
-            jnp.einsum("btc,co->bto", skip_total.astype(jnp.float32),
-                       end_k.astype(jnp.float32))
-            + end_b
+        wn_out = wn_layer_stream_final(
+            xh,
+            spect_p.astype(compute_dtype),
+            w_in.astype(compute_dtype),
+            b_in.astype(jnp.float32),
+            cond_k[0, :, 2 * C * li : 2 * C * (li + 1)].astype(compute_dtype),
+            cond_b[2 * C * li : 2 * C * (li + 1)].astype(jnp.float32),
+            w_rs[0].astype(compute_dtype),
+            b_rs.astype(jnp.float32),
+            skip_total,
+            end_k.astype(compute_dtype),
+            end_b.astype(jnp.float32),
+            dilation=2 ** li,
+            n_valid=Tg,
         )
         b_term = wn_out[..., :n_half]
         s_term = wn_out[..., n_half:]

@@ -362,6 +362,134 @@ def _kernel_stream(x0_ref, spect_ref, w_in_ref, b_in_ref,
         ring[(t + 1) % 2] = x0_ref[0]
 
 
+def _kernel_stream_final(x0_ref, spect_ref, w_in_ref, b_in_ref,
+                         w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
+                         w_end_ref, b_end_ref, wn_out_ref, ring, *,
+                         dilation: int, n_prog: int, n_valid: int):
+    """Final WN layer with the end projection folded in
+    (``glow.py:166-175``'s ``end`` conv): emits (log_s, b) coupling terms
+    directly — the hidden-state and skip-sum tiles of the last layer never
+    round-trip through HBM.  Tail rows past ``n_valid`` carry bias-driven
+    values exactly like the unfused path's masked epilogue; callers zero them
+    via the tile mask."""
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+    is_pad_out = (j <= 0) | (j >= n_prog - 1)
+
+    @pl.when((t >= 1) & is_pad_out)
+    def _():
+        wn_out_ref[...] = jnp.zeros_like(wn_out_ref)
+
+    @pl.when((t >= 1) & ~is_pad_out)
+    def _():
+        w = w_in_ref[...]
+        prev1 = ring[t % 2]
+        prev2 = ring[(t + 1) % 2]
+        left = prev2[BT - d :, :]
+        mid = prev1
+        right = x0_ref[0, :d, :]
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        cond = (
+            jnp.dot(spect_ref[0], w_cond_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_cond_ref[...]
+        )
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        skip = acc_ref[0].astype(jnp.float32) + rs     # [BT, C] f32
+        wn_out_ref[0] = (
+            jnp.dot(skip.astype(w.dtype), w_end_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_end_ref[...]
+        )
+
+    @pl.when(t <= n_prog - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream_final(
+    xp: jnp.ndarray,        # [B, Tp, C] padded hidden (last layer input)
+    spect_p: jnp.ndarray,   # [B, Tp, M]
+    w_in: jnp.ndarray,      # [3, C, 2C]
+    b_in: jnp.ndarray,      # [2C] f32
+    w_cond: jnp.ndarray,    # [M, 2C]
+    b_cond: jnp.ndarray,    # [2C] f32
+    w_rs: jnp.ndarray,      # [C, C]  (last layer: skip only)
+    b_rs: jnp.ndarray,      # [C] f32
+    skip_acc: jnp.ndarray,  # [B, Tp, C] running skip sum
+    w_end: jnp.ndarray,     # [C, E] (E = 2 * n_half)
+    b_end: jnp.ndarray,     # [E] f32
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+) -> jnp.ndarray:
+    """Streaming final WN layer + folded end projection -> wn_out
+    [B, Tp, E] f32 (= (b, log_s) coupling terms)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Tp, C = xp.shape
+    M = spect_p.shape[-1]
+    E = w_end.shape[-1]
+    assert Tp % BT == 0 and Tp // BT >= 3 and dilation <= BT
+    assert w_rs.shape[-1] == C, "final layer emits skip only"
+    n_prog = Tp // BT
+    if n_valid is None:
+        n_valid = Tp - 2 * BT
+
+    def out_idx(b, t, n=n_prog):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream_final, dilation=dilation, n_prog=n_prog, n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    (wn_out,) = pl.pallas_call(
+        kern,
+        grid=(B, n_prog + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_prog: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, M), out_idx),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((M, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((C, E), lambda b, t: (0, 0)),
+            pl.BlockSpec((E,), lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, E), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, E), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, C), xp.dtype)],
+        interpret=interpret,
+    )(xp, spect_p, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc,
+      w_end, b_end)
+    return wn_out
+
+
 def wn_layer_stream(
     xp: jnp.ndarray,
     spect_p: jnp.ndarray,

@@ -22,11 +22,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def initialize_distributed(**kwargs) -> None:
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> bool:
     """Multi-host bring-up (replaces ``init_distributed``,
-    ``waveglow/distributed.py:43-53``).  No-op on a single host."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or kwargs:
-        jax.distributed.initialize(**kwargs)
+    ``waveglow/distributed.py:43-53``).  Returns True if the distributed
+    runtime was (or already is) initialized, False for a plain single-host
+    run.
+
+    Initialization triggers when either (a) a coordinator address is given —
+    as an argument or via the standard env vars ``JAX_COORDINATOR_ADDRESS`` /
+    ``COORDINATOR_ADDRESS`` — or (b) a managed multi-host environment is
+    auto-detectable by JAX (TPU pod / Slurm / GKE: ``TPU_WORKER_HOSTNAMES``,
+    ``SLURM_JOB_NUM_NODES`` > 1, ``MEGASCALE_COORDINATOR_ADDRESS``).
+    Passing only tuning kwargs does NOT force-initialize on a single host.
+    Safe to call twice (the second call is a no-op)."""
+    coordinator_address = (
+        coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    auto_detectable = (
+        os.environ.get("TPU_WORKER_HOSTNAMES")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1) > 1
+    )
+    if not coordinator_address and not auto_detectable:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+    return True
 
 
 def make_mesh(

@@ -109,7 +109,17 @@ _DATE_DAY_RE = re.compile(r"\(\d+일\)")
 _HANJA_PAREN_RE = re.compile(
     r"\([⺀-⺙⺛-⻳⼀-⿕々〇〡-〩〸-〺〻㐀-䶵一-鿃豈-鶴侮-頻並-龎]+\)"
 )
-_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+# Sentence-boundary model replacing nltk punkt (reference korean.py:211-216):
+# a run of terminal punctuation (plus any closing quotes/brackets) followed by
+# whitespace ends a sentence — unless the preceding token is a single-letter
+# initial ("J.") or a common Latin abbreviation, punkt's main refinements
+# that matter for quoted spans.
+_SENT_BOUNDARY_RE = re.compile(r"[.!?…]+[\"'”’)\]]*(?=\s)")
+_NO_SPLIT_TAIL_RE = re.compile(
+    r"\b(?:[A-Za-z]|Mr|Mrs|Ms|Dr|Prof|St|Jr|Sr|vs|etc|No|Vol|Fig|approx"
+    r"|e\.g|i\.e)\.$",
+    re.IGNORECASE,
+)
 
 
 def _sub_from_dict(text: str, table: dict) -> str:
@@ -137,8 +147,21 @@ def _expand_upper_acronyms(text: str) -> str:
 
 
 def _split_sentences(text: str) -> list[str]:
-    """Offline replacement for nltk.sent_tokenize (reference korean.py:211-216)."""
-    return [s for s in _SENT_SPLIT_RE.split(text) if s]
+    """Offline replacement for nltk.sent_tokenize (reference korean.py:211-216):
+    terminal punctuation ends a sentence, abbreviation-aware, terminal marks
+    kept with their sentence."""
+    sents: list[str] = []
+    start = 0
+    for m in _SENT_BOUNDARY_RE.finditer(text):
+        head = text[start : m.end()]
+        if _NO_SPLIT_TAIL_RE.search(head.rstrip("\"'”’)]")):
+            continue
+        sents.append(head.strip())
+        start = m.end()
+    tail = text[start:].strip()
+    if tail:
+        sents.append(tail)
+    return [s for s in sents if s]
 
 
 def _normalize_quotes(text: str) -> str:

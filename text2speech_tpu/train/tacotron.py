@@ -91,15 +91,30 @@ class TacotronTrainer:
         checkpoint_dir: str | None = None,
         logger_dir: str | None = None,
         mesh=None,
+        num_test_per_speaker: int = 0,
+        skip_path_filter: bool = False,
     ):
         self.hp = hp
         self.run_dir = run_dir
         self.mesh = mesh if mesh is not None else make_data_mesh(hp.batch_size)
-        self.dataset = TextMelDataset(data_dirs, hp, "train")
+        self.dataset = TextMelDataset(
+            data_dirs, hp, "train", skip_path_filter=skip_path_filter
+        )
         try:
-            self.valset = TextMelDataset(data_dirs, hp, "val")
+            self.valset = TextMelDataset(
+                data_dirs, hp, "val", skip_path_filter=skip_path_filter
+            )
         except FileNotFoundError:
             self.valset = None
+        if self.valset is None and num_test_per_speaker > 0:
+            # no val.txt shipped: hold out N utterances per speaker from the
+            # training manifest (reference --num_test_per_speaker semantics)
+            self.valset = self.dataset.hold_out_per_speaker(num_test_per_speaker)
+            if self.valset is not None:
+                log(
+                    f"held out {len(self.valset.items)} utterances "
+                    f"({num_test_per_speaker}/speaker) for validation"
+                )
 
         from ..text import N_SYMBOLS
 
@@ -129,7 +144,15 @@ class TacotronTrainer:
         self.loss_window = ValueWindow(100)
         self.time_window = ValueWindow(100)
 
-    def restore(self) -> int:
+    def restore(self, checkpoint_file: str | None = None) -> int:
+        """Resume from this run's checkpoint dir, or — when
+        ``checkpoint_file`` names another run's checkpoint directory —
+        warm-start weights/step from there (reference ``--checkpoint_file``)."""
+        if checkpoint_file:
+            src = CheckpointManager(checkpoint_file)
+            self.state, step = src.restore(self.state)
+            log(f"Warm-started from {checkpoint_file} at step {step}")
+            return step
         self.state, step = self.ckpt.restore(self.state)
         if step:
             log(f"Resumed from checkpoint at step {step}")

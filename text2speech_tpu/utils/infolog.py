@@ -41,8 +41,8 @@ def _send_slack(msg: str) -> None:
         urlopen(
             req,
             json.dumps(
-                {"username": "tacotron", "icon_emoji": ":taco:",
-                 "text": "*%s*: %s" % (_run_name, msg)}
+                {"username": "t2s-tpu-trainer", "icon_emoji": ":loud_sound:",
+                 "text": "[%s] %s" % (_run_name, msg)}
             ).encode(),
         )
     except Exception:

@@ -55,7 +55,15 @@ def main():
     save_hparams(run_dir, hp)
     infolog.init(os.path.join(run_dir, "train.log"), os.path.basename(run_dir))
 
+    from text2speech_tpu.parallel import initialize_distributed
     from text2speech_tpu.train.tacotron import TacotronTrainer
+
+    if initialize_distributed():
+        import jax
+
+        infolog.log(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+        )
 
     trainer = TacotronTrainer(
         hp,
@@ -63,8 +71,10 @@ def main():
         run_dir,
         checkpoint_dir=args.checkpoint_path,
         logger_dir=args.logger_path,
+        num_test_per_speaker=args.num_test_per_speaker,
+        skip_path_filter=args.skip_path_filter,
     )
-    trainer.restore()
+    trainer.restore(args.checkpoint_file)
     trainer.fit(args.num_steps)
 
 

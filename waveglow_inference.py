@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--sampling_rate", type=int, default=22050)
     parser.add_argument("-d", "--denoiser_strength", type=float, default=0.0)
     parser.add_argument("--config", default=None)
+    parser.add_argument("--chunk_frames", type=int, default=0,
+                        help="frame-axis chunked synthesis for long mels "
+                             "(0 = single pass); see models/chunked.py")
+    parser.add_argument("--overlap_frames", type=int, default=16)
     args = parser.parse_args()
 
     cfg = (
@@ -71,11 +75,24 @@ def main():
     if args.denoiser_strength > 0:
         _, denoise = make_denoiser(model, variables)
 
-    infer = jax.jit(
-        lambda v, mel, key: model.apply(
-            v, mel, key, args.sigma, method=WaveGlow.infer
+    if args.chunk_frames > 0:
+        from functools import partial
+
+        from text2speech_tpu.models.chunked import infer_long
+
+        infer = jax.jit(
+            partial(
+                infer_long, model, sigma=args.sigma,
+                chunk_frames=args.chunk_frames,
+                overlap_frames=args.overlap_frames,
+            )
         )
-    )
+    else:
+        infer = jax.jit(
+            lambda v, mel, key: model.apply(
+                v, mel, key, args.sigma, method=WaveGlow.infer
+            )
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(args.filelist_path, encoding="utf-8") as f:

@@ -23,6 +23,13 @@ def main():
     cfg = WaveGlowConfig.from_json(args.config) if args.config else WaveGlowConfig()
     training_files = args.training_files or "train_files.txt"
 
+    from text2speech_tpu.parallel import initialize_distributed
+
+    if initialize_distributed():
+        import jax
+
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
+
     trainer = WaveGlowTrainer(cfg, training_files, args.output_directory)
     trainer.restore()
     trainer.fit(args.num_steps)
