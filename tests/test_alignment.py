@@ -1,0 +1,170 @@
+"""Attention actually learns alignment — the pipeline's end-to-end *learning*
+signal (the reference's only "it works" indicator is the alignment plot going
+diagonal during training, ``train.py:236-246`` + ``utils/plotting_utils.py:14``).
+
+A structured synthetic corpus makes it fast and deterministic: every token id
+maps to a fixed sinusoid frequency, each token emits a fixed number of audio
+frames, so mel frame t carries the spectral signature of token t // FPT.
+Location-sensitive attention must discover that monotone text->frame map from
+scratch.  We train a small model until the teacher-forced alignment is
+measurably diagonal (attention mass concentrated on the emitting token,
+attended position marching monotonically), and render the alignment image
+through the production plot path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text2speech_tpu.config import HParams
+from text2speech_tpu.data.dataset import Batch
+from text2speech_tpu.dsp.mel import MelFrontend
+from text2speech_tpu.models.tacotron2 import Tacotron2
+from text2speech_tpu.train.state import create_train_state
+from text2speech_tpu.train.tacotron import make_eval_step, make_train_step
+
+HP = HParams(
+    n_mel_channels=16,
+    embedding_size=32,
+    enc_conv_num_layers=1,
+    enc_conv_channels=32,
+    attention_rnn_dim=64,
+    decoder_rnn_dim=64,
+    attention_dim=32,
+    attention_location_n_filters=8,
+    attention_location_kernel_size=15,
+    prenet_dim=32,
+    postnet_embedding_dim=16,
+    postnet_n_convolutions=2,
+    learning_rate=1e-3,
+    warmup_steps=40,
+    batch_size=16,
+)
+
+N_TOKENS = 18          # distinct "phonemes", ids 2..19 (all inside mel_fmax)
+FPT = 2                # mel frames emitted per token: every other frame is a
+                       # token boundary, so prev-frame copying can't fit the
+                       # targets — attention is the only way down
+T_IN = 16              # token bucket (utterances are 8..16 tokens)
+T_OUT = T_IN * FPT
+HOP = 256
+SR = 22050
+
+
+def make_corpus(n_utts: int, seed: int) -> Batch:
+    """Token sequences -> per-token sinusoid audio -> device log-mels,
+    standardized (silence-floor MSE must not dominate the tone content)."""
+    rng = np.random.RandomState(seed)
+    text = np.zeros((n_utts, T_IN), np.int32)
+    in_lengths = rng.randint(8, T_IN + 1, n_utts).astype(np.int32)
+    wavs = np.zeros((n_utts, T_OUT * HOP), np.float32)
+    t_axis = np.arange(FPT * HOP) / SR
+    for i in range(n_utts):
+        k = in_lengths[i]
+        ids = rng.randint(2, 2 + N_TOKENS, k)
+        text[i, :k] = ids
+        for j, tok in enumerate(ids):
+            freq = 220.0 * (2.0 ** ((tok - 2) / 4.0))  # quarter-octave steps
+            phase = rng.uniform(0, 2 * np.pi)
+            seg = 0.4 * np.sin(2 * np.pi * freq * t_axis + phase)
+            wavs[i, j * FPT * HOP : (j + 1) * FPT * HOP] = seg
+
+    frontend = MelFrontend(n_mel_channels=HP.n_mel_channels, sampling_rate=SR)
+    mel = np.asarray(jax.jit(frontend.mel_spectrogram)(jnp.asarray(wavs)))
+    mel = mel[:, :, :T_OUT]
+    mel = (mel - mel.mean()) / (mel.std() + 1e-6)
+    out_lengths = (in_lengths * FPT).astype(np.int32)
+    frame_idx = np.arange(T_OUT)[None, :]
+    mel = np.where(frame_idx[:, None, :] < out_lengths[:, None, None], mel, 0.0)
+    gate = (frame_idx >= (out_lengths - 1)[:, None]).astype(np.float32)
+    return Batch(
+        text=text,
+        input_lengths=in_lengths,
+        mel=mel.astype(np.float32),
+        gate=gate,
+        speaker_id=np.zeros((n_utts,), np.int32),
+        output_lengths=out_lengths,
+    )
+
+
+def diagonality(align: np.ndarray, in_len: np.ndarray, out_len: np.ndarray):
+    """(band mass on the true token, mean attended-position correlation with
+    time).  align: [B, T_dec, T_enc]."""
+    masses, corrs = [], []
+    for b in range(align.shape[0]):
+        a = align[b, : out_len[b], : in_len[b]]
+        a = a / np.maximum(a.sum(-1, keepdims=True), 1e-8)
+        t = np.arange(a.shape[0])
+        true_tok = t // FPT
+        # mass within +-1 token of the emitter
+        j = np.arange(a.shape[1])[None, :]
+        band = np.abs(j - true_tok[:, None]) <= 1
+        masses.append((a * band).sum(-1).mean())
+        expected = (a * j).sum(-1)
+        corrs.append(np.corrcoef(expected, t)[0, 1])
+    return float(np.mean(masses)), float(np.mean(corrs))
+
+
+def test_attention_goes_diagonal(tmp_path):
+    train_batches = [make_corpus(HP.batch_size, seed) for seed in range(8)]
+    val = make_corpus(HP.batch_size, 999)
+
+    model = Tacotron2(HP, n_vocab=80)
+    rng = jax.random.PRNGKey(0)
+    b0 = Batch(*map(jnp.asarray, train_batches[0]))
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        b0.text, b0.input_lengths, b0.mel, b0.output_lengths,
+    )
+    state = create_train_state(HP, variables)
+    step_fn = jax.jit(make_train_step(model, HP))
+    eval_fn = jax.jit(make_eval_step(model))
+
+    def measure(state):
+        _, (_, _, _, align) = eval_fn(
+            state, Batch(*map(jnp.asarray, val)), jax.random.PRNGKey(1)
+        )
+        return diagonality(
+            np.asarray(align), val.input_lengths, val.output_lengths
+        )
+
+    mass0, corr0 = measure(state)
+
+    # Calibration on this corpus (8×16 utts, CPU): init mass ≈ 0.26 (uniform
+    # attention would score 3/12 = 0.25), mass ≈ 0.41 by step ~800 and still
+    # rising at 6000 (0.46); corr ≈ 0.98 throughout once attention locks on.
+    mass = corr = 0.0
+    max_steps, check_every = 3000, 100
+    for step in range(1, max_steps + 1):
+        batch = Batch(*map(jnp.asarray, train_batches[step % len(train_batches)]))
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+        assert np.isfinite(float(metrics["loss"]))
+        if step % check_every == 0:
+            mass, corr = measure(state)
+            if mass > 0.40 and corr > 0.95:
+                break
+
+    # random-init attention is diffuse; trained attention concentrates on the
+    # emitting token and marches monotonically — measurably diagonal.
+    assert mass > 0.40 and corr > 0.95, (
+        f"alignment failed to become diagonal: band mass {mass:.3f} "
+        f"(init {mass0:.3f}), position corr {corr:.3f} (init {corr0:.3f})"
+    )
+    assert mass > mass0 + 0.12
+
+    # render through the production plot path and keep the artifact
+    import matplotlib.pyplot as plt
+
+    from text2speech_tpu.utils.plotting import plot_alignment
+
+    _, (_, _, _, align) = eval_fn(
+        state, Batch(*map(jnp.asarray, val)), jax.random.PRNGKey(1)
+    )
+    img = plot_alignment(
+        np.asarray(align)[0, : val.output_lengths[0], : val.input_lengths[0]].T,
+        info=f"band mass {mass:.2f} corr {corr:.2f}",
+    )
+    assert img.ndim == 3 and img.shape[-1] == 3
+    plt.imsave(str(tmp_path / "alignment.png"), img)

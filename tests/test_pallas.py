@@ -164,3 +164,64 @@ def test_wn_stream_final_end_projection_parity():
             np.asarray(wb.unpad_tiles(want))[:, :n_valid],
             atol=1e-4,
         )
+
+
+def test_wn_stream2_unpadded_matches_padded():
+    """Unpadded streaming kernels (in-kernel edge zero-padding, no pad
+    tiles) == padded streaming kernels on the real region, both rs widths,
+    d=1 and the model's max d=128, including a partial final tile."""
+    from text2speech_tpu.ops.pallas import wn_block as wb
+
+    rng = np.random.RandomState(5)
+    B, C, M, E = 2, 64, 48, 8
+    T = 3 * wb.BT
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32)) * 0.1
+    sp = jnp.asarray(rng.randn(B, T, M).astype(np.float32)) * 0.1
+    w_in = jnp.asarray(rng.randn(3, C, 2 * C).astype(np.float32)) * 0.05
+    b_in = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    w_c = jnp.asarray(rng.randn(M, 2 * C).astype(np.float32)) * 0.05
+    b_c = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
+    w_end = jnp.asarray(rng.randn(C, E).astype(np.float32)) * 0.05
+    b_end = jnp.asarray(rng.randn(E).astype(np.float32)) * 0.05
+    for d, n_valid in ((1, T), (128, T - 200)):
+        # zero rows past n_valid like the serving path's tile mask does
+        mask = (np.arange(T) < n_valid)[None, :, None]
+        xm = x * mask
+        spm = sp * mask
+        acc_np = rng.randn(B, T, C).astype(np.float32) * 0.1 * mask
+        for rs_out in (2 * C, C):
+            w_rs = jnp.asarray(rng.randn(C, rs_out).astype(np.float32)) * 0.05
+            b_rs = jnp.asarray(rng.randn(rs_out).astype(np.float32)) * 0.05
+            xp = wb.pad_tiles(xm)
+            spp = wb.pad_tiles(spm)
+            xa, sa = wb.wn_layer_stream(
+                xp, spp, w_in, b_in, w_c, b_c, w_rs, b_rs,
+                wb.pad_tiles(jnp.asarray(acc_np)), d, n_valid=n_valid,
+            )
+            xb, sb = wb.wn_layer_stream2(
+                xm, spm, w_in, b_in, w_c, b_c, w_rs, b_rs,
+                jnp.asarray(acc_np), d, n_valid=n_valid,
+            )
+            np.testing.assert_allclose(
+                np.asarray(wb.unpad_tiles(xa)), np.asarray(xb), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(wb.unpad_tiles(sa))[:, :n_valid],
+                np.asarray(sb)[:, :n_valid], atol=1e-5,
+            )
+        # final-layer variant
+        w_rs = jnp.asarray(rng.randn(C, C).astype(np.float32)) * 0.05
+        b_rs = jnp.asarray(rng.randn(C).astype(np.float32)) * 0.05
+        want = wb.wn_layer_stream_final(
+            wb.pad_tiles(xm), wb.pad_tiles(spm), w_in, b_in, w_c, b_c,
+            w_rs, b_rs, wb.pad_tiles(jnp.asarray(acc_np)), w_end, b_end, d,
+            n_valid=n_valid,
+        )
+        got = wb.wn_layer_stream2_final(
+            xm, spm, w_in, b_in, w_c, b_c, w_rs, b_rs,
+            jnp.asarray(acc_np), w_end, b_end, d, n_valid=n_valid,
+        )
+        np.testing.assert_allclose(
+            np.asarray(wb.unpad_tiles(want))[:, :n_valid],
+            np.asarray(got)[:, :n_valid], atol=1e-4,
+        )

@@ -9,7 +9,9 @@ everything else (upsample, invertible 1x1, affine coupling) as plain jnp.
 Weight-norm is folded on the fly.
 
 Time axis is tiled: T_groups is zero-extended to a multiple of the kernel
-tile (BT=512) plus one zero pad-tile each side, maintained zero across flows.
+tile (BT=512); the streaming kernels synthesize the conv edge zero-padding
+in-kernel (zero-initialized ring slot on the left, masked lookahead on the
+right), so no grid steps or HBM writes are spent on pad tiles.
 Synthesis within the true length is equivalent to running the unfused model
 on the zero-extended mel, so the last <=128 groups near the true end can
 differ marginally from exact-length unfused inference (standard padded-batch
@@ -25,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WaveGlowConfig
-from ..ops.pallas.wn_block import BT, wn_layer_stream, wn_layer_stream_final
+from ..ops.pallas.wn_block import BT, wn_layer_stream2, wn_layer_stream2_final
 
 
 def _fold(p):
@@ -75,16 +77,17 @@ def infer_fused(
     spect_g = up[:, : Tg * G].reshape(B, Tg, G, -1)
     spect_g = spect_g.transpose(0, 1, 3, 2).reshape(B, Tg, -1)  # [B, Tg, mel*G]
 
-    Tg_r = max(_round_up(Tg, BT), 2 * BT)  # kernel needs >=1 interior tile... >=3 total
-    Tp = Tg_r + 2 * BT
-    ext = jnp.zeros((B, Tg_r - Tg, spect_g.shape[-1]), spect_g.dtype)
-    padz = jnp.zeros((B, BT, spect_g.shape[-1]), spect_g.dtype)
-    spect_p = jnp.concatenate([padz, spect_g, ext, padz], axis=1)  # [B, Tp, 640]
+    # Unpadded tile layout: the streaming kernels synthesize the conv zero
+    # padding at the sequence edges themselves (zero-initialized ring slot /
+    # masked lookahead), so no grid steps are spent on zero pad tiles.
+    Tp = max(_round_up(Tg, BT), BT)
+    ext = jnp.zeros((B, Tp - Tg, spect_g.shape[-1]), spect_g.dtype)
+    spect_p = jnp.concatenate([spect_g, ext], axis=1)            # [B, Tp, 640]
 
     # valid-frame mask: only the REAL Tg frames, not the tile-rounding pad —
     # pad frames must stay zero so halo reads match the reference's implicit
     # conv zero-padding (glow.py:136-137)
-    tile_mask = jnp.zeros((1, Tp, 1), compute_dtype).at[:, BT : BT + Tg].set(1.0)
+    tile_mask = jnp.zeros((1, Tp, 1), compute_dtype).at[:, :Tg].set(1.0)
 
     # --- initial noise -----------------------------------------------------
     key, sub = jax.random.split(key)
@@ -110,7 +113,7 @@ def infer_fused(
         for li in range(L - 1):
             w_in, b_in = _fold(wn[f"in{li}"])
             w_rs, b_rs = _fold(wn[f"res_skip{li}"])
-            xh, skip_total = wn_layer_stream(
+            xh, skip_total = wn_layer_stream2(
                 xh,
                 spect_p.astype(compute_dtype),
                 w_in.astype(compute_dtype),
@@ -131,7 +134,7 @@ def infer_fused(
         w_rs, b_rs = _fold(wn[f"res_skip{li}"])
         end_k = wn["end"]["kernel"][0]
         end_b = wn["end"]["bias"]
-        wn_out = wn_layer_stream_final(
+        wn_out = wn_layer_stream2_final(
             xh,
             spect_p.astype(compute_dtype),
             w_in.astype(compute_dtype),
@@ -166,5 +169,5 @@ def infer_fused(
             )
             audio = jnp.concatenate([z * tile_mask, audio], axis=-1)
 
-    real = audio[:, BT : BT + Tg]                        # [B, Tg, n_group]
+    real = audio[:, :Tg]                                 # [B, Tg, n_group]
     return real.reshape(B, Tg * cfg.n_group).astype(jnp.float32)

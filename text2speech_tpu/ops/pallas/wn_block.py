@@ -362,6 +362,269 @@ def _kernel_stream(x0_ref, spect_ref, w_in_ref, b_in_ref,
         ring[(t + 1) % 2] = x0_ref[0]
 
 
+def _row_mask_np(out_tile, n_valid: int, n_tiles: int, shape):
+    """Unpadded-layout validity mask: real frame index of row r in output
+    tile j is j*BT + r."""
+    if n_valid >= n_tiles * BT:
+        return None
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return (out_tile * BT + rows) < n_valid
+
+
+def _kernel_stream2(x0_ref, spect_ref, w_in_ref, b_in_ref,
+                    w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
+                    x_out_ref, skip_out_ref, ring, *,
+                    dilation: int, n_tiles: int, has_res: bool, n_valid: int):
+    """Streaming WN layer on the UNPADDED layout: no zero pad tiles, so no
+    grid steps are spent writing them (7% of the grid at 26 real tiles).
+    Left halo: ring slot 0 is zero-initialized at t=0 (the conv's implicit
+    zero padding, glow.py:136-137).  Right halo: the lookahead tile is
+    clamped at the last tile, so the final output tile selects zeros
+    instead."""
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+
+    @pl.when(t == 0)
+    def _():
+        ring[0] = jnp.zeros_like(ring[0])
+
+    @pl.when(t >= 1)
+    def _():
+        w = w_in_ref[...]
+        prev1 = ring[t % 2]        # tile j
+        prev2 = ring[(t + 1) % 2]  # tile j-1 (zeros when j == 0)
+        left = prev2[BT - d :, :]
+        mid = prev1
+        # lookahead tile j+1; at the last output tile the index map clamps
+        # to tile j itself — mask to the zero padding the conv semantics need
+        right = jnp.where(j < n_tiles - 1, x0_ref[0, :d, :], 0)
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        cond = (
+            jnp.dot(spect_ref[0], w_cond_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_cond_ref[...]
+        )
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        acc = acc_ref[0]
+        vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
+        if has_res:
+            x_out_ref[0] = _mask_rows(
+                (mid.astype(jnp.float32) + rs[:, :C]).astype(x_out_ref.dtype),
+                vmask,
+            )
+            skip_out_ref[0] = acc + rs[:, C:].astype(acc.dtype)
+        else:
+            x_out_ref[0] = _mask_rows(mid, vmask)
+            skip_out_ref[0] = acc + rs.astype(acc.dtype)
+
+    @pl.when(t <= n_tiles - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream2(
+    x: jnp.ndarray,         # [B, T, C] hidden, T % BT == 0, NO pad tiles
+    spect: jnp.ndarray,     # [B, T, M]
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    w_cond: jnp.ndarray,
+    b_cond: jnp.ndarray,
+    w_rs: jnp.ndarray,
+    b_rs: jnp.ndarray,
+    skip_acc: jnp.ndarray,  # [B, T, C]
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+):
+    """Unpadded streaming fused WN layer -> (x_new, skip_acc + skip)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, C = x.shape
+    M = spect.shape[-1]
+    assert T % BT == 0 and dilation <= BT
+    n_tiles = T // BT
+    has_res = w_rs.shape[-1] == 2 * C
+    if n_valid is None:
+        n_valid = T
+
+    def out_idx(b, t, n=n_tiles):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream2, dilation=dilation, n_tiles=n_tiles, has_res=has_res,
+        n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    x_out, skip_out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_tiles: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, M), out_idx),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((M, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec(w_rs.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_rs.shape, lambda b, t: (0,)),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), x.dtype),
+            jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, C), x.dtype)],
+        input_output_aliases={8: 1},
+        interpret=interpret,
+    )(x, spect, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc)
+    return x_out, skip_out
+
+
+def _kernel_stream2_final(x0_ref, spect_ref, w_in_ref, b_in_ref,
+                          w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
+                          w_end_ref, b_end_ref, wn_out_ref, ring, *,
+                          dilation: int, n_tiles: int, n_valid: int):
+    """Unpadded streaming final layer + folded end projection."""
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+
+    @pl.when(t == 0)
+    def _():
+        ring[0] = jnp.zeros_like(ring[0])
+
+    @pl.when(t >= 1)
+    def _():
+        w = w_in_ref[...]
+        prev1 = ring[t % 2]
+        prev2 = ring[(t + 1) % 2]
+        left = prev2[BT - d :, :]
+        mid = prev1
+        right = jnp.where(j < n_tiles - 1, x0_ref[0, :d, :], 0)
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        cond = (
+            jnp.dot(spect_ref[0], w_cond_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_cond_ref[...]
+        )
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        skip = acc_ref[0].astype(jnp.float32) + rs
+        wn_out_ref[0] = (
+            jnp.dot(skip.astype(w.dtype), w_end_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_end_ref[...]
+        )
+
+    @pl.when(t <= n_tiles - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream2_final(
+    x: jnp.ndarray,
+    spect: jnp.ndarray,
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    w_cond: jnp.ndarray,
+    b_cond: jnp.ndarray,
+    w_rs: jnp.ndarray,      # [C, C]
+    b_rs: jnp.ndarray,
+    skip_acc: jnp.ndarray,
+    w_end: jnp.ndarray,     # [C, E]
+    b_end: jnp.ndarray,
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+) -> jnp.ndarray:
+    """Unpadded streaming final WN layer + end projection -> wn_out
+    [B, T, E] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, C = x.shape
+    M = spect.shape[-1]
+    E = w_end.shape[-1]
+    assert T % BT == 0 and dilation <= BT
+    assert w_rs.shape[-1] == C
+    n_tiles = T // BT
+    if n_valid is None:
+        n_valid = T
+
+    def out_idx(b, t, n=n_tiles):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream2_final, dilation=dilation, n_tiles=n_tiles,
+        n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    (wn_out,) = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_tiles: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, M), out_idx),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((M, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((C, E), lambda b, t: (0, 0)),
+            pl.BlockSpec((E,), lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, E), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, C), x.dtype)],
+        interpret=interpret,
+    )(x, spect, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc,
+      w_end, b_end)
+    return wn_out
+
+
 def _kernel_stream_final(x0_ref, spect_ref, w_in_ref, b_in_ref,
                          w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
                          w_end_ref, b_end_ref, wn_out_ref, ring, *,
