@@ -40,9 +40,12 @@ SR = 22050
 HOP = 256
 
 
-def _time_scaled(fn, args_small, args_big, scale_items: int, repeats: int = 3):
+def _time_scaled(fn, args_small, args_big, scale_items: int, repeats: int = 5):
     """Median of (T(big) - T(small)) / scale_items with scalar-readback
-    blocking; both variants pre-compiled and warmed."""
+    blocking; both variants pre-compiled and warmed.  The median is taken
+    over UNCLAMPED diffs (tunnel jitter can make individual diffs negative;
+    clamping before the median would turn noise into a bogus huge rate) and
+    only the final median is floored."""
     for args in (args_small, args_big):
         float(fn(*args))  # compile + warm
     diffs = []
@@ -53,8 +56,8 @@ def _time_scaled(fn, args_small, args_big, scale_items: int, repeats: int = 3):
         t0 = time.perf_counter()
         float(fn(*args_big))
         t_big = time.perf_counter() - t0
-        diffs.append(max(t_big - t_small, 1e-9))
-    return float(np.median(diffs)) / scale_items
+        diffs.append(t_big - t_small)
+    return max(float(np.median(diffs)), 1e-9) / scale_items
 
 
 def bench_waveglow(batch: int = 4, frames: int = 400):
@@ -187,7 +190,7 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_preprocess_device(batch: int = 8, seconds: float = 3.0, sr: int = 22050):
+def bench_preprocess_device(batch: int = 32, seconds: float = 3.0, sr: int = 22050):
     """Device DSP-core throughput (fused mel+linear MXU STFT) in mel
     frames/sec, batch-scaled with scalar readback — transfers excluded.
 
@@ -213,7 +216,7 @@ def bench_preprocess_device(batch: int = 8, seconds: float = 3.0, sr: int = 2205
     y1 = jnp.asarray(rng.randn(batch, T), jnp.float32)
     y4 = jnp.asarray(rng.randn(4 * batch, T), jnp.float32)
     jax.block_until_ready((y1, y4))
-    sec_per_item = _time_scaled(fn, (y1,), (y4,), 3 * batch)
+    sec_per_item = _time_scaled(fn, (y1,), (y4,), 3 * batch, repeats=9)
     return frames_per_item / sec_per_item
 
 
