@@ -8,3 +8,8 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .tp import (  # noqa: F401
+    MODEL_AXIS,
+    infer_waveglow_tp,
+    shard_waveglow_params,
+)
