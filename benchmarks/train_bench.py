@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Training-step throughput on the attached TPU (run on demand; not part of
+the driver's bench.py to keep its runtime bounded).
+
+Prints one JSON line:
+  {"waveglow_train_samples_per_sec": ..., "tacotron_train_frames_per_sec": ...}
+
+Same batch-scaling methodology as bench.py (the tunnel's dispatch latency
+swamps wall timing, so T(4B) - T(B) is attributed to 3B batch items of pure
+compute, blocked via scalar readback).  WaveGlow trains at the reference
+config (512-ch WN, 16000-sample segments, waveglow/config.json:8,14);
+Tacotron at the reference batch-32 hparams on bucketed shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_bench_cache")),
+)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time_scaled(fn, args_small, args_big, scale_items, repeats=5):
+    for args in (args_small, args_big):
+        float(fn(*args))
+    diffs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args_small))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fn(*args_big))
+        t_b = time.perf_counter() - t0
+        diffs.append(t_b - t_s)
+    return max(float(np.median(diffs)), 1e-9) / scale_items
+
+
+def bench_waveglow_train(batch=3):
+    import optax
+
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.models.losses import waveglow_loss
+
+    cfg = WaveGlowConfig()          # reference config: 512ch, seg 16000
+    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    seg = cfg.segment_length
+    frames = seg // cfg.hop_length + 1
+
+    def make(b):
+        r = np.random.RandomState(b)
+        return (
+            jnp.asarray(r.randn(b, cfg.n_mel_channels, frames), jnp.float32),
+            jnp.asarray(r.randn(b, seg) * 0.1, jnp.float32),
+        )
+
+    variables = jax.jit(model.init)(rng, *map(lambda x: x[:1], make(1)))
+    tx = optax.adam(cfg.learning_rate)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def step(params, opt_state, mel, audio):
+        def loss_fn(p):
+            z, log_s, log_det = model.apply({"params": p}, mel, audio)
+            return waveglow_loss(
+                z.transpose(0, 2, 1), log_s, log_det, cfg.sigma
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    def run(mel, audio):
+        p, o, loss = step(params, opt_state, mel, audio)
+        return loss
+
+    m1, a1 = make(batch)
+    m4, a4 = make(4 * batch)
+    jax.block_until_ready((m1, a1, m4, a4))
+    sec_per_item = _time_scaled(run, (m1, a1), (m4, a4), 3 * batch)
+    return seg / sec_per_item       # audio samples trained / sec
+
+
+def bench_tacotron_train(batch=8, t_in=128, t_out=400):
+    from text2speech_tpu.config import HParams
+    from text2speech_tpu.data.dataset import Batch
+    from text2speech_tpu.models.tacotron2 import Tacotron2
+    from text2speech_tpu.text import N_SYMBOLS
+    from text2speech_tpu.train.state import create_train_state
+    from text2speech_tpu.train.tacotron import make_train_step
+
+    hp = HParams()
+    model = Tacotron2(hp, n_vocab=N_SYMBOLS)
+    rng = jax.random.PRNGKey(0)
+
+    def make(b):
+        return Batch(
+            text=jnp.zeros((b, t_in), jnp.int32) + 3,
+            input_lengths=jnp.full((b,), t_in, jnp.int32),
+            mel=jnp.zeros((b, hp.n_mel_channels, t_out), jnp.float32),
+            gate=jnp.zeros((b, t_out), jnp.float32).at[:, -1].set(1.0),
+            speaker_id=jnp.zeros((b,), jnp.int32),
+            output_lengths=jnp.full((b,), t_out, jnp.int32),
+        )
+
+    b1 = make(batch)
+    variables = jax.jit(model.init)(
+        {"params": rng, "dropout": rng},
+        b1.text, b1.input_lengths, b1.mel, b1.output_lengths,
+    )
+    state = create_train_state(hp, variables)
+    jax.block_until_ready(state.params)
+    step_fn = jax.jit(make_train_step(model, hp))
+
+    def run(batch_):
+        _, metrics = step_fn(state, batch_, rng)
+        return metrics["loss"]
+
+    b4 = make(4 * batch)
+    sec_per_item = _time_scaled(run, (b1,), (b4,), 3 * batch)
+    return t_out / sec_per_item     # mel frames trained / sec
+
+
+def main():
+    wg = bench_waveglow_train()
+    taco = bench_tacotron_train()
+    print(json.dumps({
+        "waveglow_train_samples_per_sec": round(wg, 1),
+        "tacotron_train_frames_per_sec": round(taco, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -281,3 +281,11 @@ def test_initialize_distributed_trigger_logic(monkeypatch):
     monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
     assert pmesh.initialize_distributed() is True
     assert calls[-1]["coordinator_address"] is None  # jax auto-detects
+    monkeypatch.delenv("SLURM_JOB_NUM_NODES")
+
+    # single-host rigs export TPU_WORKER_HOSTNAMES=localhost — NOT a pod
+    n = len(calls)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert pmesh.initialize_distributed() is False and len(calls) == n
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1,host2,host3")
+    assert pmesh.initialize_distributed() is True and len(calls) == n + 1

@@ -45,8 +45,12 @@ def initialize_distributed(
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
     )
+    # TPU_WORKER_HOSTNAMES is set even on single-host rigs (e.g.
+    # "localhost"); only a multi-entry list implies a pod's worth of
+    # processes needing the distributed runtime.
+    tpu_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     auto_detectable = (
-        os.environ.get("TPU_WORKER_HOSTNAMES")
+        len([h for h in tpu_hosts.split(",") if h.strip()]) > 1
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
         or int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1) > 1
     )
