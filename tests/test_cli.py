@@ -158,3 +158,37 @@ def test_mel2samp_cli(corpus, tmp_path):
     assert len(mels) == 1
     m = np.load(mels[0])
     assert m.shape[0] == 80
+
+
+def test_train_cli_from_npz(corpus, tmp_path):
+    """The reference's preprocess -> npz -> datafeeder training flow:
+    train.py auto-detects a preprocessed corpus and trains through
+    NpzDataFeeder (no STFT at train time)."""
+    out = tmp_path / "pp_npz"
+    r = run_cli(
+        "preprocess.py",
+        ["--in_dir", str(corpus), "--out_dir", str(out),
+         "--hparams", str(corpus / "tiny_hparams.json"), "--device_batch", "4"],
+        cwd=str(corpus),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # frames per utterance (~32-40) must fit under the feeder's frame cap
+    from text2speech_tpu.config import HParams
+
+    hp_path = tmp_path / "npz_hp.json"
+    HParams(**{**TINY_HP, "max_decoder_steps": 64}).save(str(hp_path))
+
+    log_dir = tmp_path / "runs_npz"
+    r2 = run_cli(
+        "train.py",
+        ["--data_paths", str(out), "--log_dir", str(log_dir),
+         "--hparams", str(hp_path), "--num_steps", "2",
+         "--checkpoint_interval", "10"],
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "training from preprocessed npz" in (r2.stdout + r2.stderr)
+    run_dirs = list(log_dir.iterdir())
+    assert len(run_dirs) == 1
+    assert (run_dirs[0] / "checkpoints").exists()

@@ -139,6 +139,10 @@ class TextMelDataset:
         ids = text_to_sequence(text)
         return wav, ids, speaker
 
+    def sample_batch(self) -> Batch:
+        """A tiny batch for model init (shape discovery only)."""
+        return self.make_batch(self.items[:2])
+
     def make_batch(self, items) -> Batch:
         """Assemble one padded batch; device-side batched mel extraction."""
         hp = self.hp

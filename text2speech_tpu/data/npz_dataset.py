@@ -106,6 +106,12 @@ class NpzDataFeeder:
         speakers = np.asarray([c for _, _, c in items], np.int32)
         return Batch(text, in_lengths, mel, gate, speakers, out_lengths)
 
+    def sample_batch(self) -> Batch:
+        """A tiny batch for model init (shape discovery only)."""
+        paths = [(self.corpus_files[0][i % len(self.corpus_files[0])], 0)
+                 for i in range(2)]
+        return self.make_batch(paths)
+
     def epoch(self, epoch_idx: int, start_step: int = 0) -> Iterator[Batch]:
         rng = np.random.RandomState(self.shuffle_seed + epoch_idx)
         for step in range(start_step, len(self)):

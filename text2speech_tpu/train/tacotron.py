@@ -14,6 +14,7 @@ training runs regardless of speaker count (reference only trains when
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -93,34 +94,58 @@ class TacotronTrainer:
         mesh=None,
         num_test_per_speaker: int = 0,
         skip_path_filter: bool = False,
+        data_format: str = "auto",
     ):
         self.hp = hp
         self.run_dir = run_dir
         self.mesh = mesh if mesh is not None else make_data_mesh(hp.batch_size)
-        self.dataset = TextMelDataset(
-            data_dirs, hp, "train", skip_path_filter=skip_path_filter
-        )
-        try:
-            self.valset = TextMelDataset(
-                data_dirs, hp, "val", skip_path_filter=skip_path_filter
+        # auto-detect preprocessed corpora: dirs of preprocess.py output
+        # (*.npz) train through the npz feeder — the reference's
+        # preprocess -> datafeeder_tacotron path; raw transcript corpora
+        # compute mels on the fly
+        if data_format == "auto":
+            import glob as _glob
+
+            data_format = (
+                "npz"
+                if data_dirs and _glob.glob(os.path.join(data_dirs[0], "*.npz"))
+                else "wav"
             )
-        except FileNotFoundError:
+        if data_format == "npz":
+            from ..data.npz_dataset import NpzDataFeeder
+
+            self.dataset = NpzDataFeeder(
+                data_dirs, hp, max_n_frame=hp.max_decoder_steps
+            )
             self.valset = None
-        if self.valset is None and num_test_per_speaker > 0:
-            # no val.txt shipped: hold out N utterances per speaker from the
-            # training manifest (reference --num_test_per_speaker semantics)
-            self.valset = self.dataset.hold_out_per_speaker(num_test_per_speaker)
-            if self.valset is not None:
-                log(
-                    f"held out {len(self.valset.items)} utterances "
-                    f"({num_test_per_speaker}/speaker) for validation"
+            log(f"training from preprocessed npz ({len(self.dataset)} batches/epoch)")
+        else:
+            self.dataset = TextMelDataset(
+                data_dirs, hp, "train", skip_path_filter=skip_path_filter
+            )
+            try:
+                self.valset = TextMelDataset(
+                    data_dirs, hp, "val", skip_path_filter=skip_path_filter
                 )
+            except FileNotFoundError:
+                self.valset = None
+            if self.valset is None and num_test_per_speaker > 0:
+                # no val.txt shipped: hold out N utterances per speaker from
+                # the training manifest (--num_test_per_speaker semantics)
+                self.valset = self.dataset.hold_out_per_speaker(
+                    num_test_per_speaker
+                )
+                if self.valset is not None:
+                    log(
+                        f"held out {len(self.valset.items)} utterances "
+                        f"({num_test_per_speaker}/speaker) for validation"
+                    )
 
         from ..text import N_SYMBOLS
 
         self.model = Tacotron2(hp, n_vocab=N_SYMBOLS, num_speakers=len(data_dirs))
         rng = jax.random.PRNGKey(hp.seed)
-        sample = self.dataset.make_batch(self.dataset.items[:2])
+        sample = self.dataset.sample_batch()
         variables = jax.jit(self.model.init)(
             {"params": rng, "dropout": rng},
             jnp.asarray(sample.text),

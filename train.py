@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--num_steps", type=int, default=100000)
     parser.add_argument("--hparams", default=None,
                         help="params.json overriding the defaults")
+    parser.add_argument("--data_format", choices=["auto", "wav", "npz"],
+                        default="auto",
+                        help="'npz' trains from preprocess.py output "
+                             "(auto-detected when data_paths contain .npz)")
     args = parser.parse_args()
 
     data_paths = args.data_paths.split(",")
@@ -73,6 +77,7 @@ def main():
         logger_dir=args.logger_path,
         num_test_per_speaker=args.num_test_per_speaker,
         skip_path_filter=args.skip_path_filter,
+        data_format=args.data_format,
     )
     trainer.restore(args.checkpoint_file)
     trainer.fit(args.num_steps)
