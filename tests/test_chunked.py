@@ -120,3 +120,42 @@ def test_chunked_deterministic_from_key(model_and_vars):
         chunk_frames=64, overlap_frames=32,
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_fused_matches_fused_single_pass(model_and_vars, monkeypatch):
+    """Chunked long-form synthesis through the fused-Pallas serving path
+    (interpret mode on CPU) equals single-pass infer_fused with the same
+    full-utterance noise — the production long-form configuration.  The
+    fused vocoder is pinned to fp32 on both sides so the comparison is
+    numerical, not bf16-fuzzy."""
+    import functools
+
+    from text2speech_tpu.models import waveglow_fused as wf
+
+    model, variables = model_and_vars
+    frames = 200
+    rng = np.random.RandomState(3)
+    spect = jnp.asarray(
+        rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(11), 1, frames * gpf)
+
+    ref = wf.infer_fused(
+        variables["params"], CFG, spect, None, 0.9,
+        compute_dtype=jnp.float32, noise=noise,
+    )
+    # infer_long's fused branch resolves wf.infer_fused at call time, so the
+    # fp32 pin applies to every window call
+    monkeypatch.setattr(
+        wf, "infer_fused",
+        functools.partial(wf.infer_fused, compute_dtype=jnp.float32),
+    )
+    out = infer_long(
+        model, variables, spect, None, sigma=0.9,
+        chunk_frames=48, overlap_frames=40, noise=noise, fused=True,
+    )
+    assert out.shape == ref.shape == (1, frames * CFG.upsample_stride)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-4, rtol=0
+    )

@@ -70,9 +70,12 @@ class Synthesizer:
 
         from .models.chunked import infer_long
 
+        use_fused = self.use_fused_vocoder
+
         def audio_long_fn(variables, mel, noise, sigma, chunk, ov):
             return infer_long(
-                wg, variables, mel, None, sigma, chunk, ov, noise=noise
+                wg, variables, mel, None, sigma, chunk, ov, noise=noise,
+                fused=use_fused,
             )
 
         self._infer_mel = jax.jit(mel_fn, static_argnames=("max_steps",))

@@ -66,17 +66,21 @@ def infer_long(
     chunk_frames: int = 256,
     overlap_frames: int = 16,
     noise: tuple[jnp.ndarray, ...] | None = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """mel [B, n_mel, frames] -> audio [B, frames * hop], chunked on frames.
 
     All windows have identical width (``chunk + 2*overlap`` frames; boundary
     windows are position-clamped, not shortened), so the stacked
     ``[B * n_windows]`` batch compiles once and runs as one device call.
-    Falls back to a single ``WaveGlow.infer`` pass when the utterance is
-    shorter than one window.
+    Falls back to a single pass when the utterance is shorter than one
+    window.
 
     ``noise`` optionally supplies the full-utterance draws explicitly (see
-    :func:`draw_noise`); otherwise they are drawn from ``key``.
+    :func:`draw_noise`); otherwise they are drawn from ``key``.  ``fused``
+    vocodes each window through the fused-Pallas serving path
+    (:func:`..models.waveglow_fused.infer_fused`) instead of the flax
+    reverse pass — the production long-form serving configuration.
     """
     cfg = model.cfg
     hop = cfg.upsample_stride
@@ -91,12 +95,24 @@ def infer_long(
             key = jax.random.PRNGKey(0)
         noise = draw_noise(cfg, key, B, t_groups, jnp.float32)
 
+    if fused:
+        from .waveglow_fused import infer_fused
+
+        def vocode(mel_w, noise_w):
+            return infer_fused(
+                variables["params"], cfg, mel_w, None, sigma, noise=noise_w
+            )
+    else:
+
+        def vocode(mel_w, noise_w):
+            return model.apply(
+                variables, mel_w, None, sigma, noise=noise_w,
+                method=WaveGlow.infer,
+            )
+
     width = chunk_frames + 2 * overlap_frames
     if frames <= width:
-        return model.apply(
-            variables, spect, None, sigma, noise=noise,
-            method=WaveGlow.infer,
-        )
+        return vocode(spect, noise)
 
     n_windows = -(-frames // chunk_frames)
     starts = [i * chunk_frames for i in range(n_windows)]
@@ -115,9 +131,7 @@ def infer_long(
         for z in noise
     )
 
-    audio_w = model.apply(
-        variables, mel_w, None, sigma, noise=noise_w, method=WaveGlow.infer,
-    )                                  # [n*B, width * hop]
+    audio_w = vocode(mel_w, noise_w)   # [n*B, width * hop]
     audio_w = audio_w.reshape(n_windows, B, width * hop)
 
     pieces = []

@@ -47,11 +47,18 @@ def infer_fused(
     params: dict,
     cfg: WaveGlowConfig,
     spect: jnp.ndarray,          # [B, n_mel, frames]
-    key: jax.Array,
+    key: jax.Array | None,
     sigma: float = 1.0,
     compute_dtype=jnp.bfloat16,
+    noise: tuple[jnp.ndarray, ...] | None = None,
 ) -> jnp.ndarray:
-    """mel -> audio [B, samples] with fused WN layers."""
+    """mel -> audio [B, samples] with fused WN layers.
+
+    ``noise`` optionally supplies the standard-normal draws explicitly
+    (same contract as ``WaveGlow.infer`` / :func:`..models.chunked.draw_noise`:
+    one [B, T_groups, C] array per consumption point at the TRUE length);
+    they are zero-extended to the tile-rounded length internally.  Used by
+    chunked long-form synthesis so windows see consistent overlap noise."""
     B = spect.shape[0]
     L, C = cfg.wn_n_layers, cfg.wn_n_channels
 
@@ -90,10 +97,23 @@ def infer_fused(
     tile_mask = jnp.zeros((1, Tp, 1), compute_dtype).at[:, :Tg].set(1.0)
 
     # --- initial noise -----------------------------------------------------
-    key, sub = jax.random.split(key)
-    audio = sigma * jax.random.normal(
-        sub, (B, Tp, cfg.n_remaining_channels), compute_dtype
-    )
+    noise_iter = iter(noise) if noise is not None else None
+
+    def next_noise(shape):
+        nonlocal key
+        if noise_iter is not None:
+            z = next(noise_iter, None)
+            assert z is not None and z.shape == (B, Tg, shape[-1]), (
+                "noise tuple must match draw_noise(cfg, key, B, Tg) order"
+            )
+            pad = jnp.zeros((B, Tp - Tg, shape[-1]), compute_dtype)
+            return jnp.concatenate([z.astype(compute_dtype), pad], axis=1)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, sub = jax.random.split(key)
+        return jax.random.normal(sub, shape, compute_dtype)
+
+    audio = sigma * next_noise((B, Tp, cfg.n_remaining_channels))
     audio = audio * tile_mask
 
     for k_flow in reversed(range(cfg.n_flows)):
@@ -163,10 +183,7 @@ def infer_fused(
         ).astype(compute_dtype)
 
         if k_flow % cfg.n_early_every == 0 and k_flow > 0:
-            key, sub = jax.random.split(key)
-            z = sigma * jax.random.normal(
-                sub, (B, Tp, cfg.n_early_size), compute_dtype
-            )
+            z = sigma * next_noise((B, Tp, cfg.n_early_size))
             audio = jnp.concatenate([z * tile_mask, audio], axis=-1)
 
     real = audio[:, :Tg]                                 # [B, Tg, n_group]
