@@ -154,6 +154,40 @@ def test_attention_goes_diagonal(tmp_path):
     )
     assert mass > mass0 + 0.12
 
+    # The model must also SYNTHESIZE the right content autoregressively
+    # (inference path: prenet feedback + gate stopping, no teacher forcing).
+    # Calibration at the early-exit point (~800-1000 steps): dominant-channel
+    # match ≈ 0.43 (chance ≈ 0.19 for the ±1-of-16-channels criterion),
+    # predicted stop lengths within a few frames of truth (corr ≈ 1).
+    infer = jax.jit(
+        lambda v, t, l: model.apply(
+            v, t, text_lengths=l, max_steps=T_OUT,
+            method=Tacotron2.inference, rngs={"dropout": jax.random.PRNGKey(9)},
+        )
+    )
+    _, mel_post, _, _, out_len = infer(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(val.text), jnp.asarray(val.input_lengths),
+    )
+    mel_post = np.asarray(mel_post)
+    out_len = np.asarray(out_len)
+
+    match = tot = 0
+    for b in range(val.text.shape[0]):
+        for j in range(int(val.input_lengths[b])):
+            fr = slice(j * FPT, (j + 1) * FPT)
+            ch_t = int(val.mel[b][:, fr].mean(axis=1).argmax())
+            ch_p = int(mel_post[b][:, fr].mean(axis=1).argmax())
+            match += abs(ch_p - ch_t) <= 1
+            tot += 1
+    content = match / tot
+    len_err = np.abs(out_len - val.output_lengths).mean()
+    len_corr = np.corrcoef(out_len, val.output_lengths)[0, 1]
+    assert content > 0.32, f"synthesized content match {content:.3f}"
+    assert len_err < 6.0 and len_corr > 0.8, (
+        f"gate stopping off: mean |len err| {len_err:.1f}, corr {len_corr:.2f}"
+    )
+
     # render through the production plot path and keep the artifact
     import matplotlib.pyplot as plt
 
