@@ -163,6 +163,18 @@ def test_waveglow_inference_cli(ckpts, tmp_path):
     _, wav2 = wavfile.read(str(out2 / "m0_synthesis.wav"))
     assert wav2.size == frames * TINY_WG["upsample_stride"]
 
+    # fused-Pallas serving path (interpret mode in the CPU subprocess)
+    out3 = tmp_path / "wavs_fused"
+    r3 = run_cli(
+        "waveglow_inference.py",
+        ["-f", str(filelist), "-w", ckpts["wg"], "-o", str(out3),
+         "--config", ckpts["wg_cfg"], "-s", "0.6", "--fused"],
+        cwd=str(tmp_path),
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    _, wav3 = wavfile.read(str(out3 / "m0_synthesis.wav"))
+    assert wav3.size == frames * TINY_WG["upsample_stride"]
+
 
 def test_convert_checkpoint_cli_end_to_end(tmp_path):
     """Real torch checkpoint -> convert_checkpoint.py CLI -> Orbax ->

@@ -202,3 +202,20 @@ def test_load_synthesizer_without_vocoder_checkpoint(tmp_path):
     synth = load_synthesizer(HP, tdir, WG, None, use_denoiser=False)
     mel, lengths = synth.text_to_mel(["안녕하세요."])
     assert np.isfinite(np.asarray(mel)).all() and int(lengths[0]) >= 1
+
+
+def test_synthesize_stream(synthesizer):
+    """Long-form text streams sentence-by-sentence in reading order,
+    batched max_batch at a time (first audio after one batch, not after
+    the whole document)."""
+    text = "안녕하세요. 존경하는 사람. 네. 오늘 날씨가 좋다. 감사합니다."
+    got = list(synthesizer.synthesize_stream(text, max_batch=2))
+    assert len(got) == 5
+    sents = [s for s, _ in got]
+    assert sents[0] == "안녕하세요." and sents[-1] == "감사합니다."
+    for _, wav in got:
+        assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
+    # deterministic across calls
+    again = list(synthesizer.synthesize_stream(text, max_batch=2))
+    for (_, a), (_, b) in zip(got, again):
+        np.testing.assert_array_equal(a, b)

@@ -193,6 +193,33 @@ class Synthesizer:
             for i in range(audio.shape[0])
         ]
 
+    def synthesize_stream(
+        self,
+        text: str,
+        sigma: float = 0.666,
+        seed: int = 0,
+        denoiser_strength: float = 0.0,
+        max_batch: int = 8,
+        max_steps: int | None = None,
+    ):
+        """Incremental synthesis of long-form text: split into sentences
+        (the normalizer's punkt-equivalent splitter), synthesize
+        ``max_batch`` sentences per device call, and yield
+        ``(sentence, waveform)`` pairs in reading order as each batch
+        completes — first audio is ready after one batch instead of after
+        the whole document."""
+        from .text import split_sentences
+
+        sentences = split_sentences(text)
+        for i in range(0, len(sentences), max_batch):
+            chunk = sentences[i : i + max_batch]
+            wavs = self.synthesize(
+                chunk, sigma=sigma, seed=seed,
+                denoiser_strength=denoiser_strength, max_steps=max_steps,
+            )
+            for sent, wav in zip(chunk, wavs):
+                yield sent, wav
+
     def synthesize_to_files(self, texts, paths, sample_rate=None, **kw):
         sr = sample_rate or self.wg_cfg.sampling_rate
         for wav, path in zip(self.synthesize(texts, **kw), paths):

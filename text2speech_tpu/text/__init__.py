@@ -20,6 +20,7 @@ import numpy as np
 
 from . import cleaners
 from .hangul import jamo_to_hangul_text
+from .korean import _split_sentences as split_sentences  # noqa: F401
 from .symbols import (  # noqa: F401  (public API re-exports)
     ALL_SYMBOLS,
     EOS,

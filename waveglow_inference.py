@@ -43,6 +43,8 @@ def main():
                         help="frame-axis chunked synthesis for long mels "
                              "(0 = single pass); see models/chunked.py")
     parser.add_argument("--overlap_frames", type=int, default=16)
+    parser.add_argument("--fused", action="store_true",
+                        help="use the fused-Pallas WaveGlow serving path")
     args = parser.parse_args()
 
     cfg = (
@@ -85,6 +87,15 @@ def main():
                 infer_long, model, sigma=args.sigma,
                 chunk_frames=args.chunk_frames,
                 overlap_frames=args.overlap_frames,
+                fused=args.fused,
+            )
+        )
+    elif args.fused:
+        from text2speech_tpu.models.waveglow_fused import infer_fused
+
+        infer = jax.jit(
+            lambda v, mel, key: infer_fused(
+                v["params"], cfg, mel, key, args.sigma
             )
         )
     else:
