@@ -95,7 +95,9 @@ def bench_waveglow(batch: int = 4, frames: int = 400):
     sec_per_item = _time_scaled(
         infer, (params, m1, rng), (params, m4, rng), 3 * batch
     )
-    samples_per_item = (frames + 3) * cfg.upsample_stride  # true Tg * n_group
+    # infer returns exactly frames * stride samples (the subpixel upsample
+    # cut removes the (kernel - stride) transposed-conv tail): [B, F*256].
+    samples_per_item = frames * cfg.upsample_stride
     return samples_per_item / sec_per_item
 
 
