@@ -140,15 +140,15 @@ def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
     for fn in (short, long):
         float(fn(variables, text, lengths, rng))
     diffs = []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         float(short(variables, text, lengths, rng))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(long(variables, text, lengths, rng))
         t_l = time.perf_counter() - t0
-        diffs.append(max(t_l - t_s, 1e-9))
-    sec = float(np.median(diffs))
+        diffs.append(t_l - t_s)
+    sec = max(float(np.median(diffs)), 1e-9)
     return batch * base_steps / sec  # aggregate mel frames / sec
 
 
@@ -192,7 +192,7 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_preprocess_device(batch: int = 32, seconds: float = 3.0, sr: int = 22050):
+def bench_preprocess_device(batch: int = 128, seconds: float = 3.0, sr: int = 22050):
     """Device DSP-core throughput (fused mel+linear MXU STFT) in mel
     frames/sec, batch-scaled with scalar readback — transfers excluded.
 

@@ -225,3 +225,44 @@ def test_wn_stream2_unpadded_matches_padded():
             np.asarray(wb.unpad_tiles(want))[:, :n_valid],
             np.asarray(got)[:, :n_valid], atol=1e-4,
         )
+
+
+def test_wn_stream2_first_composed_taps_parity():
+    """Fused start+layer-0 kernel == start projection followed by the
+    standard unpadded streaming layer with a zero skip accumulator —
+    including sequence edges (folded-bias suppression) and a partial
+    final tile."""
+    from text2speech_tpu.ops.pallas import wn_block as wb
+
+    rng = np.random.RandomState(6)
+    B, C, M, n_half = 2, 64, 48, 4
+    T = 3 * wb.BT
+    for n_valid in (T, T - 300):
+        mask = (np.arange(T) < n_valid)[None, :, None]
+        x0 = jnp.asarray((rng.randn(B, T, n_half) * 0.3 * mask).astype(np.float32))
+        sp = jnp.asarray((rng.randn(B, T, M) * 0.1 * mask).astype(np.float32))
+        start_k = jnp.asarray(rng.randn(n_half, C).astype(np.float32) * 0.2)
+        start_b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+        w_in = jnp.asarray(rng.randn(3, C, 2 * C).astype(np.float32) * 0.05)
+        b_in = jnp.asarray(rng.randn(2 * C).astype(np.float32) * 0.05)
+        w_c = jnp.asarray(rng.randn(M, 2 * C).astype(np.float32) * 0.05)
+        b_c = jnp.asarray(rng.randn(2 * C).astype(np.float32) * 0.05)
+        w_rs = jnp.asarray(rng.randn(C, 2 * C).astype(np.float32) * 0.05)
+        b_rs = jnp.asarray(rng.randn(2 * C).astype(np.float32) * 0.05)
+
+        xh = (jnp.einsum("btn,nc->btc", x0, start_k) + start_b) * mask
+        want_x, want_s = wb.wn_layer_stream2(
+            xh, sp, w_in, b_in, w_c, b_c, w_rs, b_rs,
+            jnp.zeros_like(xh), 1, n_valid=n_valid,
+        )
+        got_x, got_s = wb.wn_layer_stream2_first(
+            x0, sp, start_k, start_b, w_in, b_in, w_c, b_c, w_rs, b_rs,
+            1, n_valid=n_valid,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_x), np.asarray(want_x), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_s)[:, :n_valid], np.asarray(want_s)[:, :n_valid],
+            atol=5e-4,
+        )

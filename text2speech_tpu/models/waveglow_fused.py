@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WaveGlowConfig
-from ..ops.pallas.wn_block import BT, wn_layer_stream2, wn_layer_stream2_final
+from ..ops.pallas.wn_block import (
+    BT,
+    wn_layer_stream2,
+    wn_layer_stream2_final,
+    wn_layer_stream2_first,
+)
 
 
 def _fold(p):
@@ -124,13 +129,37 @@ def infer_fused(
 
         cond_k, cond_b = _fold(wn["cond"])   # [1, M, 2C*L], [2C*L]
         start_k, start_b = _fold(wn["start"])
-        xh = (
-            jnp.einsum("btc,co->bto", x0, start_k[0].astype(compute_dtype))
-            + start_b.astype(compute_dtype)
-        ) * tile_mask
 
-        skip_total = jnp.zeros_like(xh)
-        for li in range(L - 1):
+        if L >= 2:
+            # fused start + layer 0: the hidden input has rank <= n_half, so
+            # the K=C dilated taps collapse onto x0 (K=n_half) — ~8 of 21
+            # MXU passes of a standard layer, and no xh HBM round-trip
+            w_in0, b_in0 = _fold(wn["in0"])
+            w_rs0, b_rs0 = _fold(wn["res_skip0"])
+            xh, skip_total = wn_layer_stream2_first(
+                x0,
+                spect_p.astype(compute_dtype),
+                start_k[0].astype(compute_dtype),
+                start_b.astype(jnp.float32),
+                w_in0.astype(compute_dtype),
+                b_in0.astype(jnp.float32),
+                cond_k[0, :, : 2 * C].astype(compute_dtype),
+                cond_b[: 2 * C].astype(jnp.float32),
+                w_rs0[0].astype(compute_dtype),
+                b_rs0.astype(jnp.float32),
+                dilation=1,
+                n_valid=Tg,
+            )
+            first_done = 1
+        else:
+            xh = (
+                jnp.einsum("btc,co->bto", x0, start_k[0].astype(compute_dtype))
+                + start_b.astype(compute_dtype)
+            ) * tile_mask
+            skip_total = jnp.zeros_like(xh)
+            first_done = 0
+
+        for li in range(first_done, L - 1):
             w_in, b_in = _fold(wn[f"in{li}"])
             w_rs, b_rs = _fold(wn[f"res_skip{li}"])
             xh, skip_total = wn_layer_stream2(

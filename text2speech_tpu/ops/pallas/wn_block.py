@@ -502,6 +502,161 @@ def wn_layer_stream2(
     return x_out, skip_out
 
 
+def _kernel_stream2_first(x0_ref, spect_ref, wp_in_ref, b_in_ref, b_edge_ref,
+                          w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref,
+                          start_k_ref, start_b_ref,
+                          x_out_ref, skip_out_ref, ring, *,
+                          dilation: int, n_tiles: int, n_valid: int):
+    """First WN layer: its hidden input is ``xh = x0 @ start + b_s`` with
+    rank <= n_half (the audio half has 2-4 channels, glow.py:118-121), so
+    the three K=C dilated taps collapse into K=n_half taps COMPOSED onto x0
+    (w'_t = start_k @ w_in[t]) — ~8 of the 21 MXU passes of a standard
+    layer disappear, and the x input shrinks from [T, C] to [T, n_half].
+
+    Bias bookkeeping: the standard kernels see zero xh in the halo beyond
+    the sequence, so the folded per-tap bias b_s @ w_t must be suppressed
+    where that tap reads out-of-range rows: b_in_ref carries
+    b_in + b_s @ (w_0 + w_1 + w_2) and b_edge_ref carries
+    [b_s @ w_0, b_s @ w_2] to subtract at the d edge rows.  The skip
+    accumulator starts at zero here, so there is no acc input."""
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+
+    @pl.when(t == 0)
+    def _():
+        ring[0] = jnp.zeros_like(ring[0])
+
+    @pl.when(t >= 1)
+    def _():
+        wp = wp_in_ref[...]                       # [3, n_half, 2C] composed
+        prev1 = ring[t % 2]                       # x0 tile j
+        prev2 = ring[(t + 1) % 2]
+        left = prev2[BT - d :, :]
+        mid = prev1
+        right = jnp.where(j < n_tiles - 1, x0_ref[0, :d, :], 0)
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        cond = (
+            jnp.dot(spect_ref[0], w_cond_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_cond_ref[...]
+        )
+        in_act = (
+            jnp.dot(xwin[0:BT], wp[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], wp[1],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], wp[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond
+        )
+        # suppress the folded start-bias where a tap read beyond the
+        # sequence (left tap at rows < d of row 0; right tap at rows
+        # >= n_valid - d)
+        rows = j * BT + jax.lax.broadcasted_iota(jnp.int32, (BT, 1), 0)
+        b_edge = b_edge_ref[...]
+        in_act = in_act - jnp.where(rows < d, b_edge[0], 0.0)
+        in_act = in_act - jnp.where(rows >= n_valid - d, b_edge[1], 0.0)
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            wp.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        # hidden state for the residual output, computed in-kernel (K=n_half)
+        xh = (
+            jnp.dot(mid, start_k_ref[...], preferred_element_type=jnp.float32)
+            + start_b_ref[...]
+        )
+        vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
+        x_out_ref[0] = _mask_rows(
+            (xh + rs[:, :C]).astype(x_out_ref.dtype), vmask
+        )
+        skip_out_ref[0] = rs[:, C:].astype(skip_out_ref.dtype)
+
+    @pl.when(t <= n_tiles - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream2_first(
+    x0: jnp.ndarray,        # [B, T, n_half] audio half (NOT the hidden state)
+    spect: jnp.ndarray,     # [B, T, M]
+    start_k: jnp.ndarray,   # [n_half, C] folded start kernel
+    start_b: jnp.ndarray,   # [C] f32
+    w_in: jnp.ndarray,      # [3, C, 2C] layer-0 dilated conv
+    b_in: jnp.ndarray,      # [2C] f32
+    w_cond: jnp.ndarray,    # [M, 2C]
+    b_cond: jnp.ndarray,    # [2C] f32
+    w_rs: jnp.ndarray,      # [C, 2C]
+    b_rs: jnp.ndarray,      # [2C] f32
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+):
+    """Fused start projection + first WN layer -> (x_hidden, skip).
+    Equivalent to ``wn_layer_stream2(x0 @ start_k + start_b, ...)`` with a
+    zero skip accumulator, at n_half-rank tap cost."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, n_half = x0.shape
+    M = spect.shape[-1]
+    C = start_k.shape[-1]
+    assert T % BT == 0 and dilation <= BT
+    assert w_rs.shape[-1] == 2 * C
+    n_tiles = T // BT
+    if n_valid is None:
+        n_valid = T
+
+    f32 = jnp.float32
+    wp = jnp.einsum("nc,tco->tno", start_k.astype(f32), w_in.astype(f32))
+    tap_bias = jnp.einsum("c,tco->to", start_b.astype(f32), w_in.astype(f32))
+    b_all = b_in.astype(f32) + tap_bias.sum(axis=0)
+    b_edge = jnp.stack([tap_bias[0], tap_bias[2]])      # [2, 2C]
+
+    def out_idx(b, t, n=n_tiles):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream2_first, dilation=dilation, n_tiles=n_tiles,
+        n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    x_out, skip_out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, n_half),
+                         lambda b, t, n=n_tiles: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, M), out_idx),
+            pl.BlockSpec((3, n_half, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((2, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((n_half, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), spect.dtype),
+            jax.ShapeDtypeStruct((B, T, C), spect.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, n_half), x0.dtype)],
+        interpret=interpret,
+    )(x0, spect, wp.astype(x0.dtype), b_all, b_edge,
+      w_cond, b_cond, w_rs, b_rs, start_k, start_b.astype(f32))
+    return x_out, skip_out
+
+
 def _kernel_stream2_final(x0_ref, spect_ref, w_in_ref, b_in_ref,
                           w_cond_ref, b_cond_ref, w_rs_ref, b_rs_ref, acc_ref,
                           w_end_ref, b_end_ref, wn_out_ref, ring, *,
