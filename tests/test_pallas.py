@@ -266,3 +266,39 @@ def test_wn_stream2_first_composed_taps_parity():
             np.asarray(got_s)[:, :n_valid], np.asarray(want_s)[:, :n_valid],
             atol=5e-4,
         )
+
+
+def test_fused_infer_composed_cond_matches_kernel_cond():
+    """Mel-level composed conditioning (precompute_composed_cond + dcond
+    kernels) == the in-kernel spect projection path, fp32 interpret mode."""
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.models.waveglow_fused import (
+        infer_fused,
+        precompute_composed_cond,
+    )
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, n_flows=3, n_group=8, n_early_every=2,
+        n_early_size=2, wn_n_layers=3, wn_n_channels=32,
+        upsample_kernel=64, upsample_stride=16,
+    )
+    model = WaveGlow(cfg)
+    rng = np.random.RandomState(0)
+    frames = 700  # partial final tile at BT=512 (Tg = 1400)
+    spect = jnp.asarray(rng.randn(2, 8, frames).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), spect, jnp.zeros((2, frames * 16))
+    )
+    params = jax.tree.map(
+        lambda x: x + 0.01 * np.random.RandomState(1).randn(*x.shape).astype(
+            np.float32),
+        variables["params"],
+    )
+    want = infer_fused(params, cfg, spect, jax.random.PRNGKey(5), 0.7,
+                       compute_dtype=jnp.float32)
+    cc = precompute_composed_cond(params, cfg, compute_dtype=jnp.float32)
+    got = infer_fused(params, cfg, spect, jax.random.PRNGKey(5), 0.7,
+                      compute_dtype=jnp.float32, composed_cond=cc)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)

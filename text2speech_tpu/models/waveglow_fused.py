@@ -30,9 +30,51 @@ from ..config import WaveGlowConfig
 from ..ops.pallas.wn_block import (
     BT,
     wn_layer_stream2,
+    wn_layer_stream2_dcond,
     wn_layer_stream2_final,
+    wn_layer_stream2_final_dcond,
     wn_layer_stream2_first,
+    wn_layer_stream2_first_dcond,
 )
+
+
+def precompute_composed_cond(params: dict, cfg: WaveGlowConfig,
+                             compute_dtype=jnp.bfloat16) -> dict:
+    """One-time serving weight transform: collapse upsample ∘ grouping ∘
+    per-flow conditioning projection into per-phase MEL-level weights.
+
+    The grouped conditioning vector of audio-group g is a linear function of
+    only r (=upsample_kernel/stride = 4) mel frames, so the per-layer
+    projection's contraction shrinks from n_mel*n_group = 640 dims to
+    r*n_mel = 320 — half the conditioning FLOPs (~12% of all WN FLOPs) —
+    at the cost of phase-expanded weights (one [r, n_mel, 2C·L] block per
+    of the stride/n_group = 32 phases; ~170 MB bf16 per flow at reference
+    size).  Derivation: with u = g // P, ph = g %% P (P = stride/n_group),
+
+        cond[g] = Σ_q mel[u-q] · Wc[q, ph] + b_eff,
+        Wc[q, ph, mi, o] = Σ_{mo, j} up_kernel[(q·P + ph)·G + j... ] — see
+        the reshape below; b_eff folds the upsample bias through w_cond.
+
+    Do this once per checkpoint (outside jit) and pass the result to
+    :func:`infer_fused` as ``composed_cond``."""
+    k, s = cfg.upsample_kernel, cfg.upsample_stride
+    r, G = k // s, cfg.n_group
+    P = s // G
+    M = cfg.n_mel_channels
+    up_k = params["upsample"]["kernel"]          # [k, M, M]
+    up_b = params["upsample"]["bias"]
+    kq5 = up_k.reshape(r, P, G, M, M).astype(jnp.float32)  # [q, ph, j, mi, mo]
+    out = {}
+    for k_flow in range(cfg.n_flows):
+        cond_k, cond_b = _fold(params[f"wn{k_flow}"]["cond"])
+        O = cond_k.shape[-1]
+        wc3 = cond_k[0].reshape(M, G, O).astype(jnp.float32)  # [mo, j, o]
+        Wc = jnp.einsum("qpjim,mjo->qpio", kq5, wc3)
+        b_eff = cond_b.astype(jnp.float32) + jnp.einsum(
+            "m,mjo->o", up_b.astype(jnp.float32), wc3
+        )
+        out[k_flow] = (Wc.astype(compute_dtype), b_eff)
+    return out
 
 
 def _fold(p):
@@ -56,6 +98,7 @@ def infer_fused(
     sigma: float = 1.0,
     compute_dtype=jnp.bfloat16,
     noise: tuple[jnp.ndarray, ...] | None = None,
+    composed_cond: dict | None = None,
 ) -> jnp.ndarray:
     """mel -> audio [B, samples] with fused WN layers.
 
@@ -63,38 +106,60 @@ def infer_fused(
     (same contract as ``WaveGlow.infer`` / :func:`..models.chunked.draw_noise`:
     one [B, T_groups, C] array per consumption point at the TRUE length);
     they are zero-extended to the tile-rounded length internally.  Used by
-    chunked long-form synthesis so windows see consistent overlap noise."""
+    chunked long-form synthesis so windows see consistent overlap noise.
+
+    ``composed_cond`` (from :func:`precompute_composed_cond`) switches the
+    conditioning to the mel-level composed path: the explicit upsample and
+    the in-kernel 640-dim projections disappear; each flow materializes its
+    cond_all with half the FLOPs and the layer kernels read 2C slices of it
+    directly."""
     B = spect.shape[0]
     L, C = cfg.wn_n_layers, cfg.wn_n_channels
-
-    # --- upsample (subpixel matmul, = SubpixelUpsample) ------------------
     k, s = cfg.upsample_kernel, cfg.upsample_stride
     r = k // s
-    up_kernel = params["upsample"]["kernel"].astype(compute_dtype)
-    up_bias = params["upsample"]["bias"]
-    x = spect.transpose(0, 2, 1).astype(compute_dtype)   # [B, F, n_mel]
-    F = x.shape[1]
-    kq = up_kernel.reshape(r, s, up_kernel.shape[1], up_kernel.shape[2])
-    y = jnp.einsum("bti,qpio->btqpo", x, kq)
-    out = jnp.zeros((B, F + r - 1, s, y.shape[-1]), y.dtype)
-    for q in range(r):
-        out = out.at[:, q : q + F].add(y[:, :, q])
-    up = out.reshape(B, (F + r - 1) * s, -1) + up_bias.astype(y.dtype)
-    cut = k - s
-    up = up[:, : up.shape[1] - cut]                      # [B, T_samples, n_mel]
-
-    # --- group + pad to tile multiple -------------------------------------
     G = cfg.n_group
-    Tg = up.shape[1] // G
-    spect_g = up[:, : Tg * G].reshape(B, Tg, G, -1)
-    spect_g = spect_g.transpose(0, 1, 3, 2).reshape(B, Tg, -1)  # [B, Tg, mel*G]
+    F = spect.shape[2]
+
+    if composed_cond is None:
+        # --- upsample (subpixel matmul, = SubpixelUpsample) --------------
+        up_kernel = params["upsample"]["kernel"].astype(compute_dtype)
+        up_bias = params["upsample"]["bias"]
+        x = spect.transpose(0, 2, 1).astype(compute_dtype)   # [B, F, n_mel]
+        kq = up_kernel.reshape(r, s, up_kernel.shape[1], up_kernel.shape[2])
+        y = jnp.einsum("bti,qpio->btqpo", x, kq)
+        out = jnp.zeros((B, F + r - 1, s, y.shape[-1]), y.dtype)
+        for q in range(r):
+            out = out.at[:, q : q + F].add(y[:, :, q])
+        up = out.reshape(B, (F + r - 1) * s, -1) + up_bias.astype(y.dtype)
+        cut = k - s
+        up = up[:, : up.shape[1] - cut]                  # [B, T_samples, n_mel]
+
+        # --- group + pad to tile multiple ---------------------------------
+        Tg = up.shape[1] // G
+        spect_g = up[:, : Tg * G].reshape(B, Tg, G, -1)
+        spect_g = spect_g.transpose(0, 1, 3, 2).reshape(B, Tg, -1)
+        mel_sh = None
+    else:
+        # composed path: no explicit upsample; cond comes straight from the
+        # mel window stack (see precompute_composed_cond)
+        Tg = F * s // G
+        spect_g = None
+        melT = spect.transpose(0, 2, 1).astype(compute_dtype)   # [B, F, M]
+        mel_sh = jnp.stack(
+            [jnp.pad(melT, ((0, 0), (q, 0), (0, 0)))[:, :F] for q in range(r)],
+            axis=2,
+        )                                                       # [B, F, r, M]
 
     # Unpadded tile layout: the streaming kernels synthesize the conv zero
     # padding at the sequence edges themselves (zero-initialized ring slot /
     # masked lookahead), so no grid steps are spent on zero pad tiles.
     Tp = max(_round_up(Tg, BT), BT)
-    ext = jnp.zeros((B, Tp - Tg, spect_g.shape[-1]), spect_g.dtype)
-    spect_p = jnp.concatenate([spect_g, ext], axis=1)            # [B, Tp, 640]
+    P = s // G
+    if spect_g is not None:
+        ext = jnp.zeros((B, Tp - Tg, spect_g.shape[-1]), spect_g.dtype)
+        spect_p = jnp.concatenate([spect_g, ext], axis=1)        # [B, Tp, 640]
+    else:
+        spect_p = None
 
     # valid-frame mask: only the REAL Tg frames, not the tile-rounding pad —
     # pad frames must stay zero so halo reads match the reference's implicit
@@ -127,8 +192,25 @@ def infer_fused(
         x0 = audio[..., :n_half]
         x1 = audio[..., n_half:]
 
-        cond_k, cond_b = _fold(wn["cond"])   # [1, M, 2C*L], [2C*L]
         start_k, start_b = _fold(wn["start"])
+        if composed_cond is not None:
+            # materialize this flow's cond_all [B, Tp, 2C*L] from the mel
+            # window stack (half the conditioning FLOPs of the in-kernel
+            # projection; one flow's buffer alive at a time)
+            Wc, b_eff = composed_cond[k_flow]
+            # MXU accumulates in f32 internally; keep the (large) output in
+            # compute dtype to halve its HBM footprint
+            cond_f = jnp.einsum(
+                "bfqi,qpio->bfpo", mel_sh, Wc.astype(compute_dtype)
+            ) + b_eff.astype(compute_dtype)
+            cond_all = cond_f.reshape(B, F * P, -1)
+            cond_all = jnp.concatenate(
+                [cond_all,
+                 jnp.zeros((B, Tp - Tg, cond_all.shape[-1]), compute_dtype)],
+                axis=1,
+            )
+        else:
+            cond_k, cond_b = _fold(wn["cond"])   # [1, M, 2C*L], [2C*L]
 
         if L >= 2:
             # fused start + layer 0: the hidden input has rank <= n_half, so
@@ -136,20 +218,34 @@ def infer_fused(
             # MXU passes of a standard layer, and no xh HBM round-trip
             w_in0, b_in0 = _fold(wn["in0"])
             w_rs0, b_rs0 = _fold(wn["res_skip0"])
-            xh, skip_total = wn_layer_stream2_first(
-                x0,
-                spect_p.astype(compute_dtype),
-                start_k[0].astype(compute_dtype),
-                start_b.astype(jnp.float32),
-                w_in0.astype(compute_dtype),
-                b_in0.astype(jnp.float32),
-                cond_k[0, :, : 2 * C].astype(compute_dtype),
-                cond_b[: 2 * C].astype(jnp.float32),
-                w_rs0[0].astype(compute_dtype),
-                b_rs0.astype(jnp.float32),
-                dilation=1,
-                n_valid=Tg,
-            )
+            if composed_cond is not None:
+                xh, skip_total = wn_layer_stream2_first_dcond(
+                    x0,
+                    cond_all,
+                    start_k[0].astype(compute_dtype),
+                    start_b.astype(jnp.float32),
+                    w_in0.astype(compute_dtype),
+                    b_in0.astype(jnp.float32),
+                    w_rs0[0].astype(compute_dtype),
+                    b_rs0.astype(jnp.float32),
+                    dilation=1,
+                    n_valid=Tg,
+                )
+            else:
+                xh, skip_total = wn_layer_stream2_first(
+                    x0,
+                    spect_p.astype(compute_dtype),
+                    start_k[0].astype(compute_dtype),
+                    start_b.astype(jnp.float32),
+                    w_in0.astype(compute_dtype),
+                    b_in0.astype(jnp.float32),
+                    cond_k[0, :, : 2 * C].astype(compute_dtype),
+                    cond_b[: 2 * C].astype(jnp.float32),
+                    w_rs0[0].astype(compute_dtype),
+                    b_rs0.astype(jnp.float32),
+                    dilation=1,
+                    n_valid=Tg,
+                )
             first_done = 1
         else:
             xh = (
@@ -162,7 +258,58 @@ def infer_fused(
         for li in range(first_done, L - 1):
             w_in, b_in = _fold(wn[f"in{li}"])
             w_rs, b_rs = _fold(wn[f"res_skip{li}"])
-            xh, skip_total = wn_layer_stream2(
+            if composed_cond is not None:
+                xh, skip_total = wn_layer_stream2_dcond(
+                    xh,
+                    cond_all,
+                    li,
+                    w_in.astype(compute_dtype),
+                    b_in.astype(jnp.float32),
+                    w_rs[0].astype(compute_dtype),
+                    b_rs.astype(jnp.float32),
+                    skip_total,
+                    dilation=2 ** li,
+                    n_valid=Tg,
+                )
+            else:
+                xh, skip_total = wn_layer_stream2(
+                    xh,
+                    spect_p.astype(compute_dtype),
+                    w_in.astype(compute_dtype),
+                    b_in.astype(jnp.float32),
+                    cond_k[0, :, 2 * C * li : 2 * C * (li + 1)].astype(compute_dtype),
+                    cond_b[2 * C * li : 2 * C * (li + 1)].astype(jnp.float32),
+                    w_rs[0].astype(compute_dtype),
+                    b_rs.astype(jnp.float32),
+                    skip_total,
+                    dilation=2 ** li,
+                    n_valid=Tg,
+                )
+
+        # last layer with the end projection (glow.py:166-175) folded in:
+        # its hidden/skip tiles never round-trip through HBM
+        li = L - 1
+        w_in, b_in = _fold(wn[f"in{li}"])
+        w_rs, b_rs = _fold(wn[f"res_skip{li}"])
+        end_k = wn["end"]["kernel"][0]
+        end_b = wn["end"]["bias"]
+        if composed_cond is not None:
+            wn_out = wn_layer_stream2_final_dcond(
+                xh,
+                cond_all,
+                li,
+                w_in.astype(compute_dtype),
+                b_in.astype(jnp.float32),
+                w_rs[0].astype(compute_dtype),
+                b_rs.astype(jnp.float32),
+                skip_total,
+                end_k.astype(compute_dtype),
+                end_b.astype(jnp.float32),
+                dilation=2 ** li,
+                n_valid=Tg,
+            )
+        else:
+            wn_out = wn_layer_stream2_final(
                 xh,
                 spect_p.astype(compute_dtype),
                 w_in.astype(compute_dtype),
@@ -172,32 +319,11 @@ def infer_fused(
                 w_rs[0].astype(compute_dtype),
                 b_rs.astype(jnp.float32),
                 skip_total,
+                end_k.astype(compute_dtype),
+                end_b.astype(jnp.float32),
                 dilation=2 ** li,
                 n_valid=Tg,
             )
-
-        # last layer with the end projection (glow.py:166-175) folded in:
-        # its hidden/skip tiles never round-trip through HBM
-        li = L - 1
-        w_in, b_in = _fold(wn[f"in{li}"])
-        w_rs, b_rs = _fold(wn[f"res_skip{li}"])
-        end_k = wn["end"]["kernel"][0]
-        end_b = wn["end"]["bias"]
-        wn_out = wn_layer_stream2_final(
-            xh,
-            spect_p.astype(compute_dtype),
-            w_in.astype(compute_dtype),
-            b_in.astype(jnp.float32),
-            cond_k[0, :, 2 * C * li : 2 * C * (li + 1)].astype(compute_dtype),
-            cond_b[2 * C * li : 2 * C * (li + 1)].astype(jnp.float32),
-            w_rs[0].astype(compute_dtype),
-            b_rs.astype(jnp.float32),
-            skip_total,
-            end_k.astype(compute_dtype),
-            end_b.astype(jnp.float32),
-            dilation=2 ** li,
-            n_valid=Tg,
-        )
         b_term = wn_out[..., :n_half]
         s_term = wn_out[..., n_half:]
         x1 = ((x1.astype(jnp.float32) - b_term) * jnp.exp(-s_term)).astype(

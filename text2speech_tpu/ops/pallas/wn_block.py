@@ -971,3 +971,371 @@ def wn_layer_stream(
         interpret=interpret,
     )(xp, spect_p, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc)
     return x_out, skip_out
+
+
+# ---------------------------------------------------------------------------
+# Direct-conditioning variants: the caller materializes cond_all
+# [B, T, 2C*L] (composed at MEL level — see models/waveglow_fused.py
+# compose_cond: upsample∘grouping∘cond collapse to K=4*n_mel per-phase
+# weights, half the conditioning FLOPs of the in-kernel K=640 projection)
+# and each layer's kernel reads its 2C slice through the BlockSpec index
+# map instead of projecting the grouped spect in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_stream2_dcond(x0_ref, cond_ref, w_in_ref, b_in_ref,
+                          w_rs_ref, b_rs_ref, acc_ref,
+                          x_out_ref, skip_out_ref, ring, *,
+                          dilation: int, n_tiles: int, has_res: bool,
+                          n_valid: int):
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+
+    @pl.when(t == 0)
+    def _():
+        ring[0] = jnp.zeros_like(ring[0])
+
+    @pl.when(t >= 1)
+    def _():
+        w = w_in_ref[...]
+        prev1 = ring[t % 2]
+        prev2 = ring[(t + 1) % 2]
+        left = prev2[BT - d :, :]
+        mid = prev1
+        right = jnp.where(j < n_tiles - 1, x0_ref[0, :d, :], 0)
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond_ref[0].astype(jnp.float32)
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        acc = acc_ref[0]
+        vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
+        if has_res:
+            x_out_ref[0] = _mask_rows(
+                (mid.astype(jnp.float32) + rs[:, :C]).astype(x_out_ref.dtype),
+                vmask,
+            )
+            skip_out_ref[0] = acc + rs[:, C:].astype(acc.dtype)
+        else:
+            x_out_ref[0] = _mask_rows(mid, vmask)
+            skip_out_ref[0] = acc + rs.astype(acc.dtype)
+
+    @pl.when(t <= n_tiles - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream2_dcond(
+    x: jnp.ndarray,          # [B, T, C]
+    cond_all: jnp.ndarray,   # [B, T, 2C*L]; slice cond_index used
+    cond_index: int,
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    w_rs: jnp.ndarray,
+    b_rs: jnp.ndarray,
+    skip_acc: jnp.ndarray,
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+):
+    """Unpadded streaming WN layer with pre-materialized conditioning."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, C = x.shape
+    assert T % BT == 0 and dilation <= BT
+    assert cond_all.shape[-1] % (2 * C) == 0
+    n_tiles = T // BT
+    has_res = w_rs.shape[-1] == 2 * C
+    if n_valid is None:
+        n_valid = T
+    li = cond_index
+
+    def out_idx(b, t, n=n_tiles):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream2_dcond, dilation=dilation, n_tiles=n_tiles,
+        has_res=has_res, n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    x_out, skip_out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_tiles: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, 2 * C),
+                         lambda b, t, n=n_tiles: (b, jnp.clip(t - 1, 0, n - 1), li)),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec(w_rs.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_rs.shape, lambda b, t: (0,)),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), x.dtype),
+            jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, C), x.dtype)],
+        input_output_aliases={6: 1},
+        interpret=interpret,
+    )(x, cond_all, w_in, b_in, w_rs, b_rs, skip_acc)
+    return x_out, skip_out
+
+
+def _kernel_stream2_first_dcond(x0_ref, cond_ref, wp_in_ref, b_in_ref,
+                                b_edge_ref, w_rs_ref, b_rs_ref,
+                                start_k_ref, start_b_ref,
+                                x_out_ref, skip_out_ref, ring, *,
+                                dilation: int, n_tiles: int, n_valid: int):
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+
+    @pl.when(t == 0)
+    def _():
+        ring[0] = jnp.zeros_like(ring[0])
+
+    @pl.when(t >= 1)
+    def _():
+        wp = wp_in_ref[...]
+        prev1 = ring[t % 2]
+        prev2 = ring[(t + 1) % 2]
+        left = prev2[BT - d :, :]
+        mid = prev1
+        right = jnp.where(j < n_tiles - 1, x0_ref[0, :d, :], 0)
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        in_act = (
+            jnp.dot(xwin[0:BT], wp[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], wp[1],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], wp[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond_ref[0].astype(jnp.float32)
+        )
+        rows = j * BT + jax.lax.broadcasted_iota(jnp.int32, (BT, 1), 0)
+        b_edge = b_edge_ref[...]
+        in_act = in_act - jnp.where(rows < d, b_edge[0], 0.0)
+        in_act = in_act - jnp.where(rows >= n_valid - d, b_edge[1], 0.0)
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            wp.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        xh = (
+            jnp.dot(mid, start_k_ref[...], preferred_element_type=jnp.float32)
+            + start_b_ref[...]
+        )
+        vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
+        x_out_ref[0] = _mask_rows(
+            (xh + rs[:, :C]).astype(x_out_ref.dtype), vmask
+        )
+        skip_out_ref[0] = rs[:, C:].astype(skip_out_ref.dtype)
+
+    @pl.when(t <= n_tiles - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream2_first_dcond(
+    x0: jnp.ndarray,         # [B, T, n_half]
+    cond_all: jnp.ndarray,   # [B, T, 2C*L]; slice 0 used
+    start_k: jnp.ndarray,
+    start_b: jnp.ndarray,
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    w_rs: jnp.ndarray,
+    b_rs: jnp.ndarray,
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+):
+    """Fused start + first layer with pre-materialized conditioning."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, n_half = x0.shape
+    C = start_k.shape[-1]
+    assert T % BT == 0 and dilation <= BT
+    assert w_rs.shape[-1] == 2 * C
+    n_tiles = T // BT
+    if n_valid is None:
+        n_valid = T
+
+    f32 = jnp.float32
+    wp = jnp.einsum("nc,tco->tno", start_k.astype(f32), w_in.astype(f32))
+    tap_bias = jnp.einsum("c,tco->to", start_b.astype(f32), w_in.astype(f32))
+    b_all = b_in.astype(f32) + tap_bias.sum(axis=0)
+    b_edge = jnp.stack([tap_bias[0], tap_bias[2]])
+
+    def out_idx(b, t, n=n_tiles):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream2_first_dcond, dilation=dilation, n_tiles=n_tiles,
+        n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    x_out, skip_out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, n_half),
+                         lambda b, t, n=n_tiles: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, 2 * C), out_idx),
+            pl.BlockSpec((3, n_half, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((2, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, 2 * C), lambda b, t: (0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((n_half, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((1, BT, C), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), cond_all.dtype),
+            jax.ShapeDtypeStruct((B, T, C), cond_all.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, n_half), x0.dtype)],
+        interpret=interpret,
+    )(x0, cond_all, wp.astype(x0.dtype), b_all, b_edge,
+      w_rs, b_rs, start_k, start_b.astype(f32))
+    return x_out, skip_out
+
+
+def _kernel_stream2_final_dcond(x0_ref, cond_ref, w_in_ref, b_in_ref,
+                                w_rs_ref, b_rs_ref, acc_ref,
+                                w_end_ref, b_end_ref, wn_out_ref, ring, *,
+                                dilation: int, n_tiles: int, n_valid: int):
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+
+    @pl.when(t == 0)
+    def _():
+        ring[0] = jnp.zeros_like(ring[0])
+
+    @pl.when(t >= 1)
+    def _():
+        w = w_in_ref[...]
+        prev1 = ring[t % 2]
+        prev2 = ring[(t + 1) % 2]
+        left = prev2[BT - d :, :]
+        mid = prev1
+        right = jnp.where(j < n_tiles - 1, x0_ref[0, :d, :], 0)
+        xwin = jnp.concatenate([left, mid, right], axis=0)
+        in_act = (
+            jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
+            + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+                      preferred_element_type=jnp.float32)
+            + b_in_ref[...]
+            + cond_ref[0].astype(jnp.float32)
+        )
+        C = in_act.shape[-1] // 2
+        acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+            w.dtype
+        )
+        rs = (
+            jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+            + b_rs_ref[...]
+        )
+        skip = acc_ref[0].astype(jnp.float32) + rs
+        wn_out_ref[0] = (
+            jnp.dot(skip.astype(w.dtype), w_end_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_end_ref[...]
+        )
+
+    @pl.when(t <= n_tiles - 1)
+    def _():
+        ring[(t + 1) % 2] = x0_ref[0]
+
+
+def wn_layer_stream2_final_dcond(
+    x: jnp.ndarray,
+    cond_all: jnp.ndarray,   # [B, T, 2C*L]; slice cond_index used
+    cond_index: int,
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    w_rs: jnp.ndarray,       # [C, C]
+    b_rs: jnp.ndarray,
+    skip_acc: jnp.ndarray,
+    w_end: jnp.ndarray,
+    b_end: jnp.ndarray,
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+) -> jnp.ndarray:
+    """Final layer + folded end projection with pre-materialized cond."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, C = x.shape
+    E = w_end.shape[-1]
+    assert T % BT == 0 and dilation <= BT
+    assert w_rs.shape[-1] == C
+    n_tiles = T // BT
+    if n_valid is None:
+        n_valid = T
+    li = cond_index
+
+    def out_idx(b, t, n=n_tiles):
+        return (b, jnp.clip(t - 1, 0, n - 1), 0)
+
+    kern = functools.partial(
+        _kernel_stream2_final_dcond, dilation=dilation, n_tiles=n_tiles,
+        n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    (wn_out,) = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, C),
+                         lambda b, t, n=n_tiles: (b, jnp.minimum(t, n - 1), 0)),
+            pl.BlockSpec((1, BT, 2 * C),
+                         lambda b, t, n=n_tiles: (b, jnp.clip(t - 1, 0, n - 1), li)),
+            pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2 * C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((1, BT, C), out_idx),
+            pl.BlockSpec((C, E), lambda b, t: (0, 0)),
+            pl.BlockSpec((E,), lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, E), out_idx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, C), x.dtype)],
+        interpret=interpret,
+    )(x, cond_all, w_in, b_in, w_rs, b_rs, skip_acc, w_end, b_end)
+    return wn_out
