@@ -112,7 +112,10 @@ def infer_fused(
     conditioning to the mel-level composed path: the explicit upsample and
     the in-kernel 640-dim projections disappear; each flow materializes its
     cond_all with half the FLOPs and the layer kernels read 2C slices of it
-    directly."""
+    directly.  CAUTION: when jitting a wrapper, pass ``composed_cond``
+    through as a jit ARGUMENT — closing over it bakes ~2 GB of
+    phase-expanded weights into the HLO as constants (CLAUDE.md gotcha #2;
+    on this rig the remote-compile payload then breaks the tunnel)."""
     B = spect.shape[0]
     L, C = cfg.wn_n_layers, cfg.wn_n_channels
     k, s = cfg.upsample_kernel, cfg.upsample_stride
