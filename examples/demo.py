@@ -19,7 +19,7 @@ import os
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
 
 
 def main():

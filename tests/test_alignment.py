@@ -13,7 +13,6 @@ through the production plot path.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
