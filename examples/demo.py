@@ -15,6 +15,11 @@ this is the equivalent guided tour — runs on CPU or TPU in a few minutes:
 
 import argparse
 import os
+import sys
+
+# `python examples/demo.py` puts examples/ (not the repo root) on sys.path;
+# make the demo runnable from anywhere without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
