@@ -192,3 +192,31 @@ def test_train_cli_from_npz(corpus, tmp_path):
     run_dirs = list(log_dir.iterdir())
     assert len(run_dirs) == 1
     assert (run_dirs[0] / "checkpoints").exists()
+
+
+def test_train_cli_multi_speaker(corpus, tmp_path):
+    """Comma-separated data paths = multi-speaker training (corpus index =
+    speaker id, speaker embedding active) — the reference's signature
+    feature (train.py:250-284, hparams speaker_embedding_size)."""
+    import shutil
+
+    second = tmp_path / "kss_b"
+    shutil.copytree(corpus, second)
+    log_dir = tmp_path / "runs_ms"
+    r = run_cli(
+        "train.py",
+        ["--data_paths", f"{corpus},{second}", "--log_dir", str(log_dir),
+         "--hparams", str(corpus / "tiny_hparams.json"),
+         "--num_steps", "2", "--checkpoint_interval", "10"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    run_dir = next(iter(log_dir.iterdir()))
+    assert (run_dir / "checkpoints").exists()
+    # the speaker-conditioned variables must exist in the checkpoint
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(str(run_dir / "checkpoints"))
+    tree = mgr.restore(mgr.latest_step())
+    keys = str(sorted(tree["params"].keys()))
+    assert "speaker_embedding" in keys and "speaker_proj" in keys, keys
