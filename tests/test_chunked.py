@@ -159,3 +159,41 @@ def test_chunked_fused_matches_fused_single_pass(model_and_vars, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=3e-4, rtol=0
     )
+
+
+def test_default_overlap_covers_receptive_field():
+    """ADVICE r2: the default overlap must cover the flow stack's one-sided
+    receptive field at ANY config size, so default-argument chunking keeps
+    the interior-equivalence guarantee."""
+    from text2speech_tpu.models.chunked import receptive_overlap_frames
+
+    # test config: 6 flows x (k//2)*(2^3-1) = 7 grouped steps, gpf=2
+    # -> ceil(42/2) = 21 frames
+    assert receptive_overlap_frames(CFG) == 21
+    # reference config: 12 flows x 255 grouped steps, gpf = 256/8 = 32
+    # -> ceil(3060/32) = 96 frames (vs the old fixed default of 16)
+    ref_cfg = WaveGlowConfig()
+    assert receptive_overlap_frames(ref_cfg) == 96
+
+
+def test_default_overlap_matches_single_pass(model_and_vars):
+    """infer_long with DEFAULT overlap equals single-pass inference — the
+    guarantee the docstring makes for default arguments."""
+    model, variables = model_and_vars
+    frames = 150
+    rng = np.random.RandomState(4)
+    spect = jnp.asarray(
+        rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(13), 1, frames * gpf)
+    ref = model.apply(
+        variables, spect, None, 0.9, noise=noise, method=WaveGlow.infer
+    )
+    out = infer_long(
+        model, variables, spect, None, sigma=0.9,
+        chunk_frames=32, noise=noise,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=0
+    )

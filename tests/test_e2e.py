@@ -250,3 +250,10 @@ def test_dataset_path_filter_and_holdout(corpus, tmp_path):
     assert not set(map(tuple, val.items)) & set(map(tuple, ds.items))
     # too-aggressive holdout that can't fill a train batch -> refused
     assert ds.hold_out_per_speaker(len(ds.items)) is None
+
+    # n > a speaker's row count clamps to the whole speaker — with the old
+    # negative-start slice (ADVICE r2), n_items+3 silently kept one stray
+    # training row and "succeeded"; clamped, everything is held out and the
+    # empty training split is refused.
+    ds2 = TextMelDataset([str(root)], HP, "train", batch_size=1)
+    assert ds2.hold_out_per_speaker(len(ds2.items) + 3) is None

@@ -163,6 +163,20 @@ def test_waveglow_inference_cli(ckpts, tmp_path):
     _, wav2 = wavfile.read(str(out2 / "m0_synthesis.wav"))
     assert wav2.size == frames * TINY_WG["upsample_stride"]
 
+    # unfused reduced-precision serving (--is_fp16 analog,
+    # waveglow/inference.py:78): bf16 params + bf16 mel, finite audio out
+    out_bf16 = tmp_path / "wavs_bf16"
+    rb = run_cli(
+        "waveglow_inference.py",
+        ["-f", str(filelist), "-w", ckpts["wg"], "-o", str(out_bf16),
+         "--config", ckpts["wg_cfg"], "-s", "0.6", "--bf16"],
+        cwd=str(tmp_path),
+    )
+    assert rb.returncode == 0, rb.stderr[-3000:]
+    _, wavb = wavfile.read(str(out_bf16 / "m0_synthesis.wav"))
+    assert wavb.size == frames * TINY_WG["upsample_stride"]
+    assert np.isfinite(wavb).all()
+
     # fused-Pallas serving path (interpret mode in the CPU subprocess)
     out3 = tmp_path / "wavs_fused"
     r3 = run_cli(

@@ -110,3 +110,36 @@ def test_arpabet_passthrough():
     seq = text_to_sequence("{HH AW}")
     # '@HH'/'@AW' are OOV for the Korean table -> dropped, EOS remains.
     assert seq.tolist()[-1] == EOS_ID
+
+
+def test_split_sentences_quoted_spans_and_abbreviations():
+    """Golden behavior for the punkt-replacement splitter
+    (reference korean.py:211-216): multi-sentence quoted spans split,
+    capitalized abbreviations suppress a split, ordinary lowercase
+    sentence-final words ('...said no.') do NOT (ADVICE r2: the splitter
+    must be case-sensitive over No/St/Vol)."""
+    from text2speech_tpu.text import split_sentences
+
+    # plain multi-sentence
+    assert split_sentences("안녕하세요. 반갑습니다! 잘 지내시죠?") == [
+        "안녕하세요.", "반갑습니다!", "잘 지내시죠?",
+    ]
+    # closing quote stays with its sentence; the quoted span splits
+    assert split_sentences('그는 "간다. 지금 간다." 라고 말했다.') == [
+        '그는 "간다.', '지금 간다."', "라고 말했다.",
+    ]
+    # capitalized abbreviation + single-letter initial: no split
+    assert split_sentences("Dr. Kim came. He left.") == [
+        "Dr. Kim came.", "He left.",
+    ]
+    assert split_sentences("J. Smith arrived. Then left.") == [
+        "J. Smith arrived.", "Then left.",
+    ]
+    # lowercase 'no.' is a word, not an abbreviation -> split happens
+    assert split_sentences("She said no. He agreed.") == [
+        "She said no.", "He agreed.",
+    ]
+    # but capitalized 'No. 5' is the abbreviation form -> no split
+    assert split_sentences("See No. 5 below. Done.") == [
+        "See No. 5 below.", "Done.",
+    ]

@@ -120,8 +120,9 @@ class TextMelDataset:
         held, kept = [], []
         for speaker in sorted(by_speaker):
             rows = by_speaker[speaker]
-            held.extend(rows[len(rows) - n :])
-            kept.extend(rows[: len(rows) - n])
+            k = min(n, len(rows))
+            held.extend(rows[len(rows) - k :])
+            kept.extend(rows[: len(rows) - k])
         if not held or len(kept) < self.batch_size:
             return None
         val = copy.copy(self)

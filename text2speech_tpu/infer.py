@@ -123,7 +123,7 @@ class Synthesizer:
         seed: int = 0,
         denoiser_strength: float = 0.0,
         chunk_frames: int = 256,
-        overlap_frames: int = 16,
+        overlap_frames: int | None = None,
     ):
         """Frame-axis chunked vocoding for arbitrarily long mels
         (:mod:`.models.chunked`): bounded per-window activation memory, all
@@ -153,7 +153,7 @@ class Synthesizer:
         denoiser_strength: float = 0.0,
         max_steps: int | None = None,
         chunk_frames: int = 256,
-        overlap_frames: int = 16,
+        overlap_frames: int | None = None,
     ):
         """Like :meth:`synthesize` but vocodes through the chunked long-form
         path — use for utterances whose mels exceed comfortable single-pass

@@ -57,6 +57,20 @@ def draw_noise(
     return tuple(draws)
 
 
+def receptive_overlap_frames(cfg: WaveGlowConfig) -> int:
+    """One-sided receptive field of the full flow stack, in mel frames.
+
+    Each WN stack sees ``(kernel//2) * (2**n_layers - 1)`` grouped steps to
+    each side; the flows compose, so the stack-total is ``n_flows`` times
+    that, rounded up to whole frames (``gpf = hop // n_group`` grouped steps
+    per frame).  Overlapping by at least this many frames makes chunked
+    interiors match single-pass inference to float tolerance.
+    """
+    per_flow = (cfg.wn_kernel_size // 2) * (2 ** cfg.wn_n_layers - 1)
+    gpf = cfg.upsample_stride // cfg.n_group
+    return -(-cfg.n_flows * per_flow // gpf)
+
+
 def infer_long(
     model: WaveGlow,
     variables: dict,
@@ -64,7 +78,7 @@ def infer_long(
     key: jax.Array | None,
     sigma: float = 1.0,
     chunk_frames: int = 256,
-    overlap_frames: int = 16,
+    overlap_frames: int | None = None,
     noise: tuple[jnp.ndarray, ...] | None = None,
     fused: bool = False,
 ) -> jnp.ndarray:
@@ -76,6 +90,11 @@ def infer_long(
     Falls back to a single pass when the utterance is shorter than one
     window.
 
+    ``overlap_frames`` defaults to :func:`receptive_overlap_frames` — the
+    flow stack's one-sided receptive field — so default-argument chunking
+    keeps the documented interior equivalence at any config size; pass a
+    smaller value explicitly to trade seam exactness for compute.
+
     ``noise`` optionally supplies the full-utterance draws explicitly (see
     :func:`draw_noise`); otherwise they are drawn from ``key``.  ``fused``
     vocodes each window through the fused-Pallas serving path
@@ -83,6 +102,8 @@ def infer_long(
     reverse pass — the production long-form serving configuration.
     """
     cfg = model.cfg
+    if overlap_frames is None:
+        overlap_frames = receptive_overlap_frames(cfg)
     hop = cfg.upsample_stride
     if hop % cfg.n_group != 0:
         raise ValueError("chunked synthesis needs hop % n_group == 0")

@@ -115,10 +115,11 @@ _HANJA_PAREN_RE = re.compile(
 # initial ("J.") or a common Latin abbreviation, punkt's main refinements
 # that matter for quoted spans.
 _SENT_BOUNDARY_RE = re.compile(r"[.!?…]+[\"'”’)\]]*(?=\s)")
+# Case-sensitive: lowercase "no."/"st." are ordinary sentence-final words,
+# not abbreviations; single-letter initials match either case via [A-Za-z].
 _NO_SPLIT_TAIL_RE = re.compile(
     r"\b(?:[A-Za-z]|Mr|Mrs|Ms|Dr|Prof|St|Jr|Sr|vs|etc|No|Vol|Fig|approx"
-    r"|e\.g|i\.e)\.$",
-    re.IGNORECASE,
+    r"|e\.g|i\.e)\.$"
 )
 
 

@@ -42,9 +42,15 @@ def main():
     parser.add_argument("--chunk_frames", type=int, default=0,
                         help="frame-axis chunked synthesis for long mels "
                              "(0 = single pass); see models/chunked.py")
-    parser.add_argument("--overlap_frames", type=int, default=16)
+    parser.add_argument("--overlap_frames", type=int, default=None,
+                        help="default: the flow stack's receptive field")
     parser.add_argument("--fused", action="store_true",
                         help="use the fused-Pallas WaveGlow serving path")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the unfused vocoder in bfloat16 — the TPU "
+                             "analog of the reference's --is_fp16 "
+                             "(waveglow/inference.py:78); the --fused path "
+                             "is bf16 internally already")
     args = parser.parse_args()
 
     cfg = (
@@ -72,6 +78,12 @@ def main():
     )
     state, _ = CheckpointManager(args.waveglow_checkpoint).restore(state)
     variables = {"params": state.params}
+    if args.bf16:
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x,
+            variables,
+        )
 
     denoise = None
     if args.denoiser_strength > 0:
@@ -108,12 +120,15 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     with open(args.filelist_path, encoding="utf-8") as f:
         paths = [l.strip() for l in f if l.strip()]
+    mel_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     for i, p in enumerate(paths):
         mel = load_mel(p)[None]
-        audio = infer(variables, jnp.asarray(mel), jax.random.PRNGKey(i))
+        audio = infer(
+            variables, jnp.asarray(mel, mel_dtype), jax.random.PRNGKey(i)
+        )
         if denoise is not None:
             audio = denoise(audio, args.denoiser_strength)
-        out = np.asarray(audio)[0]
+        out = np.asarray(jnp.asarray(audio, jnp.float32))[0]
         name = os.path.splitext(os.path.basename(p))[0]
         out_path = os.path.join(args.output_dir, f"{name}_synthesis.wav")
         save_wav(out, out_path, args.sampling_rate)
