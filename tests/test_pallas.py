@@ -42,27 +42,6 @@ def test_gated_pallas_interpret_matches_reference(monkeypatch):
     np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), atol=1e-5)
 
 
-def test_wn_layer_fused_interpret_parity(monkeypatch):
-    """Fused WN-layer kernel == XLA composite (interpret mode, both rs widths,
-    edge tiles exercised via 3 tiles)."""
-    from text2speech_tpu.ops.pallas import wn_layer as wl
-
-    rng = np.random.RandomState(0)
-    B, T, C, d = 2, 3 * wl.BT, 64, 16
-    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32)) * 0.1
-    cond = jnp.asarray(rng.randn(B, T, 2 * C).astype(np.float32)) * 0.1
-    w_in = jnp.asarray(rng.randn(3, C, 2 * C).astype(np.float32)) * 0.05
-    b_in = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
-    for rs_out in (2 * C, C):
-        w_rs = jnp.asarray(rng.randn(C, rs_out).astype(np.float32)) * 0.05
-        b_rs = jnp.asarray(rng.randn(rs_out).astype(np.float32)) * 0.05
-        xf, sf = wl.wn_layer_fused(x, cond, w_in, b_in, w_rs, b_rs, d,
-                                   interpret=True)
-        xr, sr = wl.wn_layer_reference(x, cond, w_in, b_in, w_rs, b_rs, d)
-        np.testing.assert_allclose(np.asarray(xf), np.asarray(xr), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(sf), np.asarray(sr), atol=1e-5)
-
-
 def test_fused_infer_matches_exact_interior():
     """infer_fused (pallas serving path, interpret mode on CPU) equals the
     exact unfused infer away from the tail halo (sigma=0, fp32)."""
@@ -103,6 +82,7 @@ def test_wn_stream_long_sequence_and_max_dilation():
     """Streaming ring kernel parity at 6 tiles and the model's max dilation
     (d=128), exercising ring reuse across many grid steps."""
     from text2speech_tpu.ops.pallas import wn_block as wb
+    from text2speech_tpu.ops.pallas import wn_block_padded as wbp
 
     rng = np.random.RandomState(3)
     B, C, M = 2, 64, 48
@@ -116,12 +96,12 @@ def test_wn_stream_long_sequence_and_max_dilation():
     w_rs = jnp.asarray(rng.randn(C, 2 * C).astype(np.float32)) * 0.05
     b_rs = jnp.asarray(rng.randn(2 * C).astype(np.float32)) * 0.05
     for d in (1, 128):
-        xp = wb.pad_tiles(x)
-        spp = wb.pad_tiles(sp)
+        xp = wbp.pad_tiles(x)
+        spp = wbp.pad_tiles(sp)
         acc = jnp.asarray(rng.randn(*xp.shape).astype(np.float32)) * 0.1
-        xa, sa = wb.wn_layer_spect(xp, spp, w_in, b_in, w_c, b_c,
+        xa, sa = wbp.wn_layer_spect(xp, spp, w_in, b_in, w_c, b_c,
                                    w_rs, b_rs, acc, d)
-        xb, sb = wb.wn_layer_stream(xp, spp, w_in, b_in, w_c, b_c,
+        xb, sb = wbp.wn_layer_stream(xp, spp, w_in, b_in, w_c, b_c,
                                     w_rs, b_rs, acc, d)
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
         np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-5)
@@ -131,6 +111,7 @@ def test_wn_stream_final_end_projection_parity():
     """Final-layer kernel with folded end projection == streaming kernel +
     explicit end matmul on the real (unpadded, valid) region."""
     from text2speech_tpu.ops.pallas import wn_block as wb
+    from text2speech_tpu.ops.pallas import wn_block_padded as wbp
 
     rng = np.random.RandomState(4)
     B, C, M, E = 2, 64, 48, 8
@@ -146,22 +127,22 @@ def test_wn_stream_final_end_projection_parity():
     w_end = jnp.asarray(rng.randn(C, E).astype(np.float32)) * 0.05
     b_end = jnp.asarray(rng.randn(E).astype(np.float32)) * 0.05
     for d, n_valid in ((1, T), (64, T - 100)):
-        xp = wb.pad_tiles(x)
-        spp = wb.pad_tiles(sp)
+        xp = wbp.pad_tiles(x)
+        spp = wbp.pad_tiles(sp)
         acc = jnp.asarray(rng.randn(*xp.shape).astype(np.float32)) * 0.1
-        _, skip = wb.wn_layer_stream(
+        _, skip = wbp.wn_layer_stream(
             xp, spp, w_in, b_in, w_c, b_c, w_rs, b_rs, acc, d,
             n_valid=n_valid,
         )
         want = jnp.einsum("btc,ce->bte", skip, w_end) + b_end
-        got = wb.wn_layer_stream_final(
+        got = wbp.wn_layer_stream_final(
             xp, spp, w_in, b_in, w_c, b_c, w_rs, b_rs, acc,
             w_end, b_end, d, n_valid=n_valid,
         )
         assert got.shape == (B, xp.shape[1], E)
         np.testing.assert_allclose(
-            np.asarray(wb.unpad_tiles(got))[:, :n_valid],
-            np.asarray(wb.unpad_tiles(want))[:, :n_valid],
+            np.asarray(wbp.unpad_tiles(got))[:, :n_valid],
+            np.asarray(wbp.unpad_tiles(want))[:, :n_valid],
             atol=1e-4,
         )
 
@@ -171,6 +152,7 @@ def test_wn_stream2_unpadded_matches_padded():
     tiles) == padded streaming kernels on the real region, both rs widths,
     d=1 and the model's max d=128, including a partial final tile."""
     from text2speech_tpu.ops.pallas import wn_block as wb
+    from text2speech_tpu.ops.pallas import wn_block_padded as wbp
 
     rng = np.random.RandomState(5)
     B, C, M, E = 2, 64, 48, 8
@@ -192,29 +174,29 @@ def test_wn_stream2_unpadded_matches_padded():
         for rs_out in (2 * C, C):
             w_rs = jnp.asarray(rng.randn(C, rs_out).astype(np.float32)) * 0.05
             b_rs = jnp.asarray(rng.randn(rs_out).astype(np.float32)) * 0.05
-            xp = wb.pad_tiles(xm)
-            spp = wb.pad_tiles(spm)
-            xa, sa = wb.wn_layer_stream(
+            xp = wbp.pad_tiles(xm)
+            spp = wbp.pad_tiles(spm)
+            xa, sa = wbp.wn_layer_stream(
                 xp, spp, w_in, b_in, w_c, b_c, w_rs, b_rs,
-                wb.pad_tiles(jnp.asarray(acc_np)), d, n_valid=n_valid,
+                wbp.pad_tiles(jnp.asarray(acc_np)), d, n_valid=n_valid,
             )
             xb, sb = wb.wn_layer_stream2(
                 xm, spm, w_in, b_in, w_c, b_c, w_rs, b_rs,
                 jnp.asarray(acc_np), d, n_valid=n_valid,
             )
             np.testing.assert_allclose(
-                np.asarray(wb.unpad_tiles(xa)), np.asarray(xb), atol=1e-5
+                np.asarray(wbp.unpad_tiles(xa)), np.asarray(xb), atol=1e-5
             )
             np.testing.assert_allclose(
-                np.asarray(wb.unpad_tiles(sa))[:, :n_valid],
+                np.asarray(wbp.unpad_tiles(sa))[:, :n_valid],
                 np.asarray(sb)[:, :n_valid], atol=1e-5,
             )
         # final-layer variant
         w_rs = jnp.asarray(rng.randn(C, C).astype(np.float32)) * 0.05
         b_rs = jnp.asarray(rng.randn(C).astype(np.float32)) * 0.05
-        want = wb.wn_layer_stream_final(
-            wb.pad_tiles(xm), wb.pad_tiles(spm), w_in, b_in, w_c, b_c,
-            w_rs, b_rs, wb.pad_tiles(jnp.asarray(acc_np)), w_end, b_end, d,
+        want = wbp.wn_layer_stream_final(
+            wbp.pad_tiles(xm), wbp.pad_tiles(spm), w_in, b_in, w_c, b_c,
+            w_rs, b_rs, wbp.pad_tiles(jnp.asarray(acc_np)), w_end, b_end, d,
             n_valid=n_valid,
         )
         got = wb.wn_layer_stream2_final(
@@ -222,7 +204,7 @@ def test_wn_stream2_unpadded_matches_padded():
             jnp.asarray(acc_np), w_end, b_end, d, n_valid=n_valid,
         )
         np.testing.assert_allclose(
-            np.asarray(wb.unpad_tiles(want))[:, :n_valid],
+            np.asarray(wbp.unpad_tiles(want))[:, :n_valid],
             np.asarray(got)[:, :n_valid], atol=1e-4,
         )
 
@@ -233,6 +215,7 @@ def test_wn_stream2_first_composed_taps_parity():
     including sequence edges (folded-bias suppression) and a partial
     final tile."""
     from text2speech_tpu.ops.pallas import wn_block as wb
+    from text2speech_tpu.ops.pallas import wn_block_padded as wbp
 
     rng = np.random.RandomState(6)
     B, C, M, n_half = 2, 64, 48, 4
