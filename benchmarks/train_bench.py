@@ -34,6 +34,11 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# v5e bf16 peak; the chained-matmul calibration in bench.py reproduces
+# ~200 TFLOP/s on this chip, so MFU here is relative to the hardware wall.
+PEAK_BF16_FLOPS = 197e12
+
+
 def _time_scaled(fn, args_small, args_big, scale_items, repeats=5):
     for args in (args_small, args_big):
         float(fn(*args))
@@ -49,7 +54,29 @@ def _time_scaled(fn, args_small, args_big, scale_items, repeats=5):
     return max(float(np.median(diffs)), 1e-9) / scale_items
 
 
-def bench_waveglow_train(batch=3):
+def _flops_of(jitted, *args):
+    """XLA's own FLOP count for one call (cost_analysis of the compiled
+    program) — the numerator of the MFU statement."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _marginal_flops(jitted, args_small, args_big, scale_items):
+    """FLOPs per batch item by the same big-minus-small accounting the
+    timing uses (fixed per-step overhead cancels)."""
+    fs = _flops_of(jitted, *args_small)
+    fb = _flops_of(jitted, *args_big)
+    if fb <= fs:
+        return 0.0
+    return (fb - fs) / scale_items
+
+
+def bench_waveglow_train(batch=3, conv_impl="taps"):
     import optax
 
     from text2speech_tpu.config import WaveGlowConfig
@@ -57,7 +84,7 @@ def bench_waveglow_train(batch=3):
     from text2speech_tpu.models.losses import waveglow_loss
 
     cfg = WaveGlowConfig()          # reference config: 512ch, seg 16000
-    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16)
+    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16, conv_impl=conv_impl)
     rng = jax.random.PRNGKey(0)
     seg = cfg.segment_length
     frames = seg // cfg.hop_length + 1
@@ -95,7 +122,17 @@ def bench_waveglow_train(batch=3):
     m4, a4 = make(4 * batch)
     jax.block_until_ready((m1, a1, m4, a4))
     sec_per_item = _time_scaled(run, (m1, a1), (m4, a4), 3 * batch)
-    return seg / sec_per_item       # audio samples trained / sec
+    flops_per_item = _marginal_flops(
+        step, (params, opt_state, m1, a1), (params, opt_state, m4, a4),
+        3 * batch,
+    )
+    tflops = flops_per_item / sec_per_item / 1e12
+    return {
+        "samples_per_sec": seg / sec_per_item,
+        "tflops": tflops,
+        "mfu": tflops * 1e12 / PEAK_BF16_FLOPS,
+        "conv_impl": conv_impl,
+    }
 
 
 def bench_tacotron_train(batch=8, t_in=128, t_out=400):
@@ -135,17 +172,45 @@ def bench_tacotron_train(batch=8, t_in=128, t_out=400):
 
     b4 = make(4 * batch)
     sec_per_item = _time_scaled(run, (b1,), (b4,), 3 * batch)
-    return t_out / sec_per_item     # mel frames trained / sec
+    flops_per_item = _marginal_flops(step_fn, (state, b1, rng),
+                                     (state, b4, rng), 3 * batch)
+    tflops = flops_per_item / sec_per_item / 1e12
+    return {
+        "frames_per_sec": t_out / sec_per_item,
+        "tflops": tflops,
+        "mfu": tflops * 1e12 / PEAK_BF16_FLOPS,
+    }
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--compare_conv_impl", action="store_true",
+                    help="also time the lax.conv lowering of the WN stacks")
+    args = ap.parse_args()
+
     wg = bench_waveglow_train()
+    out = {
+        "waveglow_train_samples_per_sec": round(wg["samples_per_sec"], 1),
+        "waveglow_train_tflops": round(wg["tflops"], 1),
+        "waveglow_train_mfu": round(wg["mfu"], 3),
+        "waveglow_conv_impl": wg["conv_impl"],
+    }
+    if args.compare_conv_impl:
+        wg2 = bench_waveglow_train(conv_impl="xla_conv")
+        out["waveglow_train_samples_per_sec_xla_conv"] = round(
+            wg2["samples_per_sec"], 1
+        )
+        out["waveglow_train_mfu_xla_conv"] = round(wg2["mfu"], 3)
     taco = bench_tacotron_train()
-    print(json.dumps({
-        "waveglow_train_samples_per_sec": round(wg, 1),
-        "tacotron_train_frames_per_sec": round(taco, 1),
+    out.update({
+        "tacotron_train_frames_per_sec": round(taco["frames_per_sec"], 1),
+        "tacotron_train_tflops": round(taco["tflops"], 1),
+        "tacotron_train_mfu": round(taco["mfu"], 3),
         "device": str(jax.devices()[0]),
-    }))
+    })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

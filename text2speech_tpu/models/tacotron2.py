@@ -469,6 +469,86 @@ class Tacotron2(nn.Module):
             )
         return mel_out, mel_post, gate_out, align
 
+    def encode(
+        self,
+        text_ids: jnp.ndarray,
+        speaker_ids: jnp.ndarray | None = None,
+        text_lengths: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Text -> encoder memory [B, T_in, enc] (the inference prefix of
+        ``tacotron.py:51-58``), exposed separately for incremental decoding."""
+        embedded = self.embed(text_ids)
+        encoder_out = self.encoder(embedded, text_lengths, train=False)
+        return self._condition_on_speaker(encoder_out, speaker_ids)
+
+    def derive_rng(self):
+        """The dropout key :meth:`inference` derives via ``make_rng`` from
+        the caller-provided seed — exposed so incremental decoding can
+        reproduce the batch path's prenet-dropout stream bitwise (split this
+        into ``max_steps`` keys and feed slices to :meth:`decode_chunk`)."""
+        return self.make_rng("dropout")
+
+    def decode_chunk(
+        self,
+        memory: jnp.ndarray,            # [B, T_in, enc]
+        state: DecoderState,
+        frame: jnp.ndarray,             # [B, n_mel] last emitted frame
+        finished: jnp.ndarray,          # [B] bool
+        step_rngs: jnp.ndarray,         # [n_steps] PRNG keys
+        text_lengths: jnp.ndarray | None = None,
+    ):
+        """``n_steps`` autoregressive decoder steps from an explicit carry —
+        the streaming unit of :meth:`inference`.  Returns
+        ``((state, frame, finished), mel [B, n_mel, n], gate, align, active)``
+        where ``active[b, t]`` marks frames produced at or before row b's
+        stop frame.  The carry crosses jit boundaries as a pytree, so a
+        host-side loop over chunks is re-trace-free at fixed ``n_steps``;
+        first-audio latency becomes one chunk instead of the full
+        ``max_decoder_steps`` scan (reference break-loop:
+        ``tacotron.py:447-461``).  Feeding consecutive slices of
+        ``jax.random.split(derive_rng-result, T)`` makes the chunked decode
+        bitwise-identical to one :meth:`inference` scan."""
+        hp = self.hp
+        B, T_in, _ = memory.shape
+        mask = (
+            sequence_mask(text_lengths, T_in)
+            if text_lengths is not None
+            else None
+        )
+        processed_memory = self.decoder.attention.process_memory(memory)
+
+        def body(carry, rng_t):
+            state, frame, finished = carry
+            rng_pre, rng_step = jax.random.split(rng_t)
+            pre = self.decoder.prenet(frame, rng_pre)
+            state, (mel_frame, gate, weights) = self.decoder.step(
+                state, pre, memory, processed_memory, mask, rng_step, False
+            )
+            stop_now = jax.nn.sigmoid(gate) > hp.gate_threshold
+            active = ~finished
+            finished = finished | stop_now
+            return (state, mel_frame, finished), (mel_frame, gate, weights,
+                                                  active)
+
+        carry, (mel, gate, align, active) = jax.lax.scan(
+            body, (state, frame, finished), step_rngs
+        )
+        return (
+            carry,
+            mel.transpose(1, 2, 0).astype(jnp.float32),
+            gate.transpose(1, 0).astype(jnp.float32),
+            align.transpose(1, 0, 2).astype(jnp.float32),
+            active.transpose(1, 0),
+        )
+
+    def postnet_residual(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """Postnet residual for a mel window [B, n_mel, T] — exposed for
+        windowed incremental application (one-sided receptive field =
+        ``(postnet_kernel_size // 2) * postnet_n_convolutions`` frames)."""
+        return self.postnet(mel.astype(
+            self.compute_dtype if self.compute_dtype else mel.dtype
+        ), train=False).astype(jnp.float32)
+
     def inference(
         self,
         text_ids: jnp.ndarray,

@@ -40,12 +40,20 @@ from ..ops.pallas.gated import gated_activation
 
 class WNConv(nn.Module):
     """1-D conv with weight normalization: kernel = g * v / ||v||, norms taken
-    per output channel over (k, in) — torch ``weight_norm`` semantics."""
+    per output channel over (k, in) — torch ``weight_norm`` semantics.
+
+    ``conv_impl`` picks the lowering: ``"taps"`` (default) expresses the
+    k-tap dilated conv as k shifted matmuls — forward AND backward (grad-of-
+    input is the flipped-tap form, grad-of-kernel a [C, T]·[T, 2C] MXU
+    contraction) lower to plain large matmuls, the same formulation the
+    fused serving kernels use; ``"xla_conv"`` keeps
+    ``lax.conv_general_dilated``.  Identical math either way."""
 
     features: int
     kernel_size: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    conv_impl: str = "taps"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -66,8 +74,24 @@ class WNConv(nn.Module):
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
         kernel = (v / norm * g[None, None, :]).astype(self.dtype)
         pad = self.dilation * (k - 1) // 2
+        xc = x.astype(self.dtype)
+        if k == 1:
+            return jnp.einsum("btc,co->bto", xc, kernel[0]) + bias.astype(
+                self.dtype
+            )
+        if self.conv_impl == "taps":
+            T = xc.shape[1]
+            xp = jnp.pad(xc, ((0, 0), (pad, pad), (0, 0)))
+            y = jnp.einsum("btc,co->bto", xp[:, :T], kernel[0])
+            for t in range(1, k):
+                y = y + jnp.einsum(
+                    "btc,co->bto",
+                    xp[:, t * self.dilation : t * self.dilation + T],
+                    kernel[t],
+                )
+            return y + bias.astype(self.dtype)
         return jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
+            xc,
             kernel,
             window_strides=(1,),
             padding=[(pad, pad)],
@@ -150,6 +174,7 @@ class WN(nn.Module):
     n_layers: int = 8
     kernel_size: int = 3
     dtype: Any = jnp.float32
+    conv_impl: str = "taps"
 
     @nn.compact
     def __call__(self, audio_half: jnp.ndarray, spect: jnp.ndarray) -> jnp.ndarray:
@@ -164,7 +189,7 @@ class WN(nn.Module):
         for i in range(L):
             in_act = WNConv(
                 2 * C, self.kernel_size, dilation=2 ** i, dtype=self.dtype,
-                name=f"in{i}",
+                conv_impl=self.conv_impl, name=f"in{i}",
             )(x)
             cond_i = cond_all[..., 2 * C * i : 2 * C * (i + 1)]
             acts = gated_activation(in_act, cond_i)
@@ -200,6 +225,7 @@ class WaveGlow(nn.Module):
 
     cfg: WaveGlowConfig
     compute_dtype: Any = jnp.float32
+    conv_impl: str = "taps"
 
     def setup(self):
         cfg = self.cfg
@@ -226,6 +252,7 @@ class WaveGlow(nn.Module):
                     cfg.wn_n_layers,
                     cfg.wn_kernel_size,
                     dtype=self.compute_dtype,
+                    conv_impl=self.conv_impl,
                     name=f"wn{k}",
                 )
             )

@@ -80,16 +80,21 @@ def _incond(spect_ref, w_cond_ref, b_cond_ref):
     )
 
 
-def _gate_rs(in_act, dtype, w_rs_ref, b_rs_ref):
-    """Gated tanh·σ activation + res/skip matmul -> rs [BT, rs_out] f32.
+def _gate(in_act, dtype):
+    """Gated tanh·σ over the stacked [.., 2C] pre-activation -> [.., C].
     Elementwise math stays f32 (Mosaic bf16 sigmoid bug, CLAUDE.md #8);
-    the rs matmul input is cast to the weight dtype for the MXU."""
+    the result is cast to the weight dtype for the MXU."""
     C = in_act.shape[-1] // 2
-    acts = (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
+    return (jnp.tanh(in_act[:, :C]) * jax.nn.sigmoid(in_act[:, C:])).astype(
         dtype
     )
+
+
+def _gate_rs(in_act, dtype, w_rs_ref, b_rs_ref):
+    """Gated activation + res/skip matmul (+bias) -> rs [BT, rs_out] f32."""
     return (
-        jnp.dot(acts, w_rs_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(_gate(in_act, dtype), w_rs_ref[...],
+                preferred_element_type=jnp.float32)
         + b_rs_ref[...]
     )
 
@@ -129,13 +134,13 @@ def _store_final_out(wn_out_ref, rs, acc, w_end_ref, b_end_ref, dtype):
     )
 
 
-def _edge_bias_suppress(in_act, b_edge_ref, j, d: int, n_valid: int):
+def _edge_bias_suppress(in_act, b_edge, j, d: int, n_valid: int):
     """First-layer folded-bias bookkeeping: the standard kernels see zero
     hidden state in the halo beyond the sequence, so the folded per-tap
     start bias must be subtracted where a tap reads out-of-range rows
-    (left tap at rows < d, right tap at rows >= n_valid - d)."""
+    (left tap at rows < d, right tap at rows >= n_valid - d).
+    ``b_edge``: [2, 2C] array (left-tap, right-tap corrections)."""
     rows = j * BT + jax.lax.broadcasted_iota(jnp.int32, (BT, 1), 0)
-    b_edge = b_edge_ref[...]
     in_act = in_act - jnp.where(rows < d, b_edge[0], 0.0)
     return in_act - jnp.where(rows >= n_valid - d, b_edge[1], 0.0)
 
@@ -249,7 +254,7 @@ def _kernel_stream2_first(x0_ref, *refs, dilation: int, n_tiles: int,
             if project_cond else cond_ref[0].astype(jnp.float32)
         )
         in_act = _taps(xwin, wp, d) + b_in_ref[...] + cond
-        in_act = _edge_bias_suppress(in_act, b_edge_ref, j, d, n_valid)
+        in_act = _edge_bias_suppress(in_act, b_edge_ref[...], j, d, n_valid)
         rs = _gate_rs(in_act, wp.dtype, w_rs_ref, b_rs_ref)
         # hidden state for the residual output, computed in-kernel (K=n_half)
         xh = (
@@ -507,6 +512,111 @@ def wn_layer_stream2_final(
     )(x, spect, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc,
       w_end, b_end)
     return wn_out
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel partial kernels (used per-device inside shard_map by
+# parallel/tp.py): the device owns a gate-pair-consistent 2C/p slice of the
+# in/cond columns and the matching C/p rows of the res/skip matmul, computes
+# taps + gate + rs on its slice, and emits the PARTIAL rs [B, T, rs_out] in
+# f32 for the one-per-layer psum.  The residual add / skip accumulation and
+# biases happen post-psum in XLA (they need the full-channel sum).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_stream2_partial(x0_ref, spect_ref, w_in_ref, b_in_ref,
+                            w_cond_ref, b_cond_ref, w_rs_ref,
+                            rs_out_ref, ring, *, dilation: int, n_tiles: int,
+                            n_valid: int, edge_bias: bool):
+    """Partial-channel streaming WN layer: local columns in, partial rs out.
+    ``edge_bias``: the first-layer composed-tap variant passes folded-bias
+    edge corrections stacked into b_in_ref rows 1..2 (see
+    ``wn_layer_stream2_first_partial``)."""
+    t = pl.program_id(1)
+    d = dilation
+    j = t - 1
+    _ring_zero_init(ring, t)
+
+    @pl.when(t >= 1)
+    def _():
+        w = w_in_ref[...]
+        _, xwin = _ring_window(ring, x0_ref, t, j, n_tiles, d)
+        cond = _incond(spect_ref, w_cond_ref, b_cond_ref)
+        b_stack = b_in_ref[...]
+        in_act = _taps(xwin, w, d) + b_stack[0] + cond
+        if edge_bias:
+            in_act = _edge_bias_suppress(in_act, b_stack[1:], j, d, n_valid)
+        rs = jnp.dot(_gate(in_act, w.dtype), w_rs_ref[...],
+                     preferred_element_type=jnp.float32)
+        vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
+        rs_out_ref[0] = _mask_rows(rs, vmask)
+
+    _ring_push(ring, x0_ref, t, n_tiles - 1)
+
+
+def wn_layer_stream2_partial(
+    x: jnp.ndarray,         # [B, T, K] replicated hidden (or x0 audio half)
+    spect: jnp.ndarray,     # [B, T, M]
+    w_in: jnp.ndarray,      # [3, K, 2Cp] local column slice
+    b_in: jnp.ndarray,      # [2Cp] f32 local (pre-psum, added once here)
+    w_cond: jnp.ndarray,    # [M, 2Cp]
+    b_cond: jnp.ndarray,    # [2Cp] f32
+    w_rs: jnp.ndarray,      # [Cp, rs_out] local row slice (rs_out = 2C or C)
+    dilation: int,
+    b_edge: jnp.ndarray | None = None,   # [2, 2Cp] first-layer corrections
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+) -> jnp.ndarray:
+    """Per-device TP WN layer -> partial rs [B, T, rs_out] f32 (psum me).
+    The res/skip bias is NOT added (add it once after the psum)."""
+    interpret = _auto_interpret(interpret)
+    B, T, K = x.shape
+    M = spect.shape[-1]
+    rs_out = w_rs.shape[-1]
+    assert T % BT == 0 and dilation <= BT
+    n_tiles = T // BT
+    if n_valid is None:
+        n_valid = T
+
+    if b_edge is None:
+        b_stack = b_in.astype(jnp.float32)[None]          # [1, 2Cp]
+        edge = False
+    else:
+        b_stack = jnp.concatenate(
+            [b_in.astype(jnp.float32)[None], b_edge.astype(jnp.float32)],
+            axis=0,
+        )                                                  # [3, 2Cp]
+        edge = True
+
+    kern = functools.partial(
+        _kernel_stream2_partial, dilation=dilation, n_tiles=n_tiles,
+        n_valid=n_valid, edge_bias=edge,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    oi = _out_idx(n_tiles)
+    (rs_part,) = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, K), _in_idx(n_tiles)),
+            pl.BlockSpec((1, BT, M), oi),
+            pl.BlockSpec(w_in.shape, lambda b, t: (0, 0, 0)),
+            pl.BlockSpec(b_stack.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(w_cond.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_cond.shape, lambda b, t: (0,)),
+            pl.BlockSpec(w_rs.shape, lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, rs_out), oi),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, rs_out), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, K), x.dtype)],
+        interpret=interpret,
+    )(x, spect, w_in, b_stack, w_cond, b_cond, w_rs)
+    return rs_part
 
 
 # ---------------------------------------------------------------------------
