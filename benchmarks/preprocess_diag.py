@@ -62,17 +62,19 @@ def make_corpus(root: str):
 
 
 def bw_link():
-    """Raw tunnel bandwidth, MB/s each direction (32 MB f32)."""
+    """Raw tunnel bandwidth, MB/s each direction (32 MB f32).  D2H uses a
+    FRESH device array per rep — np.asarray caches the host copy, so
+    re-reading the same array measures the cache, not the link."""
     buf = np.random.RandomState(0).randn(8 * 1024 * 1024).astype(np.float32)
-    dev = jax.device_put(buf)
-    jax.block_until_ready(dev)
+    devs = [jax.device_put(buf + i) for i in range(3)]
+    jax.block_until_ready(devs)
     h2d, d2h = [], []
-    for _ in range(3):
+    for d in devs:
         t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(buf))
         h2d.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(dev)
+        np.asarray(d)
         d2h.append(time.perf_counter() - t0)
     mb = buf.nbytes / 1e6
     return mb / float(np.median(h2d)), mb / float(np.median(d2h))
@@ -218,6 +220,16 @@ def main():
         frames = sum(int(m[4]) for m in meta)
         result["e2e_fps"] = round(frames / e2e_dt, 1)
         result["e2e_s"] = round(e2e_dt, 2)
+
+        # opt-in f16 spectrogram transfer (halves drain bytes)
+        shutil.rmtree(out, ignore_errors=True)
+        preprocess_corpus(hp, root, out, device_batch=16, transfer_fp16=True)
+        t0 = time.perf_counter()
+        meta = preprocess_corpus(hp, root, out, device_batch=16,
+                                 transfer_fp16=True)
+        result["e2e_fp16_fps"] = round(
+            sum(int(m[4]) for m in meta) / (time.perf_counter() - t0), 1
+        )
 
         print(json.dumps(result))
     finally:

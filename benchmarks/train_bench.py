@@ -76,7 +76,7 @@ def _marginal_flops(jitted, args_small, args_big, scale_items):
     return (fb - fs) / scale_items
 
 
-def bench_waveglow_train(batch=3, conv_impl="taps"):
+def bench_waveglow_train(batch=3, conv_impl="xla_conv"):
     import optax
 
     from text2speech_tpu.config import WaveGlowConfig
@@ -198,11 +198,11 @@ def main():
         "waveglow_conv_impl": wg["conv_impl"],
     }
     if args.compare_conv_impl:
-        wg2 = bench_waveglow_train(conv_impl="xla_conv")
-        out["waveglow_train_samples_per_sec_xla_conv"] = round(
+        wg2 = bench_waveglow_train(conv_impl="taps")
+        out["waveglow_train_samples_per_sec_taps"] = round(
             wg2["samples_per_sec"], 1
         )
-        out["waveglow_train_mfu_xla_conv"] = round(wg2["mfu"], 3)
+        out["waveglow_train_mfu_taps"] = round(wg2["mfu"], 3)
     taco = bench_tacotron_train()
     out.update({
         "tacotron_train_frames_per_sec": round(taco["frames_per_sec"], 1),

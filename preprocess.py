@@ -28,6 +28,15 @@ def main():
     parser.add_argument("--out_dir", default=None)
     parser.add_argument("--device_batch", type=int, default=16)
     parser.add_argument("--hparams", default=None, help="path to params.json")
+    parser.add_argument("--trim_impl", choices=("device", "host"),
+                        default="device",
+                        help="silence trim: batched on-device kernel "
+                             "(default) or per-utterance host numpy")
+    parser.add_argument("--transfer_fp16", action="store_true",
+                        help="cast spectrograms to f16 on device before the "
+                             "device->host copy (halves drain bytes on "
+                             "transfer-bound hosts; npz stays f32, ~1e-3 "
+                             "relative error)")
     args = parser.parse_args()
 
     hp = HParams.load(args.hparams) if args.hparams else HParams()
@@ -46,6 +55,8 @@ def main():
         device_batch=args.device_batch,
         progress=tqdm,
         parser=get_transcript_parser(args.name),
+        trim_impl=args.trim_impl,
+        transfer_fp16=args.transfer_fp16,
     )
     write_metadata(metadata, out_dir, hp)
     frames = sum(int(m[4]) for m in metadata)

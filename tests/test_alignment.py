@@ -13,6 +13,7 @@ through the production plot path.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -52,9 +53,16 @@ HOP = 256
 SR = 22050
 
 
-def make_corpus(n_utts: int, seed: int) -> Batch:
+def tok_freq(tok: np.ndarray | int):
+    """Token id -> sinusoid frequency (quarter-octave steps from 220 Hz)."""
+    return 220.0 * (2.0 ** ((np.asarray(tok) - 2) / 4.0))
+
+
+def make_corpus(n_utts: int, seed: int, return_wavs: bool = False):
     """Token sequences -> per-token sinusoid audio -> device log-mels,
-    standardized (silence-floor MSE must not dominate the tone content)."""
+    standardized (silence-floor MSE must not dominate the tone content).
+    ``return_wavs=True`` additionally returns the raw waveforms (the
+    vocoder/chain tests train WaveGlow on the same corpus)."""
     rng = np.random.RandomState(seed)
     text = np.zeros((n_utts, T_IN), np.int32)
     in_lengths = rng.randint(8, T_IN + 1, n_utts).astype(np.int32)
@@ -65,9 +73,8 @@ def make_corpus(n_utts: int, seed: int) -> Batch:
         ids = rng.randint(2, 2 + N_TOKENS, k)
         text[i, :k] = ids
         for j, tok in enumerate(ids):
-            freq = 220.0 * (2.0 ** ((tok - 2) / 4.0))  # quarter-octave steps
             phase = rng.uniform(0, 2 * np.pi)
-            seg = 0.4 * np.sin(2 * np.pi * freq * t_axis + phase)
+            seg = 0.4 * np.sin(2 * np.pi * tok_freq(tok) * t_axis + phase)
             wavs[i, j * FPT * HOP : (j + 1) * FPT * HOP] = seg
 
     frontend = MelFrontend(n_mel_channels=HP.n_mel_channels, sampling_rate=SR)
@@ -78,7 +85,7 @@ def make_corpus(n_utts: int, seed: int) -> Batch:
     frame_idx = np.arange(T_OUT)[None, :]
     mel = np.where(frame_idx[:, None, :] < out_lengths[:, None, None], mel, 0.0)
     gate = (frame_idx >= (out_lengths - 1)[:, None]).astype(np.float32)
-    return Batch(
+    batch = Batch(
         text=text,
         input_lengths=in_lengths,
         mel=mel.astype(np.float32),
@@ -86,6 +93,9 @@ def make_corpus(n_utts: int, seed: int) -> Batch:
         speaker_id=np.zeros((n_utts,), np.int32),
         output_lengths=out_lengths,
     )
+    if return_wavs:
+        return batch, wavs
+    return batch
 
 
 def diagonality(align: np.ndarray, in_len: np.ndarray, out_len: np.ndarray):
@@ -106,9 +116,25 @@ def diagonality(align: np.ndarray, in_len: np.ndarray, out_len: np.ndarray):
     return float(np.mean(masses)), float(np.mean(corrs))
 
 
-def test_attention_goes_diagonal(tmp_path):
-    train_batches = [make_corpus(HP.batch_size, seed) for seed in range(8)]
-    val = make_corpus(HP.batch_size, 999)
+@pytest.fixture(scope="module")
+def corpus():
+    """8 training batches + one held-out batch, with waveforms (the vocoder
+    and full-chain tests train WaveGlow on the same corpus)."""
+    train = [
+        make_corpus(HP.batch_size, seed, return_wavs=True)
+        for seed in range(8)
+    ]
+    val = make_corpus(HP.batch_size, 999, return_wavs=True)
+    return train, val
+
+
+@pytest.fixture(scope="module")
+def trained_taco(corpus):
+    """Tacotron-2 trained on the tone corpus until the teacher-forced
+    alignment is measurably diagonal; shared by the alignment and
+    full-chain tests."""
+    train_batches = [b for b, _ in corpus[0]]
+    val = corpus[1][0]
 
     model = Tacotron2(HP, n_vocab=80)
     rng = jax.random.PRNGKey(0)
@@ -144,6 +170,18 @@ def test_attention_goes_diagonal(tmp_path):
             mass, corr = measure(state)
             if mass > 0.40 and corr > 0.95:
                 break
+    return dict(model=model, state=state, eval_fn=eval_fn,
+                mass0=mass0, corr0=corr0, mass=mass, corr=corr)
+
+
+def test_attention_goes_diagonal(corpus, trained_taco, tmp_path):
+    val = corpus[1][0]
+    model = trained_taco["model"]
+    state = trained_taco["state"]
+    eval_fn = trained_taco["eval_fn"]
+    mass0, corr0 = trained_taco["mass0"], trained_taco["corr0"]
+    mass, corr = trained_taco["mass"], trained_taco["corr"]
+    rng = jax.random.PRNGKey(0)
 
     # random-init attention is diffuse; trained attention concentrates on the
     # emitting token and marches monotonically — measurably diagonal.
@@ -201,3 +239,235 @@ def test_attention_goes_diagonal(tmp_path):
     )
     assert img.ndim == 3 and img.shape[-1] == 3
     plt.imsave(str(tmp_path / "alignment.png"), img)
+
+
+# ---------------------------------------------------------------------------
+# Trained vocoder + full chain (VERDICT r2 item #1): train a small WaveGlow
+# from scratch on the SAME tone corpus, prove its sampled audio matches the
+# conditioning mel, then chain it after the alignment-trained Tacotron for
+# text -> mel -> waveform content tracking.  Composes the reference's
+# train.py:170-246 + waveglow/train.py:62-135 + inference.py:80-95 loops.
+# ---------------------------------------------------------------------------
+
+from text2speech_tpu.config import WaveGlowConfig
+from text2speech_tpu.models.losses import waveglow_loss
+from text2speech_tpu.models.waveglow import WaveGlow
+
+WG_CFG = WaveGlowConfig(
+    n_mel_channels=HP.n_mel_channels,
+    n_flows=6,
+    n_group=8,
+    n_early_every=4,
+    n_early_size=2,
+    wn_n_layers=4,
+    wn_n_channels=48,
+    wn_kernel_size=3,
+    upsample_kernel=512,
+    upsample_stride=HOP,
+    hop_length=HOP,
+    sampling_rate=SR,
+    segment_length=16 * HOP,
+)
+EVAL_SIGMA = 0.7
+
+
+def _mel_of(frontend_cache={}):
+    if "fn" not in frontend_cache:
+        frontend = MelFrontend(
+            n_mel_channels=HP.n_mel_channels, sampling_rate=SR
+        )
+        frontend_cache["fn"] = jax.jit(frontend.mel_spectrogram)
+    return frontend_cache["fn"]
+
+
+def _standardize(m):
+    return (m - m.mean()) / (m.std() + 1e-6)
+
+
+def _mel_fidelity(audio, target_mel, out_lengths):
+    """(mel correlation, dominant-channel match) of synthesized audio vs its
+    conditioning mel, within each row's true length.  Both metrics are
+    invariant to the corpus standardization's affine."""
+    m = np.asarray(_mel_of()(jnp.asarray(audio)))[:, :, : target_mel.shape[-1]]
+    m = _standardize(m)
+    corrs, match, tot = [], 0, 0
+    for b in range(m.shape[0]):
+        L = int(out_lengths[b])
+        corrs.append(np.corrcoef(
+            target_mel[b][:, :L].ravel(), m[b][:, :L].ravel()
+        )[0, 1])
+        ch_t = target_mel[b][:, :L].argmax(axis=0)
+        ch_p = m[b][:, :L].argmax(axis=0)
+        match += (np.abs(ch_p - ch_t) <= 1).sum()
+        tot += L
+    return float(np.mean(corrs)), match / tot
+
+
+@pytest.fixture(scope="module")
+def trained_vocoder(corpus):
+    """WaveGlow trained from scratch on (mel, waveform) crops of the tone
+    corpus (16-frame segments, crops kept inside each utterance's true
+    length so zero-masked mel never pairs with silent audio)."""
+    import optax
+
+    train = corpus[0]
+    mels = np.concatenate([b.mel for b, _ in train])          # [N, 16, T_OUT]
+    wavs = np.concatenate([w for _, w in train])              # [N, T_OUT*HOP]
+    out_lens = np.concatenate([b.output_lengths for b, _ in train])
+
+    model = WaveGlow(WG_CFG)
+    rng = jax.random.PRNGKey(0)
+    seg_frames = WG_CFG.segment_length // HOP
+    variables = model.init(
+        rng,
+        jnp.zeros((1, HP.n_mel_channels, seg_frames)),
+        jnp.zeros((1, WG_CFG.segment_length)),
+    )
+    params = variables["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, mel_b, audio_b):
+        def loss_fn(p):
+            z, log_s, log_det = model.apply({"params": p}, mel_b, audio_b)
+            return waveglow_loss(z.transpose(0, 2, 1), log_s, log_det, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    infer = jax.jit(
+        lambda p, m, k: model.apply(
+            {"params": p}, m, k, EVAL_SIGMA, method=WaveGlow.infer
+        )
+    )
+
+    val = corpus[1][0]
+
+    def measure(params):
+        audio = np.asarray(infer(
+            params, jnp.asarray(val.mel), jax.random.PRNGKey(7)
+        ))
+        return _mel_fidelity(audio, val.mel, val.output_lengths)
+
+    corr0, match0 = measure(params)
+
+    B = 8
+    rng_np = np.random.RandomState(1)
+    corr = match = 0.0
+    # Calibration (CPU, this config): corr ~0.5 and match ~0.33 by step
+    # 250-500, flat afterwards (chance match ~0.19, init corr ~0).
+    for it in range(1, 1201):
+        rows = rng_np.randint(0, len(mels), B)
+        starts = np.asarray([
+            rng_np.randint(0, max(out_lens[r] - seg_frames, 0) + 1)
+            for r in rows
+        ])
+        mel_b = np.stack([
+            mels[r][:, s : s + seg_frames] for r, s in zip(rows, starts)
+        ])
+        audio_b = np.stack([
+            wavs[r][s * HOP : (s + seg_frames) * HOP]
+            for r, s in zip(rows, starts)
+        ])
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(mel_b), jnp.asarray(audio_b)
+        )
+        assert np.isfinite(float(loss))
+        if it % 150 == 0:
+            corr, match = measure(params)
+            if corr > 0.50 and match > 0.30:
+                break
+    return dict(model=model, params=params, infer=infer,
+                corr0=corr0, match0=match0, corr=corr, match=match)
+
+
+def test_trained_vocoder_reconstructs_mel(trained_vocoder):
+    """A WaveGlow trained from scratch must SAMPLE audio whose mel matches
+    the conditioning mel — the 'trains but vocodes garbage' gap: NLL can
+    decrease while sampling stays noise (reference's only signal was
+    listening to checkpoints, waveglow/train.py:62-135)."""
+    v = trained_vocoder
+    assert v["corr"] > 0.42, (
+        f"mel corr {v['corr']:.3f} (init {v['corr0']:.3f})"
+    )
+    assert v["match"] > 0.26, (
+        f"dominant-channel match {v['match']:.3f} (init {v['match0']:.3f}, "
+        f"chance ~0.19)"
+    )
+    assert v["corr"] > v["corr0"] + 0.3
+    assert v["match"] > v["match0"] + 0.05
+
+
+def test_full_chain_text_to_audio(corpus, trained_taco, trained_vocoder,
+                                  tmp_path):
+    """text -> mel (trained Tacotron, autoregressive) -> waveform (trained
+    WaveGlow) : the synthesized AUDIO's spectral content must track the
+    token sequence — the full trained pipeline no single-model test proves."""
+    val = corpus[1][0]
+    taco, state = trained_taco["model"], trained_taco["state"]
+    voc = trained_vocoder
+
+    infer_mel = jax.jit(
+        lambda v, t, l: taco.apply(
+            v, t, text_lengths=l, max_steps=T_OUT,
+            method=Tacotron2.inference,
+            rngs={"dropout": jax.random.PRNGKey(9)},
+        )
+    )
+    _, mel_post, _, _, out_len = infer_mel(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(val.text), jnp.asarray(val.input_lengths),
+    )
+    mel_post = np.asarray(mel_post)
+    out_len = np.minimum(np.asarray(out_len), T_OUT)
+
+    audio = np.asarray(voc["infer"](
+        voc["params"], jnp.asarray(mel_post), jax.random.PRNGKey(11)
+    ))
+    assert np.isfinite(audio).all()
+
+    # (a) the vocoder tracks ITS conditioning (the predicted mel)
+    corr_cond, _ = _mel_fidelity(audio, _standardize(mel_post), out_len)
+    # (b) end to end: the audio's mel tracks the TOKEN-derived target
+    m = _standardize(
+        np.asarray(_mel_of()(jnp.asarray(audio)))[:, :, :T_OUT]
+    )
+    match = tot = 0
+    for b in range(val.text.shape[0]):
+        for j in range(int(val.input_lengths[b])):
+            fr = slice(j * FPT, min((j + 1) * FPT, int(out_len[b])))
+            if fr.stop <= fr.start:
+                continue
+            ch_t = int(val.mel[b][:, fr].mean(axis=1).argmax())
+            ch_p = int(m[b][:, fr].mean(axis=1).argmax())
+            match += abs(ch_p - ch_t) <= 1
+            tot += 1
+    content = match / tot
+
+    assert corr_cond > 0.40, f"vocoder-on-predicted-mel corr {corr_cond:.3f}"
+    assert content > 0.24, (
+        f"end-to-end content match {content:.3f} (chance ~0.19)"
+    )
+
+    # keep artifacts: waveform + spectrogram of the first utterance
+    from scipy.io import wavfile
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    wavfile.write(
+        str(tmp_path / "chain_utt0.wav"), SR,
+        (np.clip(audio[0], -1, 1) * 32767).astype(np.int16),
+    )
+    fig, axes = plt.subplots(2, 1, figsize=(8, 5))
+    axes[0].imshow(val.mel[0], aspect="auto", origin="lower")
+    axes[0].set_title("target mel (tokens)")
+    axes[1].imshow(m[0], aspect="auto", origin="lower")
+    axes[1].set_title(
+        f"mel of synthesized audio (chain match {content:.2f})"
+    )
+    fig.savefig(str(tmp_path / "chain_utt0.png"), dpi=80)
+    plt.close(fig)

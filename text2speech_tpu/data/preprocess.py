@@ -112,7 +112,8 @@ class _HostItem:
     n_samples: int           # len(wav) after trim
 
 
-def _host_stage(args) -> _HostItem | None:
+def _load_stage(args):
+    """Host IO prefix: wav decode + peak rescale (no trim)."""
     wav_path, text, hp = args
     try:
         wav = load_wav(wav_path, hp.sample_rate)
@@ -124,9 +125,12 @@ def _host_stage(args) -> _HostItem | None:
         peak = np.abs(wav).max()
         if peak > 0:
             wav = wav / peak * hp.rescaling_max
-    if hp.trim_silence:
-        wav = trim_silence(wav, hp)
+    return wav_path, text, wav
 
+
+def _branch_stage(wav_path: str, text: str, wav: np.ndarray,
+                  hp: HParams) -> _HostItem | None:
+    """Post-trim host suffix: the mu-law input_type branch."""
     if hp.input_type == "mulaw-quantize":
         out = np.asarray(
             dsp_audio.mulaw_quantize(jnp.asarray(wav), hp.quantize_channels)
@@ -146,10 +150,64 @@ def _host_stage(args) -> _HostItem | None:
     return _HostItem(wav_path, text, wav, out, np.dtype(out_dtype), len(wav))
 
 
-def _device_batch_fn(hp: HParams):
+def _host_stage(args) -> _HostItem | None:
+    """Full host chain (load -> rescale -> HOST trim -> mu-law branch) —
+    the ``trim_impl='host'`` path and the oracle for the device trim."""
+    loaded = _load_stage(args)
+    if loaded is None:
+        return None
+    wav_path, text, wav = loaded
+    hp = args[2]
+    if hp.trim_silence:
+        wav = trim_silence(wav, hp)
+    return _branch_stage(wav_path, text, wav, hp)
+
+
+def _device_trim_items(loaded: list, hp: HParams, batch: int = 64,
+                       length_bucket: int = 16384) -> list[_HostItem]:
+    """Batched on-device silence trim (``dsp.audio.trim_bounds_batch``) over
+    loaded (path, text, wav) tuples, then the host mu-law branch.  Replaces
+    the last host-numpy DSP stage of preprocessing (``utils/audio.py:51-58``
+    ran per-utterance on CPU in the reference)."""
+    from ..dsp.audio import trim_bounds_batch
+
+    bounds_fn = jax.jit(
+        lambda y, n: trim_bounds_batch(
+            y, n, hp.trim_top_db, hp.trim_fft_size, hp.trim_hop_size
+        )
+    )
+    items: list[_HostItem] = []
+    order = sorted(range(len(loaded)), key=lambda i: len(loaded[i][2]))
+    for i0 in range(0, len(order), batch):
+        idx = order[i0 : i0 + batch]
+        chunk = [loaded[i] for i in idx]
+        T = _round_up(max(len(w) for _, _, w in chunk), length_bucket)
+        padded = np.zeros((len(chunk), T), np.float32)
+        lens = np.zeros((len(chunk),), np.int32)
+        for j, (_, _, w) in enumerate(chunk):
+            padded[j, : len(w)] = w
+            lens[j] = len(w)
+        starts, ends = bounds_fn(jnp.asarray(padded), jnp.asarray(lens))
+        starts, ends = np.asarray(starts), np.asarray(ends)
+        for j, (path, text, w) in enumerate(chunk):
+            it = _branch_stage(path, text, w[starts[j] : ends[j]], hp)
+            if it is not None:
+                items.append(it)
+    return items
+
+
+def _device_batch_fn(hp: HParams, transfer_dtype=None):
+    """Jitted batched mel+linear; ``transfer_dtype`` (e.g. ``jnp.float16``)
+    casts ON DEVICE before the device->host copy — halves the drain bytes on
+    transfer-bound hosts (opt-in: the npz contract stays f32 after upcast,
+    at ~1e-3 relative spectrogram error)."""
+
     @jax.jit
     def fn(padded: jnp.ndarray):
-        return mel_and_linear_spectrogram(padded, hp, center=False)
+        mel, lin = mel_and_linear_spectrogram(padded, hp, center=False)
+        if transfer_dtype is not None:
+            mel, lin = mel.astype(transfer_dtype), lin.astype(transfer_dtype)
+        return mel, lin
 
     return fn
 
@@ -167,29 +225,50 @@ def preprocess_corpus(
     length_bucket: int = 16384,
     progress=lambda x: x,
     parser=None,
+    trim_impl: str = "device",
+    transfer_fp16: bool = False,
 ) -> list[tuple]:
     """Full corpus preprocessing; returns ``train.txt`` metadata rows
     (``(audio_fn, mel_fn, linear_fn, time_steps, mel_frames, text, npz_fn)``,
     ``kss.py:167``).  ``parser`` overrides the transcript parser (see
-    :func:`get_transcript_parser`; default KSS format)."""
+    :func:`get_transcript_parser`; default KSS format).  ``trim_impl``:
+    ``"device"`` (default) batches the silence trim through the jitted
+    energy-framing bounds kernel; ``"host"`` keeps the per-utterance numpy
+    trim inside the IO thread pool.  ``transfer_fp16`` casts the
+    spectrograms to f16 on device before the device->host copy (halves the
+    drain bytes on transfer-bound hosts; npz output stays f32 after upcast,
+    ~1e-3 relative error — opt-in)."""
     os.makedirs(out_dir, exist_ok=True)
     rows = (parser or parse_transcript)(in_dir)
     pad = hp.filter_length // 2
     hop = hp.hop_length
-    device_fn = _device_batch_fn(hp)
+    device_fn = _device_batch_fn(
+        hp, jnp.float16 if transfer_fp16 else None
+    )
 
     metadata: list[tuple] = []
     pool = ThreadPoolExecutor(num_workers)
 
     # Sort by approximate length to minimize padding waste per device batch.
     def batches() -> Iterable[list[_HostItem]]:
-        items = [
-            it
-            for it in progress(
-                pool.map(_host_stage, ((w, t, hp) for w, t in rows))
-            )
-            if it is not None
-        ]
+        if hp.trim_silence and trim_impl == "device":
+            loaded = [
+                x
+                for x in progress(
+                    pool.map(_load_stage, ((w, t, hp) for w, t in rows))
+                )
+                if x is not None
+            ]
+            items = _device_trim_items(loaded, hp,
+                                       length_bucket=length_bucket)
+        else:
+            items = [
+                it
+                for it in progress(
+                    pool.map(_host_stage, ((w, t, hp) for w, t in rows))
+                )
+                if it is not None
+            ]
         items.sort(key=lambda it: it.n_samples)
         for i in range(0, len(items), device_batch):
             yield items[i : i + device_batch]
@@ -266,6 +345,14 @@ def preprocess_corpus(
             batch[j, : it.n_samples + 2 * pad] = np.pad(it.wav, pad, mode="reflect")
 
         mel_dev, lin_dev = device_fn(jnp.asarray(batch))   # async dispatch
+        # slice to the batch's real frame extent ON DEVICE before the
+        # device->host copy — the bucket rounding pads ~20% dead frames at
+        # typical utterance lengths; bucketing the slice to 16 frames bounds
+        # the number of distinct slice programs (measured: the e2e figure is
+        # transfer-bound on this rig, benchmarks/preprocess_diag.py)
+        F_max = min(mel_dev.shape[-1], _round_up(max(n_frames), 16))
+        mel_dev = mel_dev[:, :, :F_max]
+        lin_dev = lin_dev[:, :, :F_max]
         if pending is not None:
             _drain(pending)
         pending = (chunk, n_frames, mel_dev, lin_dev)

@@ -202,6 +202,44 @@ def trim_silence(y: np.ndarray, hp: HParams) -> np.ndarray:
     return y[s:e]
 
 
+def trim_bounds_batch(
+    y: jnp.ndarray,          # [B, T] zero-padded batch
+    lengths: jnp.ndarray,    # [B] true sample counts
+    top_db: float,
+    frame_length: int,
+    hop_length: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched on-device ``librosa.effects.trim`` bounds: [start, end) sample
+    indices of each row's non-silent span (``utils/audio.py:51-58``
+    semantics, jittable — the device replacement for the host loop in
+    :func:`trim_silence_bounds`).
+
+    Rows are zero-padded; all-zero tail frames are silent by construction
+    (their dB falls to the floor), so the per-row result matches the
+    host implementation on the true-length signal."""
+    pad = frame_length // 2
+    yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad, pad)))
+    sq = yp[..., None] ** 2                                 # [B, T', 1]
+    k = jnp.full((frame_length, 1, 1), 1.0 / frame_length, jnp.float32)
+    mse = jax.lax.conv_general_dilated(
+        sq, k, window_strides=(hop_length,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[..., 0]                                               # [B, n_frames]
+    amin = 1e-10
+    ref = jnp.maximum(jnp.max(mse, axis=1, keepdims=True), amin)
+    db = 10.0 * jnp.log10(jnp.maximum(mse, amin)) - 10.0 * jnp.log10(ref)
+    nonsilent = db > -top_db
+    any_ns = nonsilent.any(axis=1)
+    n = nonsilent.shape[1]
+    first = jnp.argmax(nonsilent, axis=1)
+    last = n - 1 - jnp.argmax(nonsilent[:, ::-1], axis=1)
+    start = jnp.where(any_ns, first * hop_length, 0)
+    end = jnp.where(
+        any_ns, jnp.minimum(lengths, (last + 1) * hop_length), 0
+    )
+    return start.astype(jnp.int32), end.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # spectrograms — offline convention (amp_to_db - ref_level_db)
 # ---------------------------------------------------------------------------

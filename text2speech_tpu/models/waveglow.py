@@ -42,18 +42,19 @@ class WNConv(nn.Module):
     """1-D conv with weight normalization: kernel = g * v / ||v||, norms taken
     per output channel over (k, in) — torch ``weight_norm`` semantics.
 
-    ``conv_impl`` picks the lowering: ``"taps"`` (default) expresses the
-    k-tap dilated conv as k shifted matmuls — forward AND backward (grad-of-
-    input is the flipped-tap form, grad-of-kernel a [C, T]·[T, 2C] MXU
-    contraction) lower to plain large matmuls, the same formulation the
-    fused serving kernels use; ``"xla_conv"`` keeps
-    ``lax.conv_general_dilated``.  Identical math either way."""
+    ``conv_impl`` picks the k>1 lowering: ``"xla_conv"`` (default,
+    measured FASTER for fwd+bwd training: 599k vs 539k samples/s on v5e —
+    XLA's dilated-conv kernels beat the shifted-matmul form, a negative
+    result recorded in docs/KERNELS.md) or ``"taps"`` (k shifted matmuls,
+    the serving kernels' formulation).  1x1 convs always lower to one
+    einsum (that change took reference-config training 494k -> 599k).
+    Identical math either way."""
 
     features: int
     kernel_size: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
-    conv_impl: str = "taps"
+    conv_impl: str = "xla_conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -174,7 +175,7 @@ class WN(nn.Module):
     n_layers: int = 8
     kernel_size: int = 3
     dtype: Any = jnp.float32
-    conv_impl: str = "taps"
+    conv_impl: str = "xla_conv"
 
     @nn.compact
     def __call__(self, audio_half: jnp.ndarray, spect: jnp.ndarray) -> jnp.ndarray:
@@ -225,7 +226,7 @@ class WaveGlow(nn.Module):
 
     cfg: WaveGlowConfig
     compute_dtype: Any = jnp.float32
-    conv_impl: str = "taps"
+    conv_impl: str = "xla_conv"
 
     def setup(self):
         cfg = self.cfg
