@@ -51,6 +51,12 @@ def main():
     parser.add_argument("--plot_dir", default=None,
                         help="also render alignment + mel plots here "
                              "(reference inference.py:88-90 diagnostics)")
+    parser.add_argument("--stream", action="store_true",
+                        help="incremental synthesis: decode in chunks and "
+                             "write audio as soon as each chunk clears the "
+                             "vocoder's receptive field (first-audio "
+                             "latency ~= one chunk, not the full decode)")
+    parser.add_argument("--stream_chunk_steps", type=int, default=64)
     args = parser.parse_args()
 
     hp = HParams.load(args.hparams) if args.hparams else HParams(
@@ -73,6 +79,22 @@ def main():
         import numpy as np
 
         from text2speech_tpu.dsp.audio import save_wav
+
+        if args.stream:
+            import time
+
+            t0 = time.perf_counter()
+            chunks = []
+            for i, chunk in enumerate(synth.synthesize_incremental(
+                args.text, sigma=args.sigma,
+                chunk_steps=args.stream_chunk_steps,
+            )):
+                chunks.append(chunk)
+                print(f"chunk {i}: +{len(chunk)} samples "
+                      f"at t={time.perf_counter() - t0:.2f}s")
+            save_wav(np.concatenate(chunks), args.out, args.sample_rate)
+            print(f"wrote {args.out}")
+            return
 
         mel_post, out_lengths, align = synth.text_to_mel(
             [args.text], with_align=True

@@ -131,6 +131,27 @@ def test_inference_cli_with_plots(ckpts, tmp_path):
     assert (plots / "utt_mel.png").exists()
 
 
+def test_inference_cli_stream(ckpts, tmp_path):
+    """--stream synthesizes incrementally (chunked decode + windowed
+    vocoding) and writes a complete wav."""
+    out = tmp_path / "stream.wav"
+    r = run_cli(
+        "inference.py",
+        ["--taco_checkpoint", ckpts["taco"],
+         "--waveglow_checkpoint", ckpts["wg"],
+         "--hparams", ckpts["hp"],
+         "--waveglow_config", ckpts["wg_cfg"],
+         "--text", "안녕하세요.",
+         "--out", str(out),
+         "--stream", "--stream_chunk_steps", "8"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "chunk 0:" in r.stdout
+    sr, wav = wavfile.read(str(out))
+    assert sr == 22050 and wav.dtype == np.int16 and wav.size > 0
+
+
 def test_waveglow_inference_cli(ckpts, tmp_path):
     frames = 64
     mel = np.random.RandomState(0).randn(8, frames).astype(np.float32)

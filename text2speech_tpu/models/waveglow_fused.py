@@ -22,9 +22,16 @@ Forward/training keeps the XLA composite (this kernel defines no VJP).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# VPU/MXU-overlap experiment (see wn_block._kernel_stream2 row_split):
+# compute the coupling in 2 row sub-blocks so one half's gating overlaps the
+# other's matmuls.  Opt-in for A/B benching.
+_ROW_SPLIT = 2 if os.environ.get("T2S_ROW_SPLIT2") else 1
 
 from ..config import WaveGlowConfig
 from ..ops.pallas.wn_block import (
@@ -287,6 +294,7 @@ def infer_fused(
                     skip_total,
                     dilation=2 ** li,
                     n_valid=Tg,
+                    row_split=_ROW_SPLIT,
                 )
 
         # last layer with the end projection (glow.py:166-175) folded in:

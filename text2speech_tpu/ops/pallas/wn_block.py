@@ -60,13 +60,14 @@ def _row_mask_np(out_tile, n_valid: int, n_tiles: int, shape):
     return (out_tile * BT + rows) < n_valid
 
 
-def _taps(xwin, w, d: int):
+def _taps(xwin, w, d: int, n_rows: int = BT):
     """Three dilated conv taps as matmuls over the haloed window
-    [BT + 2d, C] -> [BT, 2C] f32 (MXU accumulates in f32)."""
+    [n_rows + 2d, C] -> [n_rows, 2C] f32 (MXU accumulates in f32)."""
     return (
-        jnp.dot(xwin[0:BT], w[0], preferred_element_type=jnp.float32)
-        + jnp.dot(xwin[d : d + BT], w[1], preferred_element_type=jnp.float32)
-        + jnp.dot(xwin[2 * d : 2 * d + BT], w[2],
+        jnp.dot(xwin[0:n_rows], w[0], preferred_element_type=jnp.float32)
+        + jnp.dot(xwin[d : d + n_rows], w[1],
+                  preferred_element_type=jnp.float32)
+        + jnp.dot(xwin[2 * d : 2 * d + n_rows], w[2],
                   preferred_element_type=jnp.float32)
     )
 
@@ -195,8 +196,15 @@ def _ring_push(ring, x0_ref, t, n_last: int):
 
 
 def _kernel_stream2(x0_ref, *refs, dilation: int, n_tiles: int,
-                    has_res: bool, n_valid: int, project_cond: bool):
-    """Standard streaming WN layer on the unpadded layout."""
+                    has_res: bool, n_valid: int, project_cond: bool,
+                    row_split: int = 1):
+    """Standard streaming WN layer on the unpadded layout.
+
+    ``row_split > 1`` computes the coupling body in that many row
+    sub-blocks, interleaving each sub-block's MXU matmuls with the previous
+    sub-block's VPU gating — an explicit software-pipelining hint for
+    Mosaic (the in-kernel ceiling is ~92% of the bf16 wall; the residual is
+    VPU time not hidden under the MXU)."""
     if project_cond:
         (spect_ref, w_in_ref, b_in_ref, w_cond_ref, b_cond_ref,
          w_rs_ref, b_rs_ref, acc_ref, x_out_ref, skip_out_ref, ring) = refs
@@ -211,15 +219,59 @@ def _kernel_stream2(x0_ref, *refs, dilation: int, n_tiles: int,
     def _():
         w = w_in_ref[...]
         mid, xwin = _ring_window(ring, x0_ref, t, j, n_tiles, dilation)
-        cond = (
-            _incond(spect_ref, w_cond_ref, b_cond_ref)
-            if project_cond else cond_ref[0].astype(jnp.float32)
-        )
-        in_act = _taps(xwin, w, dilation) + b_in_ref[...] + cond
-        rs = _gate_rs(in_act, w.dtype, w_rs_ref, b_rs_ref)
-        vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
-        _store_layer_out(x_out_ref, skip_out_ref, mid, rs, acc_ref[0],
-                         vmask, has_res)
+        if row_split == 1:
+            cond = (
+                _incond(spect_ref, w_cond_ref, b_cond_ref)
+                if project_cond else cond_ref[0].astype(jnp.float32)
+            )
+            in_act = _taps(xwin, w, dilation) + b_in_ref[...] + cond
+            rs = _gate_rs(in_act, w.dtype, w_rs_ref, b_rs_ref)
+            vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
+            _store_layer_out(x_out_ref, skip_out_ref, mid, rs, acc_ref[0],
+                             vmask, has_res)
+        else:
+            # per-half compute AND store: only one half's f32 intermediates
+            # are live at a time (full-tile concat OOMs scoped VMEM at
+            # reference size), and half h+1's matmuls can overlap half h's
+            # VPU gating
+            H = BT // row_split
+            d = dilation
+            C = x_out_ref.shape[-1]
+            for h in range(row_split):
+                rows = slice(h * H, (h + 1) * H)
+                xw = xwin[h * H : h * H + H + 2 * d]
+                if project_cond:
+                    cond_h = (
+                        jnp.dot(spect_ref[0, rows], w_cond_ref[...],
+                                preferred_element_type=jnp.float32)
+                        + b_cond_ref[...]
+                    )
+                else:
+                    cond_h = cond_ref[0, rows].astype(jnp.float32)
+                in_act_h = _taps(xw, w, d, H) + b_in_ref[...] + cond_h
+                rs_h = (
+                    jnp.dot(_gate(in_act_h, w.dtype), w_rs_ref[...],
+                            preferred_element_type=jnp.float32)
+                    + b_rs_ref[...]
+                )
+                if n_valid >= n_tiles * BT:
+                    vmask_h = None
+                else:
+                    r = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+                    vmask_h = (j * BT + h * H + r) < n_valid
+                acc_h = acc_ref[0, rows]
+                mid_h = mid[rows]
+                if has_res:
+                    x_out_ref[0, rows] = _mask_rows(
+                        (mid_h.astype(jnp.float32) + rs_h[:, :C]).astype(
+                            x_out_ref.dtype), vmask_h,
+                    )
+                    skip_out_ref[0, rows] = acc_h + rs_h[:, C:].astype(
+                        acc_h.dtype
+                    )
+                else:
+                    x_out_ref[0, rows] = _mask_rows(mid_h, vmask_h)
+                    skip_out_ref[0, rows] = acc_h + rs_h.astype(acc_h.dtype)
 
     _ring_push(ring, x0_ref, t, n_tiles - 1)
 
@@ -334,6 +386,7 @@ def wn_layer_stream2(
     dilation: int,
     interpret: bool | None = None,
     n_valid: int | None = None,
+    row_split: int = 1,
 ):
     """Unpadded streaming fused WN layer -> (x_new, skip_acc + skip)."""
     interpret = _auto_interpret(interpret)
@@ -347,7 +400,7 @@ def wn_layer_stream2(
 
     kern = functools.partial(
         _kernel_stream2, dilation=dilation, n_tiles=n_tiles, has_res=has_res,
-        n_valid=n_valid, project_cond=True,
+        n_valid=n_valid, project_cond=True, row_split=row_split,
     )
     from jax.experimental.pallas import tpu as pltpu
 
