@@ -76,7 +76,7 @@ def _marginal_flops(jitted, args_small, args_big, scale_items):
     return (fb - fs) / scale_items
 
 
-def bench_waveglow_train(batch=3, conv_impl="xla_conv"):
+def bench_waveglow_train(batch=3, conv_impl="xla_conv", remat=False):
     import optax
 
     from text2speech_tpu.config import WaveGlowConfig
@@ -84,7 +84,8 @@ def bench_waveglow_train(batch=3, conv_impl="xla_conv"):
     from text2speech_tpu.models.losses import waveglow_loss
 
     cfg = WaveGlowConfig()          # reference config: 512ch, seg 16000
-    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16, conv_impl=conv_impl)
+    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16, conv_impl=conv_impl,
+                     remat=remat)
     rng = jax.random.PRNGKey(0)
     seg = cfg.segment_length
     frames = seg // cfg.hop_length + 1
@@ -132,6 +133,7 @@ def bench_waveglow_train(batch=3, conv_impl="xla_conv"):
         "tflops": tflops,
         "mfu": tflops * 1e12 / PEAK_BF16_FLOPS,
         "conv_impl": conv_impl,
+        "remat": remat,
     }
 
 

@@ -254,8 +254,9 @@ def test_device_trim_bounds_match_host():
 
 
 def test_preprocess_device_trim_equals_host_trim(tmp_path):
-    """preprocess_corpus(trim_impl='device') writes byte-identical audio/mel
-    arrays to the host-trim path."""
+    """preprocess_corpus(trim_impl='device') writes byte-identical
+    audio/mel/linear arrays to the host-trim path (same bounds, same
+    host-side reflect pad, same device STFT)."""
     import jax.numpy as jnp  # noqa: F401
 
     from scipy.io import wavfile
@@ -294,4 +295,5 @@ def test_preprocess_device_trim_equals_host_trim(tmp_path):
         npz_h = np.load(os.path.join(out_h, m[6]))
         np.testing.assert_array_equal(npz_d["audio"], npz_h["audio"])
         np.testing.assert_array_equal(npz_d["mel"], npz_h["mel"])
+        np.testing.assert_array_equal(npz_d["linear"], npz_h["linear"])
         assert int(npz_d["time_steps"]) == int(npz_h["time_steps"])

@@ -167,3 +167,39 @@ def test_waveglow_grads_finite(model_and_vars):
     assert np.isfinite(float(loss))
     leaves = jax.tree.leaves(jax.tree.map(lambda g: float(jnp.abs(g).sum()), grads))
     assert all(np.isfinite(v) for v in leaves)
+
+
+def test_remat_same_params_and_grads():
+    """WaveGlow(remat=True) rematerializes WN blocks in backward: identical
+    param tree, loss, and gradients to the non-remat model — the memory
+    lever for training batches past the non-remat HBM OOM point."""
+    from text2speech_tpu.models.losses import waveglow_loss
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, n_flows=2, n_group=4, n_early_every=4,
+        wn_n_layers=2, wn_n_channels=16, upsample_kernel=32,
+        upsample_stride=8, segment_length=512,
+    )
+    rng = jax.random.PRNGKey(0)
+    frames = cfg.segment_length // cfg.upsample_stride
+    mel = jnp.asarray(
+        np.random.RandomState(0).randn(2, 8, frames).astype(np.float32)
+    )
+    audio = jnp.asarray(
+        np.random.RandomState(1).randn(2, cfg.segment_length).astype(
+            np.float32) * 0.1
+    )
+    m1, m2 = WaveGlow(cfg), WaveGlow(cfg, remat=True)
+    v1, v2 = m1.init(rng, mel, audio), m2.init(rng, mel, audio)
+    same = jax.tree.map(lambda a, b: bool(jnp.allclose(a, b)), v1, v2)
+    assert all(jax.tree.leaves(same))
+
+    def loss(m, p):
+        z, ls, ld = m.apply({"params": p}, mel, audio)
+        return waveglow_loss(z.transpose(0, 2, 1), ls, ld, 1.0)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v1["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(m2, p))(v2["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

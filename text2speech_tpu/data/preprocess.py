@@ -38,6 +38,7 @@ from ..dsp.audio import (
     load_wav,
     mel_and_linear_spectrogram,
     start_and_end_indices,
+    trim_bounds_batch,
     trim_silence,
 )
 from ..text import text_to_sequence
@@ -242,12 +243,12 @@ def preprocess_corpus(
     rows = (parser or parse_transcript)(in_dir)
     pad = hp.filter_length // 2
     hop = hp.hop_length
+    pool = ThreadPoolExecutor(num_workers)
     device_fn = _device_batch_fn(
         hp, jnp.float16 if transfer_fp16 else None
     )
 
     metadata: list[tuple] = []
-    pool = ThreadPoolExecutor(num_workers)
 
     # Sort by approximate length to minimize padding waste per device batch.
     def batches() -> Iterable[list[_HostItem]]:

@@ -227,6 +227,10 @@ class WaveGlow(nn.Module):
     cfg: WaveGlowConfig
     compute_dtype: Any = jnp.float32
     conv_impl: str = "xla_conv"
+    remat: bool = False   # rematerialize WN blocks in backward: ~12x less
+                          # activation memory (one block's instead of all
+                          # flows'), +1 forward recompute — lets training
+                          # batches ~4x past the non-remat HBM OOM point
 
     def setup(self):
         cfg = self.cfg
@@ -241,13 +245,14 @@ class WaveGlow(nn.Module):
         wn = []
         n_half = cfg.n_group // 2
         n_rem = cfg.n_group
+        wn_cls = nn.remat(WN) if self.remat else WN
         for k in range(cfg.n_flows):
             if k % cfg.n_early_every == 0 and k > 0:
                 n_half -= cfg.n_early_size // 2
                 n_rem -= cfg.n_early_size
             convinv.append(Invertible1x1Conv(n_rem, name=f"convinv{k}"))
             wn.append(
-                WN(
+                wn_cls(
                     n_half,
                     cfg.wn_n_channels,
                     cfg.wn_n_layers,
