@@ -321,11 +321,19 @@ def _kernel_stream2_first(x0_ref, *refs, dilation: int, n_tiles: int,
 
 
 def _kernel_stream2_final(x0_ref, *refs, dilation: int, n_tiles: int,
-                          n_valid: int, project_cond: bool):
+                          n_valid: int, project_cond: bool,
+                          fold_rs: bool):
     """Final WN layer + folded end projection (``glow.py:166-175``'s ``end``
     conv): emits the (b, log_s) coupling terms directly.  Tail rows past
     ``n_valid`` carry bias-driven values exactly like the unfused path's
-    masked epilogue; callers zero them via the tile mask."""
+    masked epilogue; callers zero them via the tile mask.
+
+    ``fold_rs``: the final res/skip matmul's output only ever feeds the
+    rank-E end projection (E = 2*n_half <= 8), so the wrapper pre-folds
+    w_rs @ w_end into a [C, E] matrix — the kernel computes
+    ``acts @ (w_rs·w_end) + acc @ w_end`` instead of
+    ``(acc + acts @ w_rs) @ w_end``: the K=C x N=C rs pass (4 MXU
+    pass-units) collapses to two N=E passes."""
     if project_cond:
         (spect_ref, w_in_ref, b_in_ref, w_cond_ref, b_cond_ref,
          w_rs_ref, b_rs_ref, acc_ref, w_end_ref, b_end_ref,
@@ -347,9 +355,21 @@ def _kernel_stream2_final(x0_ref, *refs, dilation: int, n_tiles: int,
             if project_cond else cond_ref[0].astype(jnp.float32)
         )
         in_act = _taps(xwin, w, dilation) + b_in_ref[...] + cond
-        rs = _gate_rs(in_act, w.dtype, w_rs_ref, b_rs_ref)
-        _store_final_out(wn_out_ref, rs, acc_ref[0], w_end_ref, b_end_ref,
-                         w.dtype)
+        if fold_rs:
+            # w_rs_ref holds w_rs @ w_end [C, E]; b_end_ref holds
+            # b_rs @ w_end + b_end (b_rs_ref is unused padding)
+            rs_e = jnp.dot(_gate(in_act, w.dtype), w_rs_ref[...],
+                           preferred_element_type=jnp.float32)
+            wn_out_ref[0] = (
+                rs_e
+                + jnp.dot(acc_ref[0], w_end_ref[...],
+                          preferred_element_type=jnp.float32)
+                + b_end_ref[...]
+            )
+        else:
+            rs = _gate_rs(in_act, w.dtype, w_rs_ref, b_rs_ref)
+            _store_final_out(wn_out_ref, rs, acc_ref[0], w_end_ref,
+                             b_end_ref, w.dtype)
 
     _ring_push(ring, x0_ref, t, n_tiles - 1)
 
@@ -518,9 +538,11 @@ def wn_layer_stream2_final(
     dilation: int,
     interpret: bool | None = None,
     n_valid: int | None = None,
+    fold_rs: bool = True,
 ) -> jnp.ndarray:
     """Unpadded streaming final WN layer + end projection -> wn_out
-    [B, T, E] f32."""
+    [B, T, E] f32.  ``fold_rs`` (default) collapses the K=C final res/skip
+    matmul into the rank-E end projection (see ``_kernel_stream2_final``)."""
     interpret = _auto_interpret(interpret)
     B, T, C = x.shape
     M = spect.shape[-1]
@@ -531,9 +553,17 @@ def wn_layer_stream2_final(
     if n_valid is None:
         n_valid = T
 
+    if fold_rs:
+        f32 = jnp.float32
+        w_rs_eff = (w_rs.astype(f32) @ w_end.astype(f32)).astype(w_rs.dtype)
+        b_end_eff = b_rs.astype(f32) @ w_end.astype(f32) + b_end.astype(f32)
+        b_rs_eff = jnp.zeros((1,), f32)
+    else:
+        w_rs_eff, b_rs_eff, b_end_eff = w_rs, b_rs, b_end
+
     kern = functools.partial(
         _kernel_stream2_final, dilation=dilation, n_tiles=n_tiles,
-        n_valid=n_valid, project_cond=True,
+        n_valid=n_valid, project_cond=True, fold_rs=fold_rs,
     )
     from jax.experimental.pallas import tpu as pltpu
 
@@ -548,8 +578,8 @@ def wn_layer_stream2_final(
             pl.BlockSpec((2 * C,), lambda b, t: (0,)),
             pl.BlockSpec((M, 2 * C), lambda b, t: (0, 0)),
             pl.BlockSpec((2 * C,), lambda b, t: (0,)),
-            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec(w_rs_eff.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_rs_eff.shape, lambda b, t: (0,)),
             pl.BlockSpec((1, BT, C), oi),
             pl.BlockSpec((C, E), lambda b, t: (0, 0)),
             pl.BlockSpec((E,), lambda b, t: (0,)),
@@ -562,8 +592,8 @@ def wn_layer_stream2_final(
         ],
         scratch_shapes=[pltpu.VMEM((2, BT, C), x.dtype)],
         interpret=interpret,
-    )(x, spect, w_in, b_in, w_cond, b_cond, w_rs, b_rs, skip_acc,
-      w_end, b_end)
+    )(x, spect, w_in, b_in, w_cond, b_cond, w_rs_eff, b_rs_eff, skip_acc,
+      w_end, b_end_eff)
     return wn_out
 
 
@@ -821,6 +851,7 @@ def wn_layer_stream2_final_dcond(
     dilation: int,
     interpret: bool | None = None,
     n_valid: int | None = None,
+    fold_rs: bool = True,
 ) -> jnp.ndarray:
     """Final layer + folded end projection with pre-materialized cond."""
     interpret = _auto_interpret(interpret)
@@ -832,9 +863,17 @@ def wn_layer_stream2_final_dcond(
     if n_valid is None:
         n_valid = T
 
+    if fold_rs:
+        f32 = jnp.float32
+        w_rs_eff = (w_rs.astype(f32) @ w_end.astype(f32)).astype(w_rs.dtype)
+        b_end_eff = b_rs.astype(f32) @ w_end.astype(f32) + b_end.astype(f32)
+        b_rs_eff = jnp.zeros((1,), f32)
+    else:
+        w_rs_eff, b_rs_eff, b_end_eff = w_rs, b_rs, b_end
+
     kern = functools.partial(
         _kernel_stream2_final, dilation=dilation, n_tiles=n_tiles,
-        n_valid=n_valid, project_cond=False,
+        n_valid=n_valid, project_cond=False, fold_rs=fold_rs,
     )
     from jax.experimental.pallas import tpu as pltpu
 
@@ -847,8 +886,8 @@ def wn_layer_stream2_final_dcond(
             pl.BlockSpec((1, BT, 2 * C), _cond_slice_idx(n_tiles, cond_index)),
             pl.BlockSpec((3, C, 2 * C), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((2 * C,), lambda b, t: (0,)),
-            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec(w_rs_eff.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(b_rs_eff.shape, lambda b, t: (0,)),
             pl.BlockSpec((1, BT, C), oi),
             pl.BlockSpec((C, E), lambda b, t: (0, 0)),
             pl.BlockSpec((E,), lambda b, t: (0,)),
@@ -861,5 +900,6 @@ def wn_layer_stream2_final_dcond(
         ],
         scratch_shapes=[pltpu.VMEM((2, BT, C), x.dtype)],
         interpret=interpret,
-    )(x, cond_all, w_in, b_in, w_rs, b_rs, skip_acc, w_end, b_end)
+    )(x, cond_all, w_in, b_in, w_rs_eff, b_rs_eff, skip_acc, w_end,
+      b_end_eff)
     return wn_out
