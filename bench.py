@@ -108,9 +108,17 @@ def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
     cost; instead the **scan length** is scaled (400 vs 800 steps, same
     batch) and the difference attributed to 400 steps of pure decode.
     Measured at batch 16 (the headline number) and batch 64 (serving
-    scale): the per-step matmuls are [B, K] x [K, N], so 16 of 128 MXU rows
-    are occupied at batch 16 and aggregate frames/s scales near-linearly
-    with batch — the batch-64 figure validates that claim.
+    scale).
+
+    What bounds it (measured, round 3): the decoder streams ~36 MB of bf16
+    weights per step against 779 GB/s measured HBM read bandwidth — a
+    ~47 us/step floor if nothing stays resident; XLA pins the VMEM-fitting
+    loop-invariant slice, and measured step time (24 us @b16, 45 us @b64)
+    sits between the all-resident and none-resident bounds.  Decode is
+    WEIGHT-STREAMING-bound, so batch rides along nearly free (the same
+    streamed weights serve more rows: b64 = ~2.1x b16 aggregate) and a
+    fused decoder-step Pallas kernel cannot beat the floor (36 MB > 16 MB
+    VMEM).  The unbuilt lever is weight quantization.
     """
     from text2speech_tpu.config import HParams
     from text2speech_tpu.models.tacotron2 import Tacotron2
