@@ -164,6 +164,88 @@ def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
     return batch * base_steps / sec  # aggregate mel frames / sec
 
 
+def bench_tacotron_int8(batch: int = 16, t_in: int = 128,
+                        base_steps: int = 400):
+    """Decode throughput with int8-quantized decoder weights
+    (models/tacotron_serve.py): decode is weight-streaming-bound, so int8
+    storage halves the per-step HBM traffic (microbenchmark: 1.66x on the
+    LSTM matmuls).  Same scan-length-scaling methodology as
+    :func:`bench_tacotron`."""
+    import numpy as np
+
+    from text2speech_tpu.config import HParams
+    from text2speech_tpu.models.tacotron2 import DecoderState, Tacotron2
+    from text2speech_tpu.models.tacotron_serve import (
+        decode_chunk_serve,
+        extract_decoder_params,
+        quantize_decoder_params,
+    )
+    from text2speech_tpu.text import N_SYMBOLS
+
+    hp = HParams(sample_rate=SR, max_decoder_steps=2 * base_steps)
+    model = Tacotron2(hp, n_vocab=N_SYMBOLS, compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    text = jnp.zeros((batch, t_in), jnp.int32) + 3
+    lengths = jnp.full((batch,), t_in, jnp.int32)
+    variables = jax.jit(model.init)(
+        {"params": rng, "dropout": rng},
+        text, lengths,
+        jnp.zeros((batch, hp.n_mel_channels, 64)),
+        jnp.full((batch,), 64, jnp.int32),
+    )
+    dp = quantize_decoder_params(extract_decoder_params(variables, hp))
+    memory = jax.jit(
+        lambda v, t, l: model.apply(
+            v, t, text_lengths=l, method=Tacotron2.encode
+        )
+    )(variables, text, lengths)
+    pmem = jax.jit(
+        lambda v, m: model.apply(
+            v, m, method=lambda mod, mm: mod.decoder.attention.process_memory(mm)
+        )
+    )(variables, memory)
+
+    def z(d):
+        return jnp.zeros((batch, d), memory.dtype)
+
+    state = DecoderState(
+        z(hp.attention_rnn_dim), z(hp.attention_rnn_dim),
+        z(hp.decoder_rnn_dim), z(hp.decoder_rnn_dim),
+        jnp.zeros((batch, t_in), memory.dtype),
+        jnp.zeros((batch, t_in), memory.dtype),
+        z(hp.enc_conv_channels),
+    )
+    frame = jnp.zeros((batch, hp.n_mel_channels), memory.dtype)
+    finished = jnp.zeros((batch,), bool)
+    all_rngs = jax.random.split(rng, 2 * base_steps)
+    jax.block_until_ready((memory, pmem))
+
+    def make(n_steps):
+        return jax.jit(
+            lambda dp, mem, pm, st, fr, fi, sr_, le: jnp.mean(
+                decode_chunk_serve(
+                    dp, hp, mem, pm, st, fr, fi, sr_, le,
+                    dtype=jnp.bfloat16,
+                )[1].astype(jnp.float32)
+            )
+        )
+    short, long = make(base_steps), make(2 * base_steps)
+    args = (dp, memory, pmem, state, frame, finished)
+    for fn, rr in ((short, all_rngs[:base_steps]), (long, all_rngs)):
+        float(fn(*args, rr, lengths))
+    diffs = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(short(*args, all_rngs[:base_steps], lengths))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(long(*args, all_rngs, lengths))
+        t_l = time.perf_counter() - t0
+        diffs.append(t_l - t_s)
+    sec = max(float(np.median(diffs)), 1e-9)
+    return batch * base_steps / sec
+
+
 def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050):
     """Corpus preprocessing throughput (mel frames/sec) on a synthetic
     KSS-shaped corpus: native wav decode -> trim -> batched device
@@ -256,6 +338,7 @@ def main():
     wg_sps = bench_waveglow()
     taco_fps = bench_tacotron()
     taco_fps_64 = bench_tacotron(batch=64)
+    taco_fps_int8 = bench_tacotron_int8()
     pp_fps = bench_preprocess()
     pp_dev_fps = bench_preprocess_device()
     pp_cpu_fps = bench_preprocess_cpu_baseline()
@@ -271,6 +354,7 @@ def main():
         "vocoder_rtf": round(wg_sps / SR, 1),
         "tacotron_frames_per_sec": round(taco_fps, 1),
         "tacotron_frames_per_sec_b64": round(taco_fps_64, 1),
+        "tacotron_frames_per_sec_int8": round(taco_fps_int8, 1),
         "e2e_rtf": round(e2e_rtf, 2),
         "e2e_rtf_target": 50.0,
         "preprocess_mel_frames_per_sec": round(pp_fps, 1),

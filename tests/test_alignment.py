@@ -471,3 +471,67 @@ def test_full_chain_text_to_audio(corpus, trained_taco, trained_vocoder,
     )
     fig.savefig(str(tmp_path / "chain_utt0.png"), dpi=80)
     plt.close(fig)
+
+
+def test_quantized_decode_preserves_trained_content(corpus, trained_taco):
+    """int8 decoder weights (models/tacotron_serve.py — the serving mode
+    that halves the measured weight-streaming bound) must preserve the
+    TRAINED model's synthesized content: per-token dominant-channel match
+    stays near the fp path's (~0.43 at this training point, chance ~0.19)."""
+    from text2speech_tpu.models.tacotron_serve import (
+        decode_chunk_serve,
+        extract_decoder_params,
+        quantize_decoder_params,
+    )
+
+    val = corpus[1][0]
+    model, state = trained_taco["model"], trained_taco["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    text = jnp.asarray(val.text)
+    lengths = jnp.asarray(val.input_lengths)
+
+    memory = model.apply(
+        variables, text, text_lengths=lengths, method=Tacotron2.encode
+    )
+    pmem = model.apply(
+        variables, memory,
+        method=lambda m, mm: m.decoder.attention.process_memory(mm),
+    )
+    dp_q = quantize_decoder_params(
+        extract_decoder_params(variables, HP), min_elems=1
+    )
+    base = model.apply(
+        variables, method=Tacotron2.derive_rng,
+        rngs={"dropout": jax.random.PRNGKey(9)},
+    )
+    rngs = jax.random.split(base, T_OUT)
+
+    from text2speech_tpu.models.tacotron2 import DecoderState
+
+    B, T_in = text.shape
+    z = lambda d: jnp.zeros((B, d), memory.dtype)
+    st0 = DecoderState(
+        z(HP.attention_rnn_dim), z(HP.attention_rnn_dim),
+        z(HP.decoder_rnn_dim), z(HP.decoder_rnn_dim),
+        jnp.zeros((B, T_in), memory.dtype), jnp.zeros((B, T_in), memory.dtype),
+        z(HP.enc_conv_channels),
+    )
+    _, mel, _, _, _ = decode_chunk_serve(
+        dp_q, HP, memory, pmem, st0,
+        jnp.zeros((B, HP.n_mel_channels), memory.dtype),
+        jnp.zeros((B,), bool), rngs, text_lengths=lengths,
+    )
+    mel_post = np.asarray(mel) + np.asarray(model.apply(
+        variables, jnp.asarray(mel), method=Tacotron2.postnet_residual
+    ))
+
+    match = tot = 0
+    for b in range(val.text.shape[0]):
+        for j in range(int(val.input_lengths[b])):
+            fr = slice(j * FPT, (j + 1) * FPT)
+            ch_t = int(val.mel[b][:, fr].mean(axis=1).argmax())
+            ch_p = int(mel_post[b][:, fr].mean(axis=1).argmax())
+            match += abs(ch_p - ch_t) <= 1
+            tot += 1
+    content = match / tot
+    assert content > 0.30, f"int8 content match {content:.3f} (chance ~0.19)"

@@ -1,0 +1,206 @@
+"""Weight-quantized Tacotron decode — the serving path for the measured
+weight-streaming bound.
+
+Autoregressive decode streams ~36 MB of bf16 decoder weights per step
+against this chip's measured 779 GB/s HBM read bandwidth (see bench.py
+``bench_tacotron``); the weights don't fit VMEM, so no kernel fusion can
+beat that floor — but **int8 weight storage halves it** (microbenchmark:
+1.66x on the two LSTM matmuls).  This module provides
+
+* :func:`extract_decoder_params` — the decoder's weights as a plain dict
+  (folded out of the flax tree);
+* :func:`quantize_decoder_params` — per-output-channel symmetric int8 for
+  the large matmul kernels (the two fused-gate LSTM kernels dominate);
+* :func:`decode_chunk_serve` — a functional mirror of
+  ``Tacotron2.decode_chunk`` (same carry, same per-step dropout-key
+  consumption, bitwise-equal in fp) that dequantizes int8 kernels INSIDE
+  the scan body.  The scale term carries a data dependence on the loop
+  state so XLA cannot hoist the dequantize out of the loop (hoisting would
+  materialize the bf16 copy in HBM and erase the win).
+
+Reference behavior served: ``tacotron/tacotron.py:355-393`` (decoder step)
++ ``:431-466`` (inference loop).  The reference has no quantized path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HParams
+from .tacotron2 import DecoderState
+
+# quantize 2-D kernels at least this many elements (the two LSTM ih/hh
+# pairs at full size; small projections stay exact)
+QUANT_MIN_ELEMS = 1 << 20
+
+
+def extract_decoder_params(variables: dict, hp: HParams) -> dict:
+    """Flatten the decoder's flax params into a plain serving dict."""
+    dec = variables["params"]["decoder"]
+    att = dec["attention"]
+    return {
+        "prenet_fc0": dec["prenet"]["fc0"]["kernel"],
+        "prenet_fc1": dec["prenet"]["fc1"]["kernel"],
+        "att_ih_w": dec["attention_rnn"]["ih"]["kernel"],
+        "att_ih_b": dec["attention_rnn"]["ih"]["bias"],
+        "att_hh_w": dec["attention_rnn"]["hh"]["kernel"],
+        "att_hh_b": dec["attention_rnn"]["hh"]["bias"],
+        "dec_ih_w": dec["decoder_rnn"]["ih"]["kernel"],
+        "dec_ih_b": dec["decoder_rnn"]["ih"]["bias"],
+        "dec_hh_w": dec["decoder_rnn"]["hh"]["kernel"],
+        "dec_hh_b": dec["decoder_rnn"]["hh"]["bias"],
+        "query_w": att["query"]["kernel"],
+        "v_w": att["v"]["kernel"],
+        "loc_conv_w": att["loc_conv"]["Conv_0"]["kernel"],
+        "loc_dense_w": att["loc_dense"]["kernel"],
+        "mel_w": dec["mel_proj"]["kernel"],
+        "mel_b": dec["mel_proj"]["bias"],
+        "gate_w": dec["gate_proj"]["kernel"],
+        "gate_b": dec["gate_proj"]["bias"],
+    }
+
+
+def quantize_decoder_params(dp: dict,
+                            min_elems: int = QUANT_MIN_ELEMS) -> dict:
+    """Per-output-channel symmetric int8 for large 2-D kernels:
+    ``w[:, j] ~= q[:, j] * s[j]``, s = max|w[:, j]| / 127."""
+    out = {}
+    for k, w in dp.items():
+        if w.ndim == 2 and w.size >= min_elems:
+            s = jnp.max(jnp.abs(w), axis=0) / 127.0
+            q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            out[k] = {"q": q, "s": s.astype(jnp.float32)}
+        else:
+            out[k] = w
+    return out
+
+
+def _w(dp_entry, eps, dtype):
+    """Materialize a (possibly quantized) kernel in the compute dtype.
+    ``eps`` is a zero that depends on the scan carry — it pins the
+    dequantize inside the loop body (anti-hoist)."""
+    if isinstance(dp_entry, dict):
+        q, s = dp_entry["q"], dp_entry["s"]
+        return q.astype(dtype) * (s + eps).astype(dtype)
+    return dp_entry.astype(dtype)
+
+
+def _lstm_step(h, c, x, w_ih, b_ih, w_hh, b_hh):
+    gates = jnp.dot(x, w_ih) + b_ih + jnp.dot(h, w_hh) + b_hh
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def decode_chunk_serve(
+    dp: dict,
+    hp: HParams,
+    memory: jnp.ndarray,            # [B, T_in, enc]
+    processed_memory: jnp.ndarray,  # [B, T_in, attention_dim]
+    state: DecoderState,
+    frame: jnp.ndarray,             # [B, n_mel]
+    finished: jnp.ndarray,          # [B] bool
+    step_rngs: jnp.ndarray,         # [n_steps] PRNG keys
+    text_lengths: jnp.ndarray | None = None,
+    dtype: Any = jnp.float32,
+):
+    """Functional twin of ``Tacotron2.decode_chunk`` over a serving param
+    dict: same carry pytree, same dropout-key consumption per step, so the
+    fp path is numerically the flax path; with
+    :func:`quantize_decoder_params` weights, the big LSTM kernels stream
+    int8 (dequantized in-loop).  Returns
+    ``((state, frame, finished), mel [B, n_mel, n], gate, align, active)``."""
+    B, T_in, _ = memory.shape
+    mask = (
+        (jnp.arange(T_in)[None, :] < text_lengths[:, None])
+        if text_lengths is not None else None
+    )
+    mem = memory.astype(dtype)
+    pmem = processed_memory.astype(dtype)
+    loc_k = dp["loc_conv_w"].astype(dtype)       # [k, 2, n_filters]
+    pad = (loc_k.shape[0] - 1) // 2
+
+    def body(carry, rng_t):
+        st, frame, finished = carry
+        eps = jnp.sum(st.attention_h[0, :1]).astype(jnp.float32) * 0
+        rng_pre, rng_step = jax.random.split(rng_t)
+
+        # prenet (dropout always on; key splits mirror Prenet.__call__)
+        x = frame.astype(dtype)
+        rng = rng_pre
+        for name in ("prenet_fc0", "prenet_fc1"):
+            x = jax.nn.relu(jnp.dot(x, _w(dp[name], eps, dtype)))
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 0.5, x.shape)
+            x = jnp.where(keep, x / 0.5, 0.0)
+
+        # attention LSTM (the flax step's rng_att/rng_dec derive from
+        # rng_step but are unused at eval, so fp parity is bitwise)
+        del rng_step
+        cell_in = jnp.concatenate([x, st.attention_context.astype(dtype)], -1)
+        att_h, att_c = _lstm_step(
+            st.attention_h.astype(dtype), st.attention_c.astype(dtype),
+            cell_in,
+            _w(dp["att_ih_w"], eps, dtype), dp["att_ih_b"].astype(dtype),
+            _w(dp["att_hh_w"], eps, dtype), dp["att_hh_b"].astype(dtype),
+        )
+
+        # location attention
+        wcat = jnp.stack(
+            [st.attention_weights, st.attention_weights_cum], axis=-1
+        ).astype(dtype)                                    # [B, T_in, 2]
+        loc = jax.lax.conv_general_dilated(
+            wcat, loc_k, (1,), [(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        ploc = jnp.dot(loc, _w(dp["loc_dense_w"], eps, dtype))
+        pq = jnp.dot(att_h, _w(dp["query_w"], eps, dtype))[:, None, :]
+        energies = jnp.dot(
+            jnp.tanh(pq + ploc + pmem), _w(dp["v_w"], eps, dtype)
+        )[..., 0].astype(jnp.float32)
+        if mask is not None:
+            energies = jnp.where(mask, energies, -jnp.inf)
+        weights = jax.nn.softmax(energies, axis=1).astype(dtype)
+        context = jnp.einsum(
+            "bt,bte->be", weights, mem, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        weights_cum = st.attention_weights_cum + weights
+
+        # decoder LSTM + projections
+        dec_in = jnp.concatenate([att_h, context], -1)
+        dec_h, dec_c = _lstm_step(
+            st.decoder_h.astype(dtype), st.decoder_c.astype(dtype), dec_in,
+            _w(dp["dec_ih_w"], eps, dtype), dp["dec_ih_b"].astype(dtype),
+            _w(dp["dec_hh_w"], eps, dtype), dp["dec_hh_b"].astype(dtype),
+        )
+        proj_in = jnp.concatenate([dec_h, context], -1)
+        mel_frame = jnp.dot(proj_in, _w(dp["mel_w"], eps, dtype)) + dp[
+            "mel_b"].astype(dtype)
+        gate = (jnp.dot(proj_in, _w(dp["gate_w"], eps, dtype))
+                + dp["gate_b"].astype(dtype))[..., 0]
+
+        stop_now = jax.nn.sigmoid(gate.astype(jnp.float32)) > hp.gate_threshold
+        active = ~finished
+        finished = finished | stop_now
+        new_state = DecoderState(
+            att_h, att_c, dec_h, dec_c, weights, weights_cum, context
+        )
+        return (new_state, mel_frame, finished), (mel_frame, gate, weights,
+                                                  active)
+
+    # carry dtype must be stable across iterations
+    state = DecoderState(*(s.astype(dtype) for s in state))
+    carry, (mel, gate, align, active) = jax.lax.scan(
+        body, (state, frame.astype(dtype), finished), step_rngs
+    )
+    return (
+        carry,
+        mel.transpose(1, 2, 0).astype(jnp.float32),
+        gate.transpose(1, 0).astype(jnp.float32),
+        align.transpose(1, 0, 2).astype(jnp.float32),
+        active.transpose(1, 0),
+    )
