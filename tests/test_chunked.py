@@ -43,6 +43,14 @@ def model_and_vars():
     spect = jnp.zeros((1, CFG.n_mel_channels, 20))
     audio = jnp.zeros((1, 20 * CFG.upsample_stride))
     variables = model.init(jax.random.PRNGKey(0), spect, audio)
+    # perturb ALL params (esp. the zero-init end convs): with wn_out == 0
+    # the equivalence assertions here are blind to the entire WN/cond/
+    # window logic they exist to verify (r3 code-review finding)
+    rng = np.random.RandomState(1)
+    variables = {"params": jax.tree.map(
+        lambda x: x + 0.01 * rng.randn(*x.shape).astype(np.float32),
+        variables["params"],
+    )}
     return model, variables
 
 
@@ -168,12 +176,12 @@ def test_default_overlap_covers_receptive_field():
     from text2speech_tpu.models.chunked import receptive_overlap_frames
 
     # test config: 6 flows x (k//2)*(2^3-1) = 7 grouped steps, gpf=2
-    # -> ceil(42/2) = 21 frames
-    assert receptive_overlap_frames(CFG) == 21
+    # -> ceil(42/2) = 21 frames, + upsample reach r-1 = 3 -> 24
+    assert receptive_overlap_frames(CFG) == 24
     # reference config: 12 flows x 255 grouped steps, gpf = 256/8 = 32
-    # -> ceil(3060/32) = 96 frames (vs the old fixed default of 16)
+    # -> ceil(3060/32) = 96 + 3 upsample frames = 99 (old fixed default: 16)
     ref_cfg = WaveGlowConfig()
-    assert receptive_overlap_frames(ref_cfg) == 96
+    assert receptive_overlap_frames(ref_cfg) == 99
 
 
 def test_default_overlap_matches_single_pass(model_and_vars):

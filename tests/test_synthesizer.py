@@ -53,9 +53,17 @@ def synthesizer():
         jnp.zeros((1, WG.n_mel_channels, frames)),
         jnp.zeros((1, frames * WG.upsample_stride)),
     )
+    # perturb the zero-init end convs so the vocoder output actually
+    # depends on the mel/noise windows (the streaming equivalence tests
+    # are otherwise blind to the window logic; r3 code-review finding)
+    prng = np.random.RandomState(1)
+    wparams = jax.tree.map(
+        lambda x: x + 0.01 * prng.randn(*x.shape).astype(np.float32),
+        wvars["params"],
+    )
     return Synthesizer(
         hp=HP, taco=taco, taco_variables=tvars,
-        wg_cfg=WG, waveglow=wg, wg_variables={"params": wvars["params"]},
+        wg_cfg=WG, waveglow=wg, wg_variables={"params": wparams},
         use_denoiser=False,
     )
 

@@ -37,6 +37,14 @@ def model_and_vars():
     spect = jnp.zeros((1, CFG.n_mel_channels, 20))
     audio = jnp.zeros((1, 20 * CFG.upsample_stride))
     variables = model.init(jax.random.PRNGKey(0), spect, audio)
+    # perturb ALL params (esp. the zero-init end convs): with wn_out == 0
+    # the equivalence assertions here are blind to the entire WN/cond/
+    # window logic they exist to verify (r3 code-review finding)
+    rng = np.random.RandomState(1)
+    variables = {"params": jax.tree.map(
+        lambda x: x + 0.01 * rng.randn(*x.shape).astype(np.float32),
+        variables["params"],
+    )}
     return model, variables
 
 

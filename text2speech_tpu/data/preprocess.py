@@ -170,8 +170,6 @@ def _device_trim_items(loaded: list, hp: HParams, batch: int = 64,
     loaded (path, text, wav) tuples, then the host mu-law branch.  Replaces
     the last host-numpy DSP stage of preprocessing (``utils/audio.py:51-58``
     ran per-utterance on CPU in the reference)."""
-    from ..dsp.audio import trim_bounds_batch
-
     bounds_fn = jax.jit(
         lambda y, n: trim_bounds_batch(
             y, n, hp.trim_top_db, hp.trim_fft_size, hp.trim_hop_size

@@ -338,8 +338,13 @@ class Synthesizer:
         frame = jnp.zeros((B, hp.n_mel_channels), dt)
         finished = jnp.zeros((B,), bool)
 
-        limit = max_steps or hp.max_decoder_steps
-        limit = -(-limit // chunk_steps) * chunk_steps
+        # the decode scan runs in whole chunks, but the EMITTED frames and
+        # the reported out_lengths honor the requested max_steps contract
+        # exactly (the batch path decodes exactly `requested` steps; frames
+        # past it "don't exist" and must not leak out or into the postnet's
+        # end context)
+        requested = max_steps or hp.max_decoder_steps
+        limit = -(-requested // chunk_steps) * chunk_steps
         base = self._derive_rng(self.taco_variables, jax.random.PRNGKey(seed))
         all_rngs = jax.random.split(base, limit)
         prf = (hp.postnet_kernel_size // 2) * hp.postnet_n_convolutions
@@ -362,17 +367,22 @@ class Synthesizer:
                         sr, lengths,
                     )
             chunks.append(mel_c)
+            chunk_start = total
             total += chunk_steps
-            out_len += np.asarray(active).sum(axis=1)
+            n_in_contract = max(0, min(chunk_steps, requested - chunk_start))
+            out_len += np.asarray(active)[:, :n_in_contract].sum(axis=1)
+            cap = min(total, requested)
             final = bool(np.asarray(finished).all()) or total >= limit
-            upto = total if final else total - prf
+            upto = cap if final else max(emitted, cap - prf)
             if upto > emitted:
                 mel_all = (
                     jnp.concatenate(chunks, axis=-1)
                     if len(chunks) > 1 else chunks[0]
                 )
                 ws = max(0, emitted - prf)
-                win = mel_all[:, :, ws:total]
+                # the window never reads past `cap`: the batch path's
+                # postnet sees conv zero-padding at the requested end
+                win = mel_all[:, :, ws:cap]
                 post = win + self._postnet_window(self.taco_variables, win)
                 yield (
                     np.asarray(post[:, :, emitted - ws : upto - ws]),
@@ -473,17 +483,38 @@ class Synthesizer:
             done = final
             true_len = min(int(out_len[0]), F)
             # emit every fully-cleared chunk (pre-stop frames are all real,
-            # so full-width right context is available)
+            # so full-width right context is available).  ws clamps to 0 so
+            # early windows are PINNED to the utterance start: zero-filled
+            # positions left of 0 would carry zero NOISE, which the flows
+            # turn into bias-driven hidden values that leak into the first
+            # emitted chunk (measured 0.0066 first-chunk error unclamped vs
+            # 5e-7 pinned); at ws=0 the window's left edge is the true conv
+            # zero-padding, exactly like infer_long's boundary windows.
             while not done and F >= E + chunk_steps + ov:
-                yield vocode(E - ov, E, E + chunk_steps, F)
+                yield vocode(max(E - ov, 0), E, E + chunk_steps, F)
                 E += chunk_steps
-        # final flush: the LAST window is pinned so its right edge is the
-        # utterance's true end (conv end-padding aligns exactly, like
-        # infer_long's boundary windows)
+        # final flush.  Windows stay pinned INSIDE [0, true_len] (left edge
+        # clamps to the utterance start, right edge to its end), so every
+        # window sees only real data plus the true boundaries' conv
+        # zero-padding — exactly infer_long's boundary-window rule.
         true_len = min(true_len if true_len else F, F)
+        if E == 0 and true_len <= W:
+            # short utterance: no window of width W fits inside it — vocode
+            # the exact length in one pass (one compile per distinct short
+            # length; the fused path tile-rounds internally with its valid
+            # mask, so this stays boundary-exact)
+            mel = jnp.asarray(mel_cat()[:, :, :true_len])
+            nz = tuple(
+                jnp.asarray(z[:, : true_len * gpf]) for z in noise_parts
+            )
+            audio = np.asarray(self._vocode_window(
+                self.wg_variables, mel, nz, sigma
+            ))
+            yield audio[0, : true_len * hop]
+            return
         while E < true_len:
             keep_to = min(E + chunk_steps, true_len)
-            ws = (true_len - W) if keep_to == true_len else (E - ov)
+            ws = min(max(E - ov, 0), true_len - W)
             yield vocode(ws, E, keep_to, true_len)
             E = keep_to
 

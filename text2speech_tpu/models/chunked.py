@@ -63,12 +63,18 @@ def receptive_overlap_frames(cfg: WaveGlowConfig) -> int:
     Each WN stack sees ``(kernel//2) * (2**n_layers - 1)`` grouped steps to
     each side; the flows compose, so the stack-total is ``n_flows`` times
     that, rounded up to whole frames (``gpf = hop // n_group`` grouped steps
-    per frame).  Overlapping by at least this many frames makes chunked
-    interiors match single-pass inference to float tolerance.
+    per frame) — PLUS the upsample transposed-conv's reach: each grouped
+    conditioning step is a linear image of ``upsample_kernel/stride``
+    consecutive mel frames, extending the dependency window by r-1 frames
+    (omitting this term left the default ~3 frames short at reference size;
+    verified empirically — interiors match exactly only past it).
+    Overlapping by at least this many frames makes chunked interiors match
+    single-pass inference to float tolerance.
     """
     per_flow = (cfg.wn_kernel_size // 2) * (2 ** cfg.wn_n_layers - 1)
     gpf = cfg.upsample_stride // cfg.n_group
-    return -(-cfg.n_flows * per_flow // gpf)
+    up_reach = cfg.upsample_kernel // cfg.upsample_stride - 1
+    return -(-cfg.n_flows * per_flow // gpf) + up_reach
 
 
 def infer_long(

@@ -71,6 +71,9 @@ def quantize_decoder_params(dp: dict,
     for k, w in dp.items():
         if w.ndim == 2 and w.size >= min_elems:
             s = jnp.max(jnp.abs(w), axis=0) / 127.0
+            # all-zero (dead/pruned) columns: 0/0 would be NaN — quantize
+            # them to exact zeros with a unit scale
+            s = jnp.where(s > 0, s, 1.0)
             q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
             out[k] = {"q": q, "s": s.astype(jnp.float32)}
         else:

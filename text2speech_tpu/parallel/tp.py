@@ -108,7 +108,10 @@ def _wn_tp(blk, x0, cond_src, cfg: WaveGlowConfig, axis_name: str):
     for li in range(L):
         w_in, b_in = blk[f"in{li}"]["w"][0], blk[f"in{li}"]["b"][0]
         w_c, b_c = blk[f"cond{li}"]["w"][0], blk[f"cond{li}"]["b"][0]
-        w_rs, b_rs = blk[f"rs{li}"]["w"][0], blk[f"rs{li}"]["b"][0]
+        # "w" carries a leading device axis (P('model') -> [1, ...] inside
+        # the shard_map); "b" is replicated full-width — indexing it [0]
+        # would silently broadcast the first channel's bias everywhere
+        w_rs, b_rs = blk[f"rs{li}"]["w"][0], blk[f"rs{li}"]["b"]
         d = 2 ** li
         k = cfg.wn_kernel_size
         pad = d * (k - 1) // 2
@@ -176,6 +179,14 @@ def _wn_tp_fused(blk, x0, spect_p, cfg: WaveGlowConfig, axis_name: str,
 
     C, L = cfg.wn_n_channels, cfg.wn_n_layers
     cd = compute_dtype
+    # Zero hidden rows past the true sequence end after every post-psum
+    # residual/bias add: the single-device kernels mask x_out in-kernel
+    # (their vmask), and without it bias-driven values in the tile-rounding
+    # pad leak into the last `dilation` valid grouped steps through the
+    # next layer's halo reads (confirmed 0.038 tail error on trained-like
+    # weights before this mask).
+    Tp = x0.shape[1]
+    vmask = (jnp.arange(Tp) < n_valid)[None, :, None].astype(jnp.float32)
 
     # layer 0: compose the (replicated) start projection onto the local
     # column slice of the dilated taps
@@ -195,7 +206,7 @@ def _wn_tp_fused(blk, x0, spect_p, cfg: WaveGlowConfig, axis_name: str,
         jnp.einsum("btc,co->bto", x0.astype(jnp.float32), blk["start_k"])
         + blk["start_b"]
     )
-    x = xh + rs[..., :C]
+    x = (xh + rs[..., :C]) * vmask
     skip = rs[..., C:]
 
     for li in range(1, L):
@@ -210,7 +221,7 @@ def _wn_tp_fused(blk, x0, spect_p, cfg: WaveGlowConfig, axis_name: str,
         )
         rs = jax.lax.psum(rs, axis_name) + blk[f"rs{li}"]["b"]
         if li < L - 1:
-            x = x + rs[..., :C]
+            x = (x + rs[..., :C]) * vmask
             skip = skip + rs[..., C:]
         else:
             skip = skip + rs
