@@ -101,6 +101,51 @@ def bench_waveglow(batch: int = 4, frames: int = 400):
     return samples_per_item / sec_per_item
 
 
+def bench_waveglow_int8(batch: int = 4, frames: int = 400):
+    """Int8-quantized fused serving path (``wn_block_int8``): the three big
+    WN matmul families run on the MXU in int8 (~2x the bf16 FLOP rate —
+    this chip probes 303 TOP/s int8 vs 163 TFLOP/s bf16 on plain chained
+    matmuls).  Per-row dynamic activation scales, per-channel static weight
+    scales, fixed-127 gated activations; fidelity pinned in
+    tests/test_int8_vocoder.py."""
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.models.waveglow_fused import (
+        infer_fused_int8,
+        quantize_waveglow_int8,
+    )
+
+    cfg = WaveGlowConfig(sampling_rate=SR)
+    model = WaveGlow(cfg)
+    rng = jax.random.PRNGKey(0)
+    seg = cfg.segment_length
+    variables = jax.jit(model.init)(
+        rng,
+        jnp.zeros((1, cfg.n_mel_channels, seg // cfg.hop_length + 1)),
+        jnp.zeros((1, seg)),
+    )
+    qparams = jax.tree.map(
+        jnp.asarray, quantize_waveglow_int8(variables["params"], cfg)
+    )
+    jax.block_until_ready(qparams)
+
+    def mel(b):
+        return jnp.asarray(
+            np.random.RandomState(0).randn(b, cfg.n_mel_channels, frames),
+            jnp.float32,
+        )
+
+    infer = jax.jit(
+        lambda qp, m, k: jnp.mean(infer_fused_int8(qp, cfg, m, k, 0.666))
+    )
+    m1, m4 = mel(batch), mel(4 * batch)
+    jax.block_until_ready((m1, m4))
+    sec_per_item = _time_scaled(
+        infer, (qparams, m1, rng), (qparams, m4, rng), 3 * batch
+    )
+    return frames * cfg.upsample_stride / sec_per_item
+
+
 def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
     """Decode throughput in mel frames/sec.
 
@@ -336,6 +381,7 @@ def bench_preprocess_cpu_baseline():
 
 def main():
     wg_sps = bench_waveglow()
+    wg_sps_int8 = bench_waveglow_int8()
     taco_fps = bench_tacotron()
     taco_fps_64 = bench_tacotron(batch=64)
     taco_fps_int8 = bench_tacotron_int8()
@@ -352,6 +398,10 @@ def main():
         "unit": "samples/sec",
         "vs_baseline": round(wg_sps / V100_BASELINE_SAMPLES_PER_SEC, 3),
         "vocoder_rtf": round(wg_sps / SR, 1),
+        "vocoder_samples_per_sec_int8": round(wg_sps_int8, 1),
+        "vocoder_int8_vs_baseline": round(
+            wg_sps_int8 / V100_BASELINE_SAMPLES_PER_SEC, 3
+        ),
         "tacotron_frames_per_sec": round(taco_fps, 1),
         "tacotron_frames_per_sec_b64": round(taco_fps_64, 1),
         "tacotron_frames_per_sec_int8": round(taco_fps_int8, 1),

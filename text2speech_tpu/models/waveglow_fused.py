@@ -93,6 +93,202 @@ def _fold(p):
     return kernel, bias
 
 
+def quantize_waveglow_int8(params: dict, cfg: WaveGlowConfig,
+                           compute_dtype=jnp.bfloat16) -> dict:
+    """One-time serving weight transform for :func:`infer_fused_int8`:
+    fold weight-norm, then quantize the three large WN matmul families
+    (dilated taps, conditioning projections, res/skip) to int8 with static
+    per-output-channel scales.  What stays high precision — and why:
+
+    * layer 0's dilated conv (``w_in0``): composed onto the rank-n_half
+      start projection inside the first kernel (K ≤ 4 — negligible MXU);
+    * the last layer's res/skip + end projection: N = E ≤ 8 after the
+      ``fold_rs`` collapse, and the (log_s, b) coupling terms want full
+      precision;
+    * all biases (f32), upsample, invertible 1x1 convs.
+
+    Run once per checkpoint OUTSIDE jit (like
+    :func:`precompute_composed_cond`) and pass the result as a jit
+    ARGUMENT."""
+    from ..ops.pallas.wn_block_int8 import quantize_cols
+
+    C, L = cfg.wn_n_channels, cfg.wn_n_layers
+    out: dict = {
+        "upsample": {
+            "kernel": params["upsample"]["kernel"].astype(compute_dtype),
+            "bias": params["upsample"]["bias"].astype(jnp.float32),
+        }
+    }
+    for k in range(cfg.n_flows):
+        out[f"convinv{k}"] = {
+            "W": params[f"convinv{k}"]["W"].astype(jnp.float32)
+        }
+        wn = params[f"wn{k}"]
+        start_k, start_b = _fold(wn["start"])
+        cond_k, cond_b = _fold(wn["cond"])
+        w_in0, b_in0 = _fold(wn["in0"])
+        blk: dict = {
+            "start_k": start_k[0].astype(compute_dtype),
+            "start_b": start_b.astype(jnp.float32),
+            "w_in0": w_in0.astype(compute_dtype),
+            "b_in0": b_in0.astype(jnp.float32),
+        }
+        for li in range(L):
+            ck = cond_k[0, :, 2 * C * li : 2 * C * (li + 1)]
+            cb = cond_b[2 * C * li : 2 * C * (li + 1)]
+            q, s = quantize_cols(ck)
+            blk[f"cond{li}"] = {"q": q, "s": s, "b": cb.astype(jnp.float32)}
+            if li > 0:
+                w_in, b_in = _fold(wn[f"in{li}"])
+                q, s = quantize_cols(w_in)
+                blk[f"in{li}"] = {
+                    "q": q, "s": s, "b": b_in.astype(jnp.float32)
+                }
+            w_rs, b_rs = _fold(wn[f"res_skip{li}"])
+            if li < L - 1:
+                q, s = quantize_cols(w_rs[0])
+                blk[f"rs{li}"] = {
+                    "q": q, "s": s, "b": b_rs.astype(jnp.float32)
+                }
+            else:
+                blk["rs_last"] = {
+                    "w": w_rs[0].astype(compute_dtype),
+                    "b": b_rs.astype(jnp.float32),
+                }
+        blk["end"] = {
+            "w": wn["end"]["kernel"][0].astype(compute_dtype),
+            "b": wn["end"]["bias"].astype(jnp.float32),
+        }
+        out[f"wn{k}"] = blk
+    return out
+
+
+def infer_fused_int8(
+    qparams: dict,
+    cfg: WaveGlowConfig,
+    spect: jnp.ndarray,          # [B, n_mel, frames]
+    key: jax.Array | None,
+    sigma: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+    noise: tuple[jnp.ndarray, ...] | None = None,
+) -> jnp.ndarray:
+    """mel -> audio with int8 WN layers (:mod:`..ops.pallas.wn_block_int8`).
+
+    ``qparams`` comes from :func:`quantize_waveglow_int8`.  Same contract
+    as :func:`infer_fused` (explicit ``noise`` supported); the coupling
+    arithmetic, invertible 1x1 convs, upsample and noise handling are the
+    bf16/f32 path unchanged — only the WN coupling stacks run quantized.
+    Accuracy: per-row dynamic activation scales + per-channel weight
+    scales; measured audio SNR vs the f32 reference path is asserted in
+    ``tests/test_int8_vocoder.py``."""
+    from ..ops.pallas.wn_block_int8 import (
+        quantize_rows,
+        wn_layer_stream2_final_int8,
+        wn_layer_stream2_first_int8,
+        wn_layer_stream2_int8,
+    )
+
+    B = spect.shape[0]
+    L = cfg.wn_n_layers
+    k, s = cfg.upsample_kernel, cfg.upsample_stride
+    r = k // s
+    G = cfg.n_group
+    F = spect.shape[2]
+    assert L >= 2, "int8 path needs the first/final kernel split"
+
+    # --- upsample + group + tile pad (as infer_fused) ----------------------
+    up_kernel = qparams["upsample"]["kernel"]
+    up_bias = qparams["upsample"]["bias"]
+    x = spect.transpose(0, 2, 1).astype(compute_dtype)
+    kq = up_kernel.reshape(r, s, up_kernel.shape[1], up_kernel.shape[2])
+    y = jnp.einsum("bti,qpio->btqpo", x, kq)
+    out = jnp.zeros((B, F + r - 1, s, y.shape[-1]), y.dtype)
+    for q in range(r):
+        out = out.at[:, q : q + F].add(y[:, :, q])
+    up = out.reshape(B, (F + r - 1) * s, -1) + up_bias.astype(y.dtype)
+    up = up[:, : up.shape[1] - (k - s)]
+    Tg = up.shape[1] // G
+    spect_g = up[:, : Tg * G].reshape(B, Tg, G, -1)
+    spect_g = spect_g.transpose(0, 1, 3, 2).reshape(B, Tg, -1)
+
+    Tp = max(_round_up(Tg, BT), BT)
+    spect_p = jnp.concatenate(
+        [spect_g, jnp.zeros((B, Tp - Tg, spect_g.shape[-1]), spect_g.dtype)],
+        axis=1,
+    )
+    # ONE per-row quantization of the grouped conditioning serves all
+    # L * n_flows layers
+    qspect, sspect = quantize_rows(spect_p)
+    tile_mask = jnp.zeros((1, Tp, 1), compute_dtype).at[:, :Tg].set(1.0)
+
+    noise_iter = iter(noise) if noise is not None else None
+
+    def next_noise(shape):
+        nonlocal key
+        if noise_iter is not None:
+            z = next(noise_iter, None)
+            assert z is not None and z.shape == (B, Tg, shape[-1]), (
+                "noise tuple must match draw_noise(cfg, key, B, Tg) order"
+            )
+            pad = jnp.zeros((B, Tp - Tg, shape[-1]), compute_dtype)
+            return jnp.concatenate([z.astype(compute_dtype), pad], axis=1)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, sub = jax.random.split(key)
+        return jax.random.normal(sub, shape, compute_dtype)
+
+    audio = sigma * next_noise((B, Tp, cfg.n_remaining_channels))
+    audio = audio * tile_mask
+
+    for k_flow in reversed(range(cfg.n_flows)):
+        wn = qparams[f"wn{k_flow}"]
+        n_half = audio.shape[-1] // 2
+        x0 = audio[..., :n_half]
+        x1 = audio[..., n_half:]
+
+        qx, sx, skip_total = wn_layer_stream2_first_int8(
+            x0, qspect, sspect,
+            wn["start_k"], wn["start_b"], wn["w_in0"], wn["b_in0"],
+            wn["cond0"]["q"], wn["cond0"]["s"], wn["cond0"]["b"],
+            wn["rs0"]["q"], wn["rs0"]["s"], wn["rs0"]["b"],
+            dilation=1, n_valid=Tg,
+        )
+        for li in range(1, L - 1):
+            qx, sx, skip_total = wn_layer_stream2_int8(
+                qx, sx, qspect, sspect,
+                wn[f"in{li}"]["q"], wn[f"in{li}"]["s"], wn[f"in{li}"]["b"],
+                wn[f"cond{li}"]["q"], wn[f"cond{li}"]["s"],
+                wn[f"cond{li}"]["b"],
+                wn[f"rs{li}"]["q"], wn[f"rs{li}"]["s"], wn[f"rs{li}"]["b"],
+                skip_total, dilation=2 ** li, n_valid=Tg,
+            )
+        li = L - 1
+        wn_out = wn_layer_stream2_final_int8(
+            qx, sx, qspect, sspect,
+            wn[f"in{li}"]["q"], wn[f"in{li}"]["s"], wn[f"in{li}"]["b"],
+            wn[f"cond{li}"]["q"], wn[f"cond{li}"]["s"], wn[f"cond{li}"]["b"],
+            wn["rs_last"]["w"], wn["rs_last"]["b"],
+            skip_total, wn["end"]["w"], wn["end"]["b"],
+            dilation=2 ** li, n_valid=Tg,
+        )
+        b_term = wn_out[..., :n_half]
+        s_term = wn_out[..., n_half:]
+        x1 = ((x1.astype(jnp.float32) - b_term) * jnp.exp(-s_term)).astype(
+            compute_dtype
+        )
+        audio = jnp.concatenate([x0, x1], axis=-1) * tile_mask
+
+        W_inv = jnp.linalg.inv(qparams[f"convinv{k_flow}"]["W"])
+        audio = (audio.astype(jnp.float32) @ W_inv.T).astype(compute_dtype)
+
+        if k_flow % cfg.n_early_every == 0 and k_flow > 0:
+            z = sigma * next_noise((B, Tp, cfg.n_early_size))
+            audio = jnp.concatenate([z * tile_mask, audio], axis=-1)
+
+    real = audio[:, :Tg]
+    return real.reshape(B, Tg * cfg.n_group).astype(jnp.float32)
+
+
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
