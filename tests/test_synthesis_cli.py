@@ -210,6 +210,19 @@ def test_waveglow_inference_cli(ckpts, tmp_path):
     _, wav3 = wavfile.read(str(out3 / "m0_synthesis.wav"))
     assert wav3.size == frames * TINY_WG["upsample_stride"]
 
+    # int8-quantized fused serving path (interpret mode on CPU)
+    out4 = tmp_path / "wavs_int8"
+    r4 = run_cli(
+        "waveglow_inference.py",
+        ["-f", str(filelist), "-w", ckpts["wg"], "-o", str(out4),
+         "--config", ckpts["wg_cfg"], "-s", "0.6", "--int8"],
+        cwd=str(tmp_path),
+    )
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    _, wav4 = wavfile.read(str(out4 / "m0_synthesis.wav"))
+    assert wav4.size == frames * TINY_WG["upsample_stride"]
+    assert np.isfinite(wav4).all()
+
 
 def test_convert_checkpoint_cli_end_to_end(tmp_path):
     """Real torch checkpoint -> convert_checkpoint.py CLI -> Orbax ->

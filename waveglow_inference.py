@@ -46,6 +46,10 @@ def main():
                         help="default: the flow stack's receptive field")
     parser.add_argument("--fused", action="store_true",
                         help="use the fused-Pallas WaveGlow serving path")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantized fused serving path (1.54x the "
+                             "bf16 fused path on v5e; weight scales folded "
+                             "once at startup — see wn_block_int8.py)")
     parser.add_argument("--bf16", action="store_true",
                         help="run the unfused vocoder in bfloat16 — the TPU "
                              "analog of the reference's --is_fp16 "
@@ -102,6 +106,21 @@ def main():
                 fused=args.fused,
             )
         )
+    elif args.int8:
+        from text2speech_tpu.models.waveglow_fused import (
+            infer_fused_int8,
+            quantize_waveglow_int8,
+        )
+
+        qparams = jax.tree.map(
+            jnp.asarray, quantize_waveglow_int8(variables["params"], cfg)
+        )
+        infer = jax.jit(
+            lambda qp, mel, key: infer_fused_int8(
+                qp, cfg, mel, key, args.sigma
+            )
+        )
+        variables = qparams  # passed as the first infer arg below
     elif args.fused:
         from text2speech_tpu.models.waveglow_fused import infer_fused
 
