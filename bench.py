@@ -392,6 +392,9 @@ def main():
     # End-to-end: 1 second of audio needs SR/HOP mel frames then SR samples;
     # stages run sequentially.
     e2e_rtf = 1.0 / ((SR / HOP) / taco_fps + SR / wg_sps)
+    # fully int8-quantized serving chain (int8 decoder weights + int8 WN
+    # kernels)
+    e2e_rtf_int8 = 1.0 / ((SR / HOP) / taco_fps_int8 + SR / wg_sps_int8)
     result = {
         "metric": "vocoder_samples_per_sec_per_chip",
         "value": round(wg_sps, 1),
@@ -406,6 +409,7 @@ def main():
         "tacotron_frames_per_sec_b64": round(taco_fps_64, 1),
         "tacotron_frames_per_sec_int8": round(taco_fps_int8, 1),
         "e2e_rtf": round(e2e_rtf, 2),
+        "e2e_rtf_int8": round(e2e_rtf_int8, 2),
         "e2e_rtf_target": 50.0,
         "preprocess_mel_frames_per_sec": round(pp_fps, 1),
         "preprocess_device_frames_per_sec": round(pp_dev_fps, 1),

@@ -535,3 +535,28 @@ def test_quantized_decode_preserves_trained_content(corpus, trained_taco):
             tot += 1
     content = match / tot
     assert content > 0.30, f"int8 content match {content:.3f} (chance ~0.19)"
+
+
+def test_int8_vocoder_preserves_trained_content(corpus, trained_vocoder):
+    """int8 WN kernels (ops/pallas/wn_block_int8.py — the serving mode that
+    runs the MXU at ~2x the bf16 rate) must preserve the TRAINED vocoder's
+    sampled content: mel correlation / dominant-channel match of the
+    synthesized audio stay near the fp path's calibrated levels."""
+    from text2speech_tpu.models.waveglow_fused import (
+        infer_fused_int8,
+        quantize_waveglow_int8,
+    )
+
+    v = trained_vocoder
+    val = corpus[1][0]
+    qparams = quantize_waveglow_int8(v["params"], WG_CFG)
+    audio = np.asarray(infer_fused_int8(
+        qparams, WG_CFG, jnp.asarray(val.mel), jax.random.PRNGKey(7),
+        EVAL_SIGMA,
+    ))
+    corr, match = _mel_fidelity(audio, val.mel, val.output_lengths)
+    # different noise draw than the fixture's measure -> allow sampling
+    # spread, but quantization must not collapse the learned mapping
+    assert corr > v["corr"] - 0.12, (corr, v["corr"])
+    assert match > v["match"] - 0.10, (match, v["match"])
+    assert match > 0.25, f"int8 vocoder match {match:.3f} (chance ~0.19)"
