@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--denoiser_strength", type=float, default=0.0)
     parser.add_argument("--fused_vocoder", action="store_true",
                         help="use the fused-Pallas WaveGlow serving path")
+    parser.add_argument("--int8_vocoder", action="store_true",
+                        help="int8-quantized WN kernels (1.54x the bf16 "
+                             "fused path on v5e; see docs/KERNELS.md)")
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument("--hparams", default=None)
     parser.add_argument("--waveglow_config", default=None)
@@ -73,7 +76,8 @@ def main():
             use_denoiser=args.denoiser_strength > 0,
         )
         synth.use_fused_vocoder = args.fused_vocoder
-        if args.fused_vocoder:
+        synth.int8_vocoder = args.int8_vocoder
+        if args.fused_vocoder or args.int8_vocoder:
             synth.__post_init__()  # rebuild jitted fns with the fused path
 
         import numpy as np

@@ -169,6 +169,38 @@ def test_chunked_fused_matches_fused_single_pass(model_and_vars, monkeypatch):
     )
 
 
+def test_chunked_int8_matches_int8_single_pass(model_and_vars):
+    """Chunked long-form synthesis through the int8 kernel path equals
+    single-pass infer_fused_int8 with the same full-utterance noise: the
+    per-row requantization at each layer store depends only on that row's
+    receptive field, so the interior-equivalence argument carries over
+    unchanged from the fused path."""
+    from text2speech_tpu.models import waveglow_fused as wf
+
+    model, variables = model_and_vars
+    frames = 200
+    rng = np.random.RandomState(3)
+    spect = jnp.asarray(
+        rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(11), 1, frames * gpf)
+    qparams = wf.quantize_waveglow_int8(variables["params"], CFG)
+
+    ref = wf.infer_fused_int8(qparams, CFG, spect, None, 0.9, noise=noise)
+    out = infer_long(
+        model, variables, spect, None, sigma=0.9,
+        chunk_frames=48, overlap_frames=40, noise=noise,
+        int8_params=qparams,
+    )
+    assert out.shape == ref.shape == (1, frames * CFG.upsample_stride)
+    # bf16 coupling arithmetic differs per window at the edges; interiors
+    # carry the same quantized values, so agreement is bf16-level
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=0.02, rtol=0
+    )
+
+
 def test_default_overlap_covers_receptive_field():
     """ADVICE r2: the default overlap must cover the flow stack's one-sided
     receptive field at ANY config size, so default-argument chunking keeps

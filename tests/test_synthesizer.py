@@ -189,6 +189,42 @@ def test_fused_vocoder_option():
     assert len(wavs) == 1 and np.isfinite(wavs[0]).all() and len(wavs[0]) > 0
 
 
+def test_int8_vocoder_option(synthesizer):
+    """int8_vocoder quantizes once at construction and routes mel->audio
+    (plus the incremental/streaming vocode windows) through the int8
+    kernels; output tracks the fp synthesizer's for the same seed."""
+    synth8 = Synthesizer(
+        hp=HP, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=WG, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables,
+        use_denoiser=False, int8_vocoder=True,
+    )
+    # compare against the bf16 FUSED path: it draws noise at the same
+    # tile-rounded shapes as the int8 path, so the same seed gives the
+    # same draws (the unfused path draws at the true length — different
+    # noise, not comparable samplewise)
+    synth_f = Synthesizer(
+        hp=HP, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=WG, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables,
+        use_denoiser=False, use_fused_vocoder=True,
+    )
+    ref = synth_f.synthesize(["안녕."], seed=3)
+    got = synth8.synthesize(["안녕."], seed=3)
+    assert len(got) == 1 and np.isfinite(got[0]).all()
+    assert got[0].shape == ref[0].shape
+    # same decode, same noise seed -> int8 audio stays close to fp audio
+    denom = np.linalg.norm(ref[0]) + 1e-9
+    assert np.linalg.norm(got[0] - ref[0]) / denom < 0.15
+
+    # incremental streaming composes with the int8 window vocoder
+    chunks = list(synth8.synthesize_incremental("안녕.", chunk_steps=8))
+    stream = np.concatenate(chunks)
+    assert np.isfinite(stream).all() and stream.size > 0
+
+
 def test_load_synthesizer_without_vocoder_checkpoint(tmp_path):
     """wg_ckpt_dir=None supports the Griffin-Lim (mel-only) CLI path."""
     import optax

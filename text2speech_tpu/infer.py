@@ -36,6 +36,10 @@ class Synthesizer:
     wg_variables: dict
     use_denoiser: bool = True
     use_fused_vocoder: bool = False   # fused-Pallas serving path (TPU)
+    int8_vocoder: bool = False        # int8 WN kernels (implies fused;
+                                      # measured 1.54x the bf16 fused path,
+                                      # 1.62x the V100 anchor — see
+                                      # docs/KERNELS.md step 8)
     quantized_decode: bool = False    # int8 decoder weights for the
                                       # streaming decode path (decode is
                                       # weight-streaming-bound; measured
@@ -58,14 +62,31 @@ class Synthesizer:
                 rngs={"dropout": rng},
             )
 
-        if self.use_fused_vocoder:
+        wg_cfg = self.wg_cfg
+        if self.int8_vocoder:
+            from .models.waveglow_fused import (
+                infer_fused_int8,
+                quantize_waveglow_int8,
+            )
+
+            # quantize once per checkpoint, under jit (eager ops over the
+            # device tunnel are ~seconds EACH, CLAUDE.md gotcha #5); the
+            # result replaces wg_variables as the serving-side jit argument
+            self._wg_serve_vars = jax.jit(
+                lambda p: quantize_waveglow_int8(p, wg_cfg)
+            )(self.wg_variables["params"])
+
+            def audio_fn(qparams, mel, rng, sigma):
+                return infer_fused_int8(qparams, wg_cfg, mel, rng, sigma)
+        elif self.use_fused_vocoder:
             from .models.waveglow_fused import infer_fused
 
-            wg_cfg = self.wg_cfg
+            self._wg_serve_vars = self.wg_variables
 
             def audio_fn(variables, mel, rng, sigma):
                 return infer_fused(variables["params"], wg_cfg, mel, rng, sigma)
         else:
+            self._wg_serve_vars = self.wg_variables
 
             def audio_fn(variables, mel, rng, sigma):
                 return wg.apply(
@@ -75,11 +96,13 @@ class Synthesizer:
         from .models.chunked import infer_long
 
         use_fused = self.use_fused_vocoder
+        use_int8 = self.int8_vocoder
 
         def audio_long_fn(variables, mel, noise, sigma, chunk, ov):
             return infer_long(
                 wg, variables, mel, None, sigma, chunk, ov, noise=noise,
                 fused=use_fused,
+                int8_params=variables if use_int8 else None,
             )
 
         self._infer_mel = jax.jit(mel_fn, static_argnames=("max_steps",))
@@ -112,7 +135,13 @@ class Synthesizer:
                 variables, mel, method=Tacotron2.postnet_residual
             )
 
-        if self.use_fused_vocoder:
+        if self.int8_vocoder:
+
+            def vocode_window_fn(qparams, mel, noise, sigma):
+                return infer_fused_int8(
+                    qparams, wg_cfg, mel, None, sigma, noise=noise
+                )
+        elif self.use_fused_vocoder:
 
             def vocode_window_fn(variables, mel, noise, sigma):
                 return infer_fused(
@@ -184,7 +213,7 @@ class Synthesizer:
     def mel_to_audio(self, mel, sigma: float = 0.666, seed: int = 0,
                      denoiser_strength: float = 0.0):
         audio = self._infer_audio(
-            self.wg_variables, mel, jax.random.PRNGKey(seed + 1), sigma
+            self._wg_serve_vars, mel, jax.random.PRNGKey(seed + 1), sigma
         )
         if denoiser_strength > 0 and self._denoise is not None:
             audio = self._denoise(audio, denoiser_strength)
@@ -212,7 +241,7 @@ class Synthesizer:
             mel.shape[2] * gpf,
         )
         audio = self._infer_audio_long(
-            self.wg_variables, mel, noise, sigma,
+            self._wg_serve_vars, mel, noise, sigma,
             chunk=chunk_frames, ov=overlap_frames,
         )
         if denoiser_strength > 0 and self._denoise is not None:
@@ -455,7 +484,7 @@ class Synthesizer:
         def vocode(ws, keep_from, keep_to, f_lim):
             wmel, wnoise = window(ws, f_lim)
             audio = np.asarray(self._vocode_window(
-                self.wg_variables, wmel, wnoise, sigma
+                self._wg_serve_vars, wmel, wnoise, sigma
             ))
             return audio[0, (keep_from - ws) * hop : (keep_to - ws) * hop]
 
@@ -508,7 +537,7 @@ class Synthesizer:
                 jnp.asarray(z[:, : true_len * gpf]) for z in noise_parts
             )
             audio = np.asarray(self._vocode_window(
-                self.wg_variables, mel, nz, sigma
+                self._wg_serve_vars, mel, nz, sigma
             ))
             yield audio[0, : true_len * hop]
             return

@@ -87,6 +87,7 @@ def infer_long(
     overlap_frames: int | None = None,
     noise: tuple[jnp.ndarray, ...] | None = None,
     fused: bool = False,
+    int8_params: dict | None = None,
 ) -> jnp.ndarray:
     """mel [B, n_mel, frames] -> audio [B, frames * hop], chunked on frames.
 
@@ -106,6 +107,9 @@ def infer_long(
     vocodes each window through the fused-Pallas serving path
     (:func:`..models.waveglow_fused.infer_fused`) instead of the flax
     reverse pass — the production long-form serving configuration.
+    ``int8_params`` (from :func:`..models.waveglow_fused.
+    quantize_waveglow_int8`) routes each window through the int8 kernel
+    path instead; ``variables`` is then unused.
     """
     cfg = model.cfg
     if overlap_frames is None:
@@ -122,7 +126,14 @@ def infer_long(
             key = jax.random.PRNGKey(0)
         noise = draw_noise(cfg, key, B, t_groups, jnp.float32)
 
-    if fused:
+    if int8_params is not None:
+        from .waveglow_fused import infer_fused_int8
+
+        def vocode(mel_w, noise_w):
+            return infer_fused_int8(
+                int8_params, cfg, mel_w, None, sigma, noise=noise_w
+            )
+    elif fused:
         from .waveglow_fused import infer_fused
 
         def vocode(mel_w, noise_w):

@@ -98,23 +98,43 @@ def main():
 
         from text2speech_tpu.models.chunked import infer_long
 
-        infer = jax.jit(
-            partial(
-                infer_long, model, sigma=args.sigma,
-                chunk_frames=args.chunk_frames,
-                overlap_frames=args.overlap_frames,
-                fused=args.fused,
+        if args.int8:
+            from text2speech_tpu.models.waveglow_fused import (
+                quantize_waveglow_int8,
             )
-        )
+
+            qparams = jax.jit(
+                lambda p: quantize_waveglow_int8(p, cfg)
+            )(variables["params"])
+            infer = jax.jit(
+                lambda qp, mel, key: infer_long(
+                    model, {"params": None}, mel, key, sigma=args.sigma,
+                    chunk_frames=args.chunk_frames,
+                    overlap_frames=args.overlap_frames,
+                    int8_params=qp,
+                )
+            )
+            variables = qparams
+        else:
+            infer = jax.jit(
+                partial(
+                    infer_long, model, sigma=args.sigma,
+                    chunk_frames=args.chunk_frames,
+                    overlap_frames=args.overlap_frames,
+                    fused=args.fused,
+                )
+            )
     elif args.int8:
         from text2speech_tpu.models.waveglow_fused import (
             infer_fused_int8,
             quantize_waveglow_int8,
         )
 
-        qparams = jax.tree.map(
-            jnp.asarray, quantize_waveglow_int8(variables["params"], cfg)
-        )
+        # quantize under jit: eager ops over the device tunnel are
+        # ~seconds each (CLAUDE.md gotcha #5)
+        qparams = jax.jit(
+            lambda p: quantize_waveglow_int8(p, cfg)
+        )(variables["params"])
         infer = jax.jit(
             lambda qp, mel, key: infer_fused_int8(
                 qp, cfg, mel, key, args.sigma
