@@ -320,3 +320,58 @@ def test_infer_fused_int8_deterministic(model_and_vars):
     a = infer_fused_int8(qparams, CFG, spect, jax.random.PRNGKey(5), 0.7)
     b = infer_fused_int8(qparams, CFG, spect, jax.random.PRNGKey(5), 0.7)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_partial_layer_matches_emulation():
+    """TP partial kernel (wn_layer_stream2_partial_int8): each device's
+    column/row slice must match a pure-jnp emulation of the identical
+    quantized arithmetic — per-device scales, no res/skip bias (added
+    post-psum by the caller)."""
+    from text2speech_tpu.ops.pallas.wn_block_int8 import (
+        wn_layer_stream2_partial_int8,
+    )
+
+    B, T, C, M, p = 1, BT, 256, 128, 4
+    d = 2
+    nv = 900
+    s = C // p
+    rng = np.random.RandomState(3)
+    qx, sx, qspect, sspect = _rand_layer_inputs(rng, B, T, C, M, nv)
+    w_in = rng.randn(3, C, 2 * C).astype(np.float32) * 0.1
+    b_in = rng.randn(2 * C).astype(np.float32) * 0.1
+    w_cond = rng.randn(M, 2 * C).astype(np.float32) * 0.1
+    b_cond = rng.randn(2 * C).astype(np.float32) * 0.1
+    w_rs = rng.randn(C, 2 * C).astype(np.float32) * 0.1
+
+    for i in (0, 2):  # two representative device slices
+        cols = np.r_[i * s : (i + 1) * s, C + i * s : C + (i + 1) * s]
+        qw_in, sw_in = quantize_cols(jnp.asarray(w_in[:, :, cols]))
+        qw_cond, sw_cond = quantize_cols(jnp.asarray(w_cond[:, cols]))
+        qw_rs, sw_rs = quantize_cols(
+            jnp.asarray(w_rs[i * s : (i + 1) * s])
+        )
+        b_in_l = jnp.asarray(b_in[cols])
+        b_cond_l = jnp.asarray(b_cond[cols])
+
+        got = wn_layer_stream2_partial_int8(
+            qx, sx, qspect, sspect, qw_in, sw_in, b_in_l,
+            qw_cond, sw_cond, b_cond_l, qw_rs, sw_rs,
+            dilation=d, n_valid=nv,
+        )
+
+        in_act = (
+            _emul_taps_q(qx, sx, qw_in, sw_in, d)
+            + b_in_l
+            + _emul_cond_q(qspect, sspect, qw_cond, sw_cond, b_cond_l)
+        )
+        Cp = in_act.shape[-1] // 2
+        acts = jnp.tanh(in_act[..., :Cp]) * jax.nn.sigmoid(in_act[..., Cp:])
+        qacts = jnp.round(acts * 127.0).astype(jnp.int8)
+        dq = jnp.einsum(
+            "btc,co->bto", qacts.astype(jnp.int32), qw_rs.astype(jnp.int32)
+        )
+        ref = _mask_valid(dq.astype(f32) * (sw_rs * (1.0 / 127.0)), nv)
+
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=0.09
+        )

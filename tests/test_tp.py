@@ -150,3 +150,51 @@ def test_tp_server_xla_path_matches_single_device(model_and_vars):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
     _ = server(spect, jax.random.PRNGKey(21), 0.5)
     assert server.cache_size() == 1
+
+
+def test_tp_server_int8_tracks_f32(model_and_vars):
+    """int8 TP serving (per-device int8 weight slices, layers 1..L-1
+    through wn_layer_stream2_partial_int8) must track the f32 reference
+    within the same error band as the single-device int8 path, and stay
+    re-trace-free across calls."""
+    from text2speech_tpu.models.waveglow_fused import (
+        infer_fused_int8,
+        quantize_waveglow_int8,
+    )
+    from text2speech_tpu.parallel.tp import TPWaveGlowServer
+
+    model, variables = model_and_vars
+    devices = np.asarray(jax.devices("cpu")[:8]).reshape(8)
+    mesh = Mesh(devices, ("model",))
+
+    B, frames = 2, 24
+    rng = np.random.RandomState(4)
+    spect = jnp.asarray(
+        rng.randn(B, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(9), B, frames * gpf)
+
+    ref = model.apply(
+        variables, spect, None, 0.8, noise=noise, method=WaveGlow.infer
+    )
+    qparams = quantize_waveglow_int8(variables["params"], CFG)
+    sd_int8 = infer_fused_int8(qparams, CFG, spect, None, 0.8, noise=noise)
+    err_sd = np.linalg.norm(np.asarray(sd_int8 - ref)) / np.linalg.norm(
+        np.asarray(ref)
+    )
+
+    server = TPWaveGlowServer(
+        model, variables, mesh, data_axis=None, fused=True, int8=True
+    )
+    got = server(spect, None, 0.8, noise=noise)
+    assert got.shape == ref.shape
+    err = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(
+        np.asarray(ref)
+    )
+    # TP int8 differs from single-device int8 only in res/skip row-slice
+    # scales (exact per-device dequant) and the post-psum requantize point
+    assert err < max(5 * err_sd, 0.05), (err, err_sd)
+
+    _ = server(spect, jax.random.PRNGKey(31), 0.6)
+    assert server.cache_size() == 1, server.cache_size()

@@ -407,6 +407,106 @@ def wn_layer_stream2_first_int8(
     return qx_out, sx_out, skip_out
 
 
+def _kernel_stream2_partial_q(qx_ref, sx_ref, qspect_ref, sspect_ref,
+                              w_in_ref, sw_in_ref, b_in_ref,
+                              w_cond_ref, sw_cond_ref, b_cond_ref,
+                              w_rs_ref, sw_rs_ref,
+                              rs_out_ref, ring_q, ring_s, *, dilation: int,
+                              n_tiles: int, n_valid: int):
+    """Tensor-parallel int8 partial layer: the device owns a
+    gate-pair-consistent 2C/p column slice (see ``wn_block``'s partial
+    family) — int8 taps + cond + gate + local res/skip rows, emitting the
+    PARTIAL rs [BT, rs_out] f32 for the one-per-layer psum.  Per-device
+    weight scales are exact: dequantization happens before the psum, so
+    each device's contribution uses its own column/row scales."""
+    t = pl.program_id(1)
+    j = t - 1
+    _ring_zero_init(ring_q, t)
+    _ring_zero_init(ring_s, t)
+
+    @pl.when(t >= 1)
+    def _():
+        _, qxwin = _ring_window(ring_q, qx_ref, t, j, n_tiles, dilation)
+        _, sxwin = _ring_window(ring_s, sx_ref, t, j, n_tiles, dilation)
+        in_act = (
+            _taps_q(qxwin, sxwin, w_in_ref[...], sw_in_ref[...], dilation)
+            + b_in_ref[...]
+            + _incond_q(qspect_ref, sspect_ref, w_cond_ref, sw_cond_ref,
+                        b_cond_ref)
+        )
+        dq = jnp.dot(_gate_q(in_act), w_rs_ref[...],
+                     preferred_element_type=jnp.int32)
+        rs = dq.astype(jnp.float32) * (sw_rs_ref[...] * (1.0 / 127.0))
+        vmask = _row_mask_np(j, n_valid, n_tiles, (BT, 1))
+        rs_out_ref[0] = _mask_rows(rs, vmask)
+
+    _ring_push(ring_q, qx_ref, t, n_tiles - 1)
+    _ring_push(ring_s, sx_ref, t, n_tiles - 1)
+
+
+def wn_layer_stream2_partial_int8(
+    qx: jnp.ndarray,        # [B, T, C] int8 replicated hidden
+    sx: jnp.ndarray,        # [B, T, 1] f32
+    qspect: jnp.ndarray,    # [B, T, M] int8 replicated grouped cond
+    sspect: jnp.ndarray,    # [B, T, 1] f32
+    qw_in: jnp.ndarray,     # [3, C, 2Cp] int8 local column slice
+    sw_in: jnp.ndarray,     # [2Cp] f32
+    b_in: jnp.ndarray,      # [2Cp] f32 local (added once, pre-gate)
+    qw_cond: jnp.ndarray,   # [M, 2Cp] int8
+    sw_cond: jnp.ndarray,   # [2Cp] f32
+    b_cond: jnp.ndarray,    # [2Cp] f32
+    qw_rs: jnp.ndarray,     # [Cp, rs_out] int8 local row slice
+    sw_rs: jnp.ndarray,     # [rs_out] f32 per-device column scales
+    dilation: int,
+    interpret: bool | None = None,
+    n_valid: int | None = None,
+) -> jnp.ndarray:
+    """Per-device TP int8 WN layer -> partial rs [B, T, rs_out] f32
+    (psum me; the res/skip bias is NOT added — add it once post-psum)."""
+    interpret = _auto_interpret(interpret)
+    B, T, C = qx.shape
+    M = qspect.shape[-1]
+    rs_out = qw_rs.shape[-1]
+    assert T % BT == 0 and dilation <= BT
+    n_tiles = T // BT
+    if n_valid is None:
+        n_valid = T
+
+    kern = functools.partial(
+        _kernel_stream2_partial_q, dilation=dilation, n_tiles=n_tiles,
+        n_valid=n_valid,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    oi = _out_idx(n_tiles)
+    (rs_part,) = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((1, BT, C), _in_idx(n_tiles)),
+            pl.BlockSpec((1, BT, 1), _in_idx(n_tiles)),
+            pl.BlockSpec((1, BT, M), oi),
+            pl.BlockSpec((1, BT, 1), oi),
+            _w_spec(qw_in), _w_spec(sw_in), _w_spec(b_in),
+            _w_spec(qw_cond), _w_spec(sw_cond), _w_spec(b_cond),
+            _w_spec(qw_rs), _w_spec(sw_rs),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, rs_out), oi),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, rs_out), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BT, C), jnp.int8),
+            pltpu.VMEM((2, BT, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qx, sx, qspect, sspect, qw_in, sw_in, b_in, qw_cond, sw_cond, b_cond,
+      qw_rs, sw_rs)
+    return rs_part
+
+
 def wn_layer_stream2_final_int8(
     qx: jnp.ndarray,        # [B, T, C] int8
     sx: jnp.ndarray,        # [B, T, 1] f32

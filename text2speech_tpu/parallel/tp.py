@@ -58,11 +58,34 @@ def _pair_slices(w, b, C: int, p: int):
     return jnp.stack(ws), jnp.stack(bs)
 
 
-def shard_waveglow_params(params: dict, cfg: WaveGlowConfig, n_model: int):
+def shard_waveglow_params(params: dict, cfg: WaveGlowConfig, n_model: int,
+                          int8: bool = False):
     """Fold weight-norm and pre-split every WN tensor across ``n_model``
     devices.  Returns a pytree whose WN leaves have a leading [n_model] axis
     (to be placed with ``P('model')``); small replicated pieces (upsample,
-    convinv, start) keep their shapes."""
+    convinv, start) keep their shapes.
+
+    ``int8``: additionally quantize layers 1..L-1's in/cond/rs slices to
+    int8, per-device per-output-channel scales (each device's partial rs is
+    dequantized with its own scales BEFORE the psum, so per-device scales
+    are exact — no cross-device scale agreement needed).  Layer 0 stays
+    bf16: its TP kernel composes the start projection into rank-n_half taps
+    with edge-bias corrections, and its MXU share is small."""
+    if int8:
+        from ..ops.pallas.wn_block_int8 import quantize_cols
+
+        def q_stack(w_s, b_s):
+            qs, ss = [], []
+            for i in range(w_s.shape[0]):
+                q, sc = quantize_cols(w_s[i])
+                qs.append(q)
+                ss.append(sc)
+            return {
+                "q": jnp.stack(qs),
+                "s": jnp.stack(ss),
+                "b": b_s.astype(jnp.float32),
+            }
+
     C = cfg.wn_n_channels
     L = cfg.wn_n_layers
     p = n_model
@@ -85,9 +108,17 @@ def shard_waveglow_params(params: dict, cfg: WaveGlowConfig, n_model: int):
             ck_s, cb_s = _pair_slices(ck, cb, C, p)
             # row-parallel res/skip: shard the C input rows
             w_rs_s = jnp.stack([w_rs[0, i * s : (i + 1) * s] for i in range(p)])
-            blk[f"in{li}"] = {"w": w_in_s, "b": b_in_s}
-            blk[f"cond{li}"] = {"w": ck_s, "b": cb_s}
-            blk[f"rs{li}"] = {"w": w_rs_s, "b": b_rs}
+            if int8 and li > 0:
+                blk[f"in{li}"] = q_stack(w_in_s, b_in_s)
+                blk[f"cond{li}"] = q_stack(ck_s, cb_s)
+                rs_q = q_stack(w_rs_s, jnp.zeros((p, 1), jnp.float32))
+                blk[f"rs{li}"] = {
+                    "q": rs_q["q"], "s": rs_q["s"], "b": b_rs,
+                }
+            else:
+                blk[f"in{li}"] = {"w": w_in_s, "b": b_in_s}
+                blk[f"cond{li}"] = {"w": ck_s, "b": cb_s}
+                blk[f"rs{li}"] = {"w": w_rs_s, "b": b_rs}
         end_k = wn["end"]["kernel"][0]           # [C, E]
         blk["end"] = {
             "w": jnp.stack([end_k[i * s : (i + 1) * s] for i in range(p)]),
@@ -164,17 +195,28 @@ def _shard_map_norep(run, mesh, in_specs, out_specs):
 
 
 def _wn_tp_fused(blk, x0, spect_p, cfg: WaveGlowConfig, axis_name: str,
-                 n_valid: int, compute_dtype):
+                 n_valid: int, compute_dtype, spect_q=None):
     """One WN coupling stack under TP through the fused streaming Pallas
     kernels: each device runs :func:`..ops.pallas.wn_block.
     wn_layer_stream2_partial` on its 2C/p column slice (taps + in-kernel
     cond + gate + local res/skip rows in one VMEM pass), then ONE psum per
     layer rebuilds the full res/skip sum — the same collective count as the
     XLA path, with the kernel-fused per-device compute that beat the
-    serving anchor.  First layer uses the rank-collapsed composed taps."""
+    serving anchor.  First layer uses the rank-collapsed composed taps.
+
+    ``spect_q = (qspect, sspect)`` switches layers 1..L-1 to the int8
+    partial kernels (``wn_layer_stream2_partial_int8``): the replicated
+    hidden state is requantized per row after each post-psum residual add,
+    and each device dequantizes its partial rs with its own weight scales
+    before the psum.  ``blk`` must then come from
+    ``shard_waveglow_params(..., int8=True)``."""
     from ..ops.pallas.wn_block import (
         _fold_first_taps,
         wn_layer_stream2_partial,
+    )
+    from ..ops.pallas.wn_block_int8 import (
+        quantize_rows,
+        wn_layer_stream2_partial_int8,
     )
 
     C, L = cfg.wn_n_channels, cfg.wn_n_layers
@@ -208,21 +250,37 @@ def _wn_tp_fused(blk, x0, spect_p, cfg: WaveGlowConfig, axis_name: str,
     )
     x = (xh + rs[..., :C]) * vmask
     skip = rs[..., C:]
+    if spect_q is not None:
+        qspect, sspect = spect_q
+        qx, sx = quantize_rows(x)
 
     for li in range(1, L):
-        rs = wn_layer_stream2_partial(
-            x.astype(cd), spect_p.astype(cd),
-            blk[f"in{li}"]["w"][0].astype(cd),
-            blk[f"in{li}"]["b"][0].astype(jnp.float32),
-            blk[f"cond{li}"]["w"][0].astype(cd),
-            blk[f"cond{li}"]["b"][0].astype(jnp.float32),
-            blk[f"rs{li}"]["w"][0].astype(cd),
-            dilation=2 ** li, n_valid=n_valid,
-        )
+        if spect_q is not None:
+            rs = wn_layer_stream2_partial_int8(
+                qx, sx, qspect, sspect,
+                blk[f"in{li}"]["q"][0], blk[f"in{li}"]["s"][0],
+                blk[f"in{li}"]["b"][0],
+                blk[f"cond{li}"]["q"][0], blk[f"cond{li}"]["s"][0],
+                blk[f"cond{li}"]["b"][0],
+                blk[f"rs{li}"]["q"][0], blk[f"rs{li}"]["s"][0],
+                dilation=2 ** li, n_valid=n_valid,
+            )
+        else:
+            rs = wn_layer_stream2_partial(
+                x.astype(cd), spect_p.astype(cd),
+                blk[f"in{li}"]["w"][0].astype(cd),
+                blk[f"in{li}"]["b"][0].astype(jnp.float32),
+                blk[f"cond{li}"]["w"][0].astype(cd),
+                blk[f"cond{li}"]["b"][0].astype(jnp.float32),
+                blk[f"rs{li}"]["w"][0].astype(cd),
+                dilation=2 ** li, n_valid=n_valid,
+            )
         rs = jax.lax.psum(rs, axis_name) + blk[f"rs{li}"]["b"]
         if li < L - 1:
             x = (x + rs[..., :C]) * vmask
             skip = skip + rs[..., C:]
+            if spect_q is not None:
+                qx, sx = quantize_rows(x)
         else:
             skip = skip + rs
 
@@ -254,6 +312,14 @@ class TPWaveGlowServer:
     auto-interprets off-TPU so the CPU-mesh tests exercise the same code.
     ``fused=False`` keeps the plain-XLA per-device math (:func:`_wn_tp`).
 
+    ``int8=True`` (requires ``fused``) serves layers 1..L-1 of every WN
+    stack through the int8 partial kernels: each device's 1/p weight slice
+    is stored int8 (per-output-channel scales — identical to the
+    single-device scales for the column-parallel in/cond slices; per-device
+    row-slice scales for the row-parallel res/skip, exact because each
+    device dequantizes its partial before the psum).  The replicated hidden
+    state is requantized per row after each post-psum residual add.
+
     Reference scaled: ``glow.py:251-292`` (whole-utterance reverse pass,
     single GPU).
     """
@@ -267,6 +333,7 @@ class TPWaveGlowServer:
         model_axis: str = MODEL_AXIS,
         fused: bool = True,
         compute_dtype=jnp.float32,
+        int8: bool = False,
     ):
         cfg = model.cfg if hasattr(model, "cfg") else model
         self.cfg = cfg
@@ -274,14 +341,24 @@ class TPWaveGlowServer:
         self.model_axis = model_axis
         self.data_axis = data_axis if data_axis in mesh.axis_names else None
         n_model = mesh.shape[model_axis]
+        if int8:
+            assert fused, "int8 TP serving runs through the fused kernels"
+            assert cfg.wn_n_layers >= 2, "int8 path keeps layer 0 bf16"
 
-        tp_params = shard_waveglow_params(variables["params"], cfg, n_model)
+        tp_params = shard_waveglow_params(
+            variables["params"], cfg, n_model, int8=int8
+        )
         mp = P(model_axis)
         blk_specs = {"start_k": P(), "start_b": P()}
         for li in range(cfg.wn_n_layers):
-            blk_specs[f"in{li}"] = {"w": mp, "b": mp}
-            blk_specs[f"cond{li}"] = {"w": mp, "b": mp}
-            blk_specs[f"rs{li}"] = {"w": mp, "b": P()}
+            if int8 and li > 0:
+                blk_specs[f"in{li}"] = {"q": mp, "s": mp, "b": mp}
+                blk_specs[f"cond{li}"] = {"q": mp, "s": mp, "b": mp}
+                blk_specs[f"rs{li}"] = {"q": mp, "s": mp, "b": P()}
+            else:
+                blk_specs[f"in{li}"] = {"w": mp, "b": mp}
+                blk_specs[f"cond{li}"] = {"w": mp, "b": mp}
+                blk_specs[f"rs{li}"] = {"w": mp, "b": P()}
         blk_specs["end"] = {"w": mp, "b": P()}
         param_specs = {}
         for k, v in tp_params.items():
@@ -305,6 +382,7 @@ class TPWaveGlowServer:
 
         if fused:
             from ..ops.pallas.wn_block import BT
+            from ..ops.pallas.wn_block_int8 import quantize_rows
 
             def run(tp_params, spect, noise, sigma):
                 cond = _upsample_group(tp_params["upsample"], cfg, spect)
@@ -314,6 +392,9 @@ class TPWaveGlowServer:
                     [cond, jnp.zeros((Bl, Tp - Tg, cond.shape[-1]),
                                      cond.dtype)], axis=1,
                 )
+                # grouped cond feeds every flow/layer: quantize ONCE per
+                # call (zero pad rows quantize to zeros — halo-safe)
+                sq = quantize_rows(spect_p) if int8 else None
                 mask = jnp.zeros((1, Tp, 1), jnp.float32).at[:, :Tg].set(1.0)
                 noise_iter = iter(noise)
 
@@ -327,7 +408,7 @@ class TPWaveGlowServer:
                     x0, x1 = x[..., :n_half], x[..., n_half:]
                     wn_out = _wn_tp_fused(
                         tp_params[f"wn{k}"], x0, spect_p, cfg, model_axis,
-                        Tg, compute_dtype,
+                        Tg, compute_dtype, spect_q=sq,
                     )
                     b = wn_out[..., :n_half]
                     s = wn_out[..., n_half:]
@@ -417,6 +498,7 @@ def infer_waveglow_tp(
     model_axis: str = MODEL_AXIS,
     noise: tuple[jnp.ndarray, ...] | None = None,
     fused: bool = False,
+    int8: bool = False,
 ):
     """One-shot tensor(+data)-parallel WaveGlow inference.
 
@@ -427,7 +509,7 @@ def infer_waveglow_tp(
     repeated serving (this wrapper re-shards weights every time)."""
     server = TPWaveGlowServer(
         model, variables, mesh, data_axis=data_axis, model_axis=model_axis,
-        fused=fused,
+        fused=fused, int8=int8,
     )
     return server(spect, key, sigma, noise)
 
