@@ -1,0 +1,108 @@
+"""Full-chain TP serving (parallel/serve.py TPSynthesizer): text -> mel ->
+waveform over one mesh must reproduce the single-device Synthesizer (same
+seeds, fp32) — the decode chunking is the same carry/key discipline as
+``text_to_mel_stream`` and the vocoder noise convention matches
+``WaveGlow.infer``'s internal draws.  int8 serving stays in the quantized
+error band end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from text2speech_tpu.infer import Synthesizer
+from text2speech_tpu.models.tacotron2 import Tacotron2
+from text2speech_tpu.models.waveglow import WaveGlow
+from text2speech_tpu.parallel.serve import TPSynthesizer
+from text2speech_tpu.text import N_SYMBOLS
+from tests.test_synthesizer import HP, WG
+
+TEXTS = ["안녕하세요.", "존경하는 사람"]
+
+
+@pytest.fixture(scope="module")
+def models():
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(HP, n_vocab=N_SYMBOLS)
+    tvars = taco.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+        jnp.zeros((1, HP.n_mel_channels, 8)), jnp.asarray([8]),
+    )
+    wg = WaveGlow(WG)
+    wvars = wg.init(
+        rng,
+        jnp.zeros((1, WG.n_mel_channels, 16)),
+        jnp.zeros((1, 16 * WG.upsample_stride)),
+    )
+    prng = np.random.RandomState(1)
+    wparams = jax.tree.map(
+        lambda x: x + 0.01 * prng.randn(*x.shape).astype(np.float32),
+        wvars["params"],
+    )
+    return taco, tvars, wg, {"params": wparams}
+
+
+@pytest.fixture(scope="module")
+def single(models):
+    taco, tvars, wg, wvars = models
+    return Synthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        use_denoiser=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def tp(models):
+    taco, tvars, wg, wvars = models
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
+    return TPSynthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        mesh=mesh, data_axis=None, chunk_steps=8,
+    )
+
+
+def test_tp_text_to_mel_matches_single_device(single, tp):
+    mel_s, len_s = single.text_to_mel(TEXTS, seed=0)
+    mel_t, len_t = tp.text_to_mel(TEXTS, seed=0)
+    np.testing.assert_array_equal(np.asarray(len_t), np.asarray(len_s))
+    for i in range(len(TEXTS)):
+        n = int(np.asarray(len_s)[i])
+        np.testing.assert_allclose(
+            np.asarray(mel_t)[i, :, :n], np.asarray(mel_s)[i, :, :n],
+            atol=2e-4,
+        )
+
+
+def test_tp_synthesize_matches_single_device(single, tp):
+    wav_s = single.synthesize(TEXTS, sigma=0.8, seed=0)
+    wav_t = tp.synthesize(TEXTS, sigma=0.8, seed=0)
+    assert len(wav_t) == len(wav_s)
+    for a, b in zip(wav_t, wav_s):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_tp_synthesize_int8_tracks_fp(models, tp):
+    taco, tvars, wg, wvars = models
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
+    tp_q = TPSynthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        mesh=mesh, data_axis=None, chunk_steps=8, int8=True,
+    )
+    wav_fp = tp.synthesize(TEXTS, sigma=0.8, seed=0)
+    wav_q = tp_q.synthesize(TEXTS, sigma=0.8, seed=0)
+    for a, b in zip(wav_q, wav_fp):
+        assert np.isfinite(a).all()
+        # int8 decoder drift moves the gate decisions a little; compare on
+        # the shared prefix at a coarse band
+        n = min(len(a), len(b))
+        if n == 0:
+            continue
+        denom = np.abs(b[:n]).mean() + 1e-6
+        assert np.abs(a[:n] - b[:n]).mean() / denom < 0.5

@@ -110,13 +110,31 @@ def decode_chunk_serve(
     step_rngs: jnp.ndarray,         # [n_steps] PRNG keys
     text_lengths: jnp.ndarray | None = None,
     dtype: Any = jnp.float32,
+    lstm_fn=None,
 ):
     """Functional twin of ``Tacotron2.decode_chunk`` over a serving param
     dict: same carry pytree, same dropout-key consumption per step, so the
     fp path is numerically the flax path; with
     :func:`quantize_decoder_params` weights, the big LSTM kernels stream
     int8 (dequantized in-loop).  Returns
-    ``((state, frame, finished), mel [B, n_mel, n], gate, align, active)``."""
+    ``((state, frame, finished), mel [B, n_mel, n], gate, align, active)``.
+
+    ``lstm_fn(kind, h, c, x, eps) -> (h_new, c_new)`` (kind in
+    {"att", "dec"}) overrides the two LSTM cell evaluations — the
+    tensor-parallel decoder (``parallel/tp_tacotron.py``) injects a
+    column-sharded cell here (local gate slice + one all_gather) and
+    reuses everything else in this body unchanged.  The carry's cell
+    states then hold whatever per-device shape ``lstm_fn`` returns."""
+    if lstm_fn is None:
+        def lstm_fn(kind, h, c, x, eps):
+            pre = {"att": "att_", "dec": "dec_"}[kind]
+            return _lstm_step(
+                h, c, x,
+                _w(dp[pre + "ih_w"], eps, dtype),
+                dp[pre + "ih_b"].astype(dtype),
+                _w(dp[pre + "hh_w"], eps, dtype),
+                dp[pre + "hh_b"].astype(dtype),
+            )
     B, T_in, _ = memory.shape
     mask = (
         (jnp.arange(T_in)[None, :] < text_lengths[:, None])
@@ -145,11 +163,9 @@ def decode_chunk_serve(
         # rng_step but are unused at eval, so fp parity is bitwise)
         del rng_step
         cell_in = jnp.concatenate([x, st.attention_context.astype(dtype)], -1)
-        att_h, att_c = _lstm_step(
-            st.attention_h.astype(dtype), st.attention_c.astype(dtype),
-            cell_in,
-            _w(dp["att_ih_w"], eps, dtype), dp["att_ih_b"].astype(dtype),
-            _w(dp["att_hh_w"], eps, dtype), dp["att_hh_b"].astype(dtype),
+        att_h, att_c = lstm_fn(
+            "att", st.attention_h.astype(dtype),
+            st.attention_c.astype(dtype), cell_in, eps,
         )
 
         # location attention
@@ -175,10 +191,9 @@ def decode_chunk_serve(
 
         # decoder LSTM + projections
         dec_in = jnp.concatenate([att_h, context], -1)
-        dec_h, dec_c = _lstm_step(
-            st.decoder_h.astype(dtype), st.decoder_c.astype(dtype), dec_in,
-            _w(dp["dec_ih_w"], eps, dtype), dp["dec_ih_b"].astype(dtype),
-            _w(dp["dec_hh_w"], eps, dtype), dp["dec_hh_b"].astype(dtype),
+        dec_h, dec_c = lstm_fn(
+            "dec", st.decoder_h.astype(dtype), st.decoder_c.astype(dtype),
+            dec_in, eps,
         )
         proj_in = jnp.concatenate([dec_h, context], -1)
         mel_frame = jnp.dot(proj_in, _w(dp["mel_w"], eps, dtype)) + dp[

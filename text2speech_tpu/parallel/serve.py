@@ -1,0 +1,147 @@
+"""Full-chain tensor(+data)-parallel serving: text -> mel -> waveform.
+
+Composes the two TP endpoints over ONE mesh — the complete serving story
+for a pod slice:
+
+* encoder + postnet: replicated jits (tiny conv/biLSTM stacks — well under
+  1 ms of replicated work; sharding them would add collectives for
+  nothing);
+* autoregressive decode: :class:`~.tp_tacotron.TPTacotronDecoder` —
+  column-sharded LSTM kernels split the 36 MB/step weight-streaming floor
+  over the 'model' axis (2 all_gathers/step on ICI);
+* vocoder: :class:`~.tp.TPWaveGlowServer` — Megatron column/row-sharded WN
+  stacks through the fused streaming Pallas kernels (1 psum/layer).
+
+Everything is built and placed ONCE; the decode loop reuses one compiled
+chunk program (the chunked decode is the same carry/key discipline as
+``Synthesizer.text_to_mel_stream``, so the mel it produces is the
+single-device mel to fp tolerance).  ``int8=True`` switches BOTH the
+decoder LSTMs and the vocoder WN layers to the int8 serving kernels.
+
+Reference scaled: the single-GPU ``inference.py:80-95`` synthesis app.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import HParams, WaveGlowConfig
+from ..models.tacotron2 import DecoderState, Tacotron2
+from ..text import encode_batch
+from .tp import MODEL_AXIS, TPWaveGlowServer
+from .tp_tacotron import TPTacotronDecoder
+
+
+@dataclasses.dataclass
+class TPSynthesizer:
+    hp: HParams
+    taco: Tacotron2
+    taco_variables: dict
+    wg_cfg: WaveGlowConfig
+    waveglow: object
+    wg_variables: dict
+    mesh: Mesh
+    data_axis: str | None = "data"
+    model_axis: str = MODEL_AXIS
+    int8: bool = False
+    chunk_steps: int = 64
+
+    def __post_init__(self):
+        taco, hp, mesh = self.taco, self.hp, self.mesh
+        from ..models.tacotron_serve import extract_decoder_params
+
+        rep = NamedSharding(mesh, P())
+        # replicated copy of the acoustic-model weights for the small
+        # replicated stages (encoder, postnet, memory projection, rng
+        # derivation); the decoder/vocoder endpoints shard their own
+        self._taco_vars = jax.device_put(self.taco_variables, rep)
+
+        self._decoder = TPTacotronDecoder(
+            extract_decoder_params(self.taco_variables, hp), hp, mesh,
+            data_axis=self.data_axis, model_axis=self.model_axis,
+            int8=self.int8,
+        )
+        self._vocoder = TPWaveGlowServer(
+            self.waveglow, self.wg_variables, mesh,
+            data_axis=self.data_axis, model_axis=self.model_axis,
+            fused=True, int8=self.int8,
+        )
+
+        self._encode = jax.jit(lambda v, ids, le: taco.apply(
+            v, ids, text_lengths=le, method=Tacotron2.encode
+        ))
+        self._pmem = jax.jit(lambda v, mem: taco.apply(
+            v, mem,
+            method=lambda m, mm: m.decoder.attention.process_memory(mm),
+        ))
+        self._derive_rng = jax.jit(lambda v, r: taco.apply(
+            v, method=Tacotron2.derive_rng, rngs={"dropout": r}
+        ))
+        self._postnet = jax.jit(lambda v, mel: taco.apply(
+            v, mel, method=Tacotron2.postnet_residual
+        ))
+
+    def text_to_mel(self, texts, seed: int = 0,
+                    max_steps: int | None = None):
+        """list[str] -> (mel_post [B, n_mel, T], out_lengths [B]); the
+        decode advances in ``chunk_steps`` chunks through the TP decoder
+        (one compiled program, early exit when every row's gate fired)."""
+        hp = self.hp
+        texts = [texts] if isinstance(texts, str) else texts
+        ids_np, lengths_np = encode_batch(texts)
+        ids, lengths = jnp.asarray(ids_np), jnp.asarray(lengths_np)
+        memory = self._encode(self._taco_vars, ids, lengths)
+        pmem = self._pmem(self._taco_vars, memory)
+        B = memory.shape[0]
+
+        state = self._decoder.initial_state(memory)
+        frame = jnp.zeros((B, hp.n_mel_channels), jnp.float32)
+        finished = jnp.zeros((B,), bool)
+
+        requested = max_steps or hp.max_decoder_steps
+        cs = self.chunk_steps
+        limit = -(-requested // cs) * cs
+        base = self._derive_rng(self._taco_vars, jax.random.PRNGKey(seed))
+        all_rngs = jax.random.split(base, limit)
+
+        chunks: list = []
+        total = 0
+        out_len = np.zeros((B,), np.int64)
+        while total < limit:
+            sr = all_rngs[total : total + cs]
+            (state, frame, finished), mel_c, _, _, active = self._decoder(
+                memory, pmem, state, frame, finished, sr, lengths
+            )
+            chunks.append(mel_c)
+            n_in_contract = max(0, min(cs, requested - total))
+            out_len += np.asarray(active)[:, :n_in_contract].sum(axis=1)
+            total += cs
+            if bool(np.asarray(finished).all()):
+                break
+
+        mel = jnp.concatenate(chunks, axis=-1)[:, :, :requested]
+        mel_post = mel + self._postnet(self._taco_vars, mel)
+        return mel_post, jnp.asarray(out_len)
+
+    def mel_to_audio(self, mel, sigma: float = 0.666, seed: int = 0):
+        return self._vocoder(mel, jax.random.PRNGKey(seed + 1), sigma)
+
+    def synthesize(self, texts, sigma: float = 0.666, seed: int = 0,
+                   max_steps: int | None = None):
+        """list[str] -> list of float32 waveforms trimmed to true lengths
+        (= ``Synthesizer.synthesize`` semantics, pod-sharded)."""
+        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps)
+        T = int(np.max(np.asarray(out_lengths))) or 1
+        audio = np.asarray(
+            self.mel_to_audio(mel_post[:, :, :T], sigma, seed)
+        )
+        hop = self.wg_cfg.hop_length
+        return [
+            audio[i, : int(out_lengths[i]) * hop]
+            for i in range(audio.shape[0])
+        ]
