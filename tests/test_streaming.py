@@ -101,3 +101,37 @@ def test_incremental_deterministic(synthesizer):  # noqa: F811
     )))
     np.testing.assert_array_equal(a, b)
     assert np.isfinite(a).all() and a.size > 0
+
+
+def test_mel_stream_early_gate_matches_batch(synthesizer):  # noqa: F811
+    """Early-stop regime (gate biased to fire at step ~1): the stream's
+    final emission must keep decoding a postnet receptive field of REAL
+    context past the last stop frame — the batch path's postnet sees
+    decoded frames there, not conv padding (r3 code-review finding).
+    Valid frames (< out_len) must match the batch path exactly."""
+    import dataclasses
+
+    s = synthesizer
+    tv = jax.tree.map(lambda x: x, s.taco_variables)
+    tv["params"]["decoder"]["gate_proj"]["bias"] = (
+        tv["params"]["decoder"]["gate_proj"]["bias"] + 10.0
+    )
+    sb = dataclasses.replace(s, taco_variables=tv)
+
+    texts = ["안녕하세요.", "네."]
+    mel_ref, len_ref = sb.text_to_mel(texts, seed=3)
+    assert (np.asarray(len_ref) < sb.hp.max_decoder_steps).all()
+
+    chunks, final_lens = [], None
+    for mel_c, out_len, final in sb.text_to_mel_stream(
+        texts, chunk_steps=4, seed=3
+    ):
+        chunks.append(mel_c)
+        final_lens = out_len
+    got = np.concatenate(chunks, axis=-1)
+    np.testing.assert_array_equal(final_lens, np.asarray(len_ref))
+    for i in range(len(texts)):
+        n = int(final_lens[i])
+        np.testing.assert_allclose(
+            got[i, :, :n], np.asarray(mel_ref)[i, :, :n], atol=2e-5
+        )

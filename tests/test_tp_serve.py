@@ -106,3 +106,49 @@ def test_tp_synthesize_int8_tracks_fp(models, tp):
             continue
         denom = np.abs(b[:n]).mean() + 1e-6
         assert np.abs(a[:n] - b[:n]).mean() / denom < 0.5
+
+
+def _biased_gate(tvars, bump: float = 10.0):
+    """Copy of the variables with the stop gate biased to fire at step ~1 —
+    forces the early-exit / masked-tail regime the untrained default
+    fixture never reaches (r3 code-review finding)."""
+    tv = jax.tree.map(lambda x: x, tvars)
+    tv["params"]["decoder"]["gate_proj"]["bias"] = (
+        tv["params"]["decoder"]["gate_proj"]["bias"] + bump
+    )
+    return tv
+
+
+def test_tp_early_gate_exit_matches_single_device(models):
+    """With every gate firing early: the TP path must early-exit, decode
+    the postnet-context tail, zero-mask past each stop, and still equal
+    the batch path (which scans ALL requested steps and mask_outputs's
+    the result) element-for-element."""
+    taco, tvars, wg, wvars = models
+    tv = _biased_gate(tvars)
+    single = Synthesizer(
+        hp=HP, taco=taco, taco_variables=tv,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        use_denoiser=False,
+    )
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
+    tp_b = TPSynthesizer(
+        hp=HP, taco=taco, taco_variables=tv,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        mesh=mesh, data_axis=None, chunk_steps=8,
+    )
+    mel_s, len_s = single.text_to_mel(TEXTS, seed=0)
+    mel_t, len_t = tp_b.text_to_mel(TEXTS, seed=0)
+    # the regime is actually exercised: stops well before max_decoder_steps
+    assert (np.asarray(len_s) < HP.max_decoder_steps).all(), np.asarray(len_s)
+    np.testing.assert_array_equal(np.asarray(len_t), np.asarray(len_s))
+    assert mel_t.shape == mel_s.shape      # padded to requested frames
+    np.testing.assert_allclose(
+        np.asarray(mel_t), np.asarray(mel_s), atol=2e-4
+    )
+
+    wav_s = single.synthesize(TEXTS, sigma=0.8, seed=0)
+    wav_t = tp_b.synthesize(TEXTS, sigma=0.8, seed=0)
+    for a, b in zip(wav_t, wav_s):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)

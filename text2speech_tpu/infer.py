@@ -26,6 +26,75 @@ from .models.waveglow import WaveGlow
 from .text import N_SYMBOLS, encode_batch
 
 
+def chunked_mel_stream(hp, carry, decode_fn, postnet_fn, requested: int,
+                       chunk_steps: int, all_rngs):
+    """Shared chunked-decode + windowed-postnet engine.
+
+    Drives ``decode_fn(carry, step_rngs) -> (carry, mel_chunk, active)`` in
+    whole chunks and yields ``(mel_post_chunk [B, n_mel, n],
+    out_lengths_so_far [B], final)``.  Used by both the single-device
+    ``Synthesizer.text_to_mel_stream`` and the tensor-parallel
+    ``parallel.serve.TPSynthesizer`` so the decode-loop contract (limit
+    rounding, out_length accounting, postnet edge handling) lives once.
+
+    Emitted frames equal the full-sequence batch path
+    (``Tacotron2.inference``) on every VALID frame: non-final windows only
+    emit frames a full postnet receptive field away from the decoded
+    frontier, and when every row's gate has fired the loop keeps decoding
+    ``ceil(prf / chunk_steps)`` extra chunks before declaring final — the
+    batch path's postnet reads REAL decoded context past the last stop
+    frame (its scan always runs all ``requested`` steps), so stopping at
+    the gate would change the last ``prf`` valid frames.  Frames beyond a
+    row's stop remain garbage (the batch path masks them; streaming
+    consumers cut at ``out_lengths``)."""
+    prf = (hp.postnet_kernel_size // 2) * hp.postnet_n_convolutions
+    limit = -(-requested // chunk_steps) * chunk_steps
+    assert len(all_rngs) >= limit, (len(all_rngs), limit)
+    tail_chunks = -(-prf // chunk_steps)
+
+    B = carry[2].shape[0]
+    chunks: list = []
+    total = emitted = 0
+    out_len = np.zeros((B,), np.int64)
+    tail = None
+    while total < limit:
+        sr = all_rngs[total : total + chunk_steps]
+        carry, mel_c, active = decode_fn(carry, sr)
+        chunks.append(mel_c)
+        chunk_start = total
+        total += chunk_steps
+        n_in_contract = max(0, min(chunk_steps, requested - chunk_start))
+        out_len += np.asarray(active)[:, :n_in_contract].sum(axis=1)
+        if tail is None:
+            if bool(np.asarray(carry[2]).all()):
+                tail = tail_chunks
+        else:
+            tail -= 1
+        cap = min(total, requested)
+        final = total >= limit or tail == 0
+        upto = cap if final else max(emitted, cap - prf)
+        if upto > emitted:
+            mel_all = (
+                jnp.concatenate(chunks, axis=-1)
+                if len(chunks) > 1 else chunks[0]
+            )
+            ws = max(0, emitted - prf)
+            # the window never reads past `cap`: past `requested` the batch
+            # path's postnet sees conv zero-padding, and on an early-gate
+            # final the tail chunks above guarantee every VALID frame's
+            # window touches only real decoded frames
+            win = mel_all[:, :, ws:cap]
+            post = win + postnet_fn(win)
+            yield (
+                np.asarray(post[:, :, emitted - ws : upto - ws]),
+                out_len.copy(),
+                final,
+            )
+            emitted = upto
+        if final:
+            return
+
+
 @dataclass
 class Synthesizer:
     hp: HParams
@@ -376,51 +445,25 @@ class Synthesizer:
         limit = -(-requested // chunk_steps) * chunk_steps
         base = self._derive_rng(self.taco_variables, jax.random.PRNGKey(seed))
         all_rngs = jax.random.split(base, limit)
-        prf = (hp.postnet_kernel_size // 2) * hp.postnet_n_convolutions
 
-        chunks: list = []
-        total = emitted = 0
-        out_len = np.zeros((B,), np.int64)
-        while total < limit:
-            sr = all_rngs[total : total + chunk_steps]
-            if self.quantized_decode:
-                (state, frame, finished), mel_c, _, _, active = \
-                    self._decode_chunk_q(
-                        self._dp_q, memory, pmem, state, frame, finished,
-                        sr, lengths,
-                    )
-            else:
-                (state, frame, finished), mel_c, _, _, active = \
-                    self._decode_chunk(
-                        self.taco_variables, memory, state, frame, finished,
-                        sr, lengths,
-                    )
-            chunks.append(mel_c)
-            chunk_start = total
-            total += chunk_steps
-            n_in_contract = max(0, min(chunk_steps, requested - chunk_start))
-            out_len += np.asarray(active)[:, :n_in_contract].sum(axis=1)
-            cap = min(total, requested)
-            final = bool(np.asarray(finished).all()) or total >= limit
-            upto = cap if final else max(emitted, cap - prf)
-            if upto > emitted:
-                mel_all = (
-                    jnp.concatenate(chunks, axis=-1)
-                    if len(chunks) > 1 else chunks[0]
+        if self.quantized_decode:
+            def decode_fn(carry, sr):
+                carry, mel_c, _, _, active = self._decode_chunk_q(
+                    self._dp_q, memory, pmem, *carry, sr, lengths
                 )
-                ws = max(0, emitted - prf)
-                # the window never reads past `cap`: the batch path's
-                # postnet sees conv zero-padding at the requested end
-                win = mel_all[:, :, ws:cap]
-                post = win + self._postnet_window(self.taco_variables, win)
-                yield (
-                    np.asarray(post[:, :, emitted - ws : upto - ws]),
-                    out_len.copy(),
-                    final,
+                return carry, mel_c, active
+        else:
+            def decode_fn(carry, sr):
+                carry, mel_c, _, _, active = self._decode_chunk(
+                    self.taco_variables, memory, *carry, sr, lengths
                 )
-                emitted = upto
-            if final:
-                return
+                return carry, mel_c, active
+
+        yield from chunked_mel_stream(
+            hp, (state, frame, finished), decode_fn,
+            lambda win: self._postnet_window(self.taco_variables, win),
+            requested, chunk_steps, all_rngs,
+        )
 
     def synthesize_incremental(
         self,

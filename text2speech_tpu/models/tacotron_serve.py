@@ -63,22 +63,30 @@ def extract_decoder_params(variables: dict, hp: HParams) -> dict:
     }
 
 
+def quantize_kernel_int8(w: jnp.ndarray) -> dict:
+    """Per-output-channel symmetric int8 for one 2-D kernel:
+    ``w[:, j] ~= q[:, j] * s[j]``, s = max|w[:, j]| / 127.  Shared by the
+    single-device path and the TP column slices
+    (``parallel/tp_tacotron.shard_decoder_params``) — column slicing
+    preserves each column's amax, so the two stay scale-identical by
+    construction."""
+    s = jnp.max(jnp.abs(w), axis=0) / 127.0
+    # all-zero (dead/pruned) columns: 0/0 would be NaN — quantize
+    # them to exact zeros with a unit scale
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s.astype(jnp.float32)}
+
+
 def quantize_decoder_params(dp: dict,
                             min_elems: int = QUANT_MIN_ELEMS) -> dict:
-    """Per-output-channel symmetric int8 for large 2-D kernels:
-    ``w[:, j] ~= q[:, j] * s[j]``, s = max|w[:, j]| / 127."""
-    out = {}
-    for k, w in dp.items():
-        if w.ndim == 2 and w.size >= min_elems:
-            s = jnp.max(jnp.abs(w), axis=0) / 127.0
-            # all-zero (dead/pruned) columns: 0/0 would be NaN — quantize
-            # them to exact zeros with a unit scale
-            s = jnp.where(s > 0, s, 1.0)
-            q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
-            out[k] = {"q": q, "s": s.astype(jnp.float32)}
-        else:
-            out[k] = w
-    return out
+    """Per-output-channel symmetric int8 for large 2-D kernels
+    (:func:`quantize_kernel_int8`); small projections stay exact."""
+    return {
+        k: (quantize_kernel_int8(w) if w.ndim == 2 and w.size >= min_elems
+            else w)
+        for k, w in dp.items()
+    }
 
 
 def _w(dp_entry, eps, dtype):

@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HParams, WaveGlowConfig
-from ..models.tacotron2 import DecoderState, Tacotron2
+from ..models.tacotron2 import Tacotron2
 from ..text import encode_batch
 from .tp import MODEL_AXIS, TPWaveGlowServer
 from .tp_tacotron import TPTacotronDecoder
@@ -88,9 +88,17 @@ class TPSynthesizer:
 
     def text_to_mel(self, texts, seed: int = 0,
                     max_steps: int | None = None):
-        """list[str] -> (mel_post [B, n_mel, T], out_lengths [B]); the
-        decode advances in ``chunk_steps`` chunks through the TP decoder
-        (one compiled program, early exit when every row's gate fired)."""
+        """list[str] -> (mel_post [B, n_mel, requested], out_lengths [B]).
+
+        Drives the shared chunked-decode engine
+        (:func:`~..infer.chunked_mel_stream`) through the TP decoder —
+        early exit once every gate fired (plus the engine's postnet-context
+        tail), then zero-masks frames past each row's stop and zero-pads to
+        ``requested`` frames, exactly reproducing the batch path's
+        ``mask_outputs`` contract: the result equals single-device
+        ``Synthesizer.text_to_mel`` element-for-element."""
+        from ..infer import chunked_mel_stream
+
         hp = self.hp
         texts = [texts] if isinstance(texts, str) else texts
         ids_np, lengths_np = encode_batch(texts)
@@ -109,23 +117,31 @@ class TPSynthesizer:
         base = self._derive_rng(self._taco_vars, jax.random.PRNGKey(seed))
         all_rngs = jax.random.split(base, limit)
 
-        chunks: list = []
-        total = 0
-        out_len = np.zeros((B,), np.int64)
-        while total < limit:
-            sr = all_rngs[total : total + cs]
-            (state, frame, finished), mel_c, _, _, active = self._decoder(
-                memory, pmem, state, frame, finished, sr, lengths
+        def decode_fn(carry, sr):
+            carry, mel_c, _, _, active = self._decoder(
+                memory, pmem, *carry, sr, lengths
             )
-            chunks.append(mel_c)
-            n_in_contract = max(0, min(cs, requested - total))
-            out_len += np.asarray(active)[:, :n_in_contract].sum(axis=1)
-            total += cs
-            if bool(np.asarray(finished).all()):
-                break
+            return carry, mel_c, active
 
-        mel = jnp.concatenate(chunks, axis=-1)[:, :, :requested]
-        mel_post = mel + self._postnet(self._taco_vars, mel)
+        chunks: list = []
+        out_len = np.zeros((B,), np.int64)
+        for post_c, out_len, _final in chunked_mel_stream(
+            hp, (state, frame, finished), decode_fn,
+            lambda win: self._postnet(self._taco_vars, win),
+            requested, cs, all_rngs,
+        ):
+            chunks.append(post_c)
+
+        mel_post = np.concatenate(chunks, axis=-1)
+        if mel_post.shape[-1] < requested:      # early gate exit
+            mel_post = np.pad(
+                mel_post,
+                ((0, 0), (0, 0), (0, requested - mel_post.shape[-1])),
+            )
+        valid = np.arange(requested)[None, :] < out_len[:, None]
+        mel_post = jnp.asarray(
+            np.where(valid[:, None, :], mel_post, 0.0)
+        )
         return mel_post, jnp.asarray(out_len)
 
     def mel_to_audio(self, mel, sigma: float = 0.666, seed: int = 0):

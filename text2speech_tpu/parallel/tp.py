@@ -111,9 +111,11 @@ def shard_waveglow_params(params: dict, cfg: WaveGlowConfig, n_model: int,
             if int8 and li > 0:
                 blk[f"in{li}"] = q_stack(w_in_s, b_in_s)
                 blk[f"cond{li}"] = q_stack(ck_s, cb_s)
-                rs_q = q_stack(w_rs_s, jnp.zeros((p, 1), jnp.float32))
+                rs_qs = [quantize_cols(w_rs_s[i]) for i in range(p)]
                 blk[f"rs{li}"] = {
-                    "q": rs_q["q"], "s": rs_q["s"], "b": b_rs,
+                    "q": jnp.stack([q for q, _ in rs_qs]),
+                    "s": jnp.stack([s for _, s in rs_qs]),
+                    "b": b_rs,     # replicated: added once post-psum
                 }
             else:
                 blk[f"in{li}"] = {"w": w_in_s, "b": b_in_s}

@@ -104,15 +104,13 @@ def shard_decoder_params(dp: dict, hp: HParams, n_model: int,
         ws = [jnp.take(w, _gate_cols(H, p, i), axis=-1) for i in range(p)]
         bs = [jnp.take(b, _gate_cols(H, p, i), axis=-1) for i in range(p)]
         if int8:
-            qs, ss = [], []
-            for wsl in ws:
-                s = jnp.max(jnp.abs(wsl), axis=0) / 127.0
-                s = jnp.where(s > 0, s, 1.0)
-                qs.append(
-                    jnp.clip(jnp.round(wsl / s), -127, 127).astype(jnp.int8)
-                )
-                ss.append(s.astype(jnp.float32))
-            out[wk] = {"q": jnp.stack(qs), "s": jnp.stack(ss)}
+            from ..models.tacotron_serve import quantize_kernel_int8
+
+            qd = [quantize_kernel_int8(wsl) for wsl in ws]
+            out[wk] = {
+                "q": jnp.stack([d["q"] for d in qd]),
+                "s": jnp.stack([d["s"] for d in qd]),
+            }
         else:
             out[wk] = jnp.stack(ws)
         out[bk] = jnp.stack(bs)
