@@ -213,9 +213,11 @@ def bench_tacotron_int8(batch: int = 16, t_in: int = 128,
                         base_steps: int = 400):
     """Decode throughput with int8-quantized decoder weights
     (models/tacotron_serve.py): decode is weight-streaming-bound, so int8
-    storage halves the per-step HBM traffic (microbenchmark: 1.66x on the
-    LSTM matmuls).  Same scan-length-scaling methodology as
-    :func:`bench_tacotron`."""
+    storage halves the per-step HBM traffic — via TRUE int8 MXU dots
+    (row-quantized activations, `_qdot`); an LSTM-only scan measures
+    1.96x vs bf16.  At b16 XLA VMEM-pins the bf16 baseline's hh kernels,
+    so the full-step win shows at larger batch (1.20x @b64).  Same
+    scan-length-scaling methodology as :func:`bench_tacotron`."""
     import numpy as np
 
     from text2speech_tpu.config import HParams
@@ -385,6 +387,7 @@ def main():
     taco_fps = bench_tacotron()
     taco_fps_64 = bench_tacotron(batch=64)
     taco_fps_int8 = bench_tacotron_int8()
+    taco_fps_int8_64 = bench_tacotron_int8(batch=64)
     pp_fps = bench_preprocess()
     pp_dev_fps = bench_preprocess_device()
     pp_cpu_fps = bench_preprocess_cpu_baseline()
@@ -408,6 +411,7 @@ def main():
         "tacotron_frames_per_sec": round(taco_fps, 1),
         "tacotron_frames_per_sec_b64": round(taco_fps_64, 1),
         "tacotron_frames_per_sec_int8": round(taco_fps_int8, 1),
+        "tacotron_frames_per_sec_int8_b64": round(taco_fps_int8_64, 1),
         "e2e_rtf": round(e2e_rtf, 2),
         "e2e_rtf_int8": round(e2e_rtf_int8, 2),
         "e2e_rtf_target": 50.0,

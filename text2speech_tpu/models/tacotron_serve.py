@@ -13,10 +13,11 @@ beat that floor — but **int8 weight storage halves it** (microbenchmark:
   the large matmul kernels (the two fused-gate LSTM kernels dominate);
 * :func:`decode_chunk_serve` — a functional mirror of
   ``Tacotron2.decode_chunk`` (same carry, same per-step dropout-key
-  consumption, bitwise-equal in fp) that dequantizes int8 kernels INSIDE
-  the scan body.  The scale term carries a data dependence on the loop
-  state so XLA cannot hoist the dequantize out of the loop (hoisting would
-  materialize the bf16 copy in HBM and erase the win).
+  consumption, bitwise-equal in fp) whose quantized kernels run TRUE
+  int8 x int8 MXU dots (:func:`_qdot`): activations are row-quantized on
+  the fly and the weight bytes stream int8 all the way into the matmul.
+  Dequantize-then-bf16-dot is a measured LOSS (~0.9x bf16): XLA
+  materializes the dequantized kernel in HBM every step (see `_qdot`).
 
 Reference behavior served: ``tacotron/tacotron.py:355-393`` (decoder step)
 + ``:431-466`` (inference loop).  The reference has no quantized path.
@@ -89,22 +90,36 @@ def quantize_decoder_params(dp: dict,
     }
 
 
-def _w(dp_entry, eps, dtype):
-    """Materialize a (possibly quantized) kernel in the compute dtype.
-    ``eps`` is a zero that depends on the scan carry — it pins the
-    dequantize inside the loop body (anti-hoist)."""
+def _qdot(x, dp_entry, eps, dtype):
+    """``x @ W`` for a possibly-quantized kernel.
+
+    Quantized kernels run a TRUE int8 x int8 MXU dot: the activations are
+    quantized per row on the fly (amax/127 — [B] rows, trivial VPU work)
+    and the weight stays int8 all the way into the matmul, so the only
+    per-step weight traffic is the int8 bytes.  Applying the per-row and
+    per-output-column scales AFTER the int32 accumulate is exact up to
+    rounding (both scales are separable from the contraction).
+
+    The obvious-looking alternative — dequantize the kernel and run a bf16
+    dot — MEASURES SLOWER THAN BF16 (~0.9x): XLA compiles the
+    `q.astype(bf16) * s` producer as a standalone fusion that materializes
+    the full bf16 kernel in HBM every decode step (read int8 + write bf16
+    + read bf16 = 2.5x the bf16 path's traffic; verified in the compiled
+    HLO).  ``eps`` is a carry-dependent zero folded into the scale so no
+    weight-derived tensor is loop-invariant (hoisting the int8->bf16
+    convert would re-materialize a full-width copy)."""
     if isinstance(dp_entry, dict):
         q, s = dp_entry["q"], dp_entry["s"]
-        return q.astype(dtype) * (s + eps).astype(dtype)
-    return dp_entry.astype(dtype)
-
-
-def _lstm_step(h, c, x, w_ih, b_ih, w_hh, b_hh):
-    gates = jnp.dot(x, w_ih) + b_ih + jnp.dot(h, w_hh) + b_hh
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    return h_new, c_new
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        qx = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qx, q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * sx * (s + eps)).astype(dtype)
+    return jnp.dot(x, dp_entry.astype(dtype))
 
 
 def decode_chunk_serve(
@@ -124,7 +139,7 @@ def decode_chunk_serve(
     dict: same carry pytree, same dropout-key consumption per step, so the
     fp path is numerically the flax path; with
     :func:`quantize_decoder_params` weights, the big LSTM kernels stream
-    int8 (dequantized in-loop).  Returns
+    int8 into int8 MXU dots (:func:`_qdot`).  Returns
     ``((state, frame, finished), mel [B, n_mel, n], gate, align, active)``.
 
     ``lstm_fn(kind, h, c, x, eps) -> (h_new, c_new)`` (kind in
@@ -135,14 +150,19 @@ def decode_chunk_serve(
     states then hold whatever per-device shape ``lstm_fn`` returns."""
     if lstm_fn is None:
         def lstm_fn(kind, h, c, x, eps):
+            # fp kernels: association order matches the flax fused-gate
+            # cell exactly, so the fp path stays bitwise the flax decode
             pre = {"att": "att_", "dec": "dec_"}[kind]
-            return _lstm_step(
-                h, c, x,
-                _w(dp[pre + "ih_w"], eps, dtype),
-                dp[pre + "ih_b"].astype(dtype),
-                _w(dp[pre + "hh_w"], eps, dtype),
-                dp[pre + "hh_b"].astype(dtype),
+            gates = (
+                _qdot(x, dp[pre + "ih_w"], eps, dtype)
+                + dp[pre + "ih_b"].astype(dtype)
+                + _qdot(h, dp[pre + "hh_w"], eps, dtype)
+                + dp[pre + "hh_b"].astype(dtype)
             )
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return h_new, c_new
     B, T_in, _ = memory.shape
     mask = (
         (jnp.arange(T_in)[None, :] < text_lengths[:, None])
@@ -162,7 +182,7 @@ def decode_chunk_serve(
         x = frame.astype(dtype)
         rng = rng_pre
         for name in ("prenet_fc0", "prenet_fc1"):
-            x = jax.nn.relu(jnp.dot(x, _w(dp[name], eps, dtype)))
+            x = jax.nn.relu(_qdot(x, dp[name], eps, dtype))
             rng, sub = jax.random.split(rng)
             keep = jax.random.bernoulli(sub, 0.5, x.shape)
             x = jnp.where(keep, x / 0.5, 0.0)
@@ -184,10 +204,10 @@ def decode_chunk_serve(
             wcat, loc_k, (1,), [(pad, pad)],
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        ploc = jnp.dot(loc, _w(dp["loc_dense_w"], eps, dtype))
-        pq = jnp.dot(att_h, _w(dp["query_w"], eps, dtype))[:, None, :]
-        energies = jnp.dot(
-            jnp.tanh(pq + ploc + pmem), _w(dp["v_w"], eps, dtype)
+        ploc = _qdot(loc, dp["loc_dense_w"], eps, dtype)
+        pq = _qdot(att_h, dp["query_w"], eps, dtype)[:, None, :]
+        energies = _qdot(
+            jnp.tanh(pq + ploc + pmem), dp["v_w"], eps, dtype
         )[..., 0].astype(jnp.float32)
         if mask is not None:
             energies = jnp.where(mask, energies, -jnp.inf)
@@ -204,9 +224,9 @@ def decode_chunk_serve(
             dec_in, eps,
         )
         proj_in = jnp.concatenate([dec_h, context], -1)
-        mel_frame = jnp.dot(proj_in, _w(dp["mel_w"], eps, dtype)) + dp[
+        mel_frame = _qdot(proj_in, dp["mel_w"], eps, dtype) + dp[
             "mel_b"].astype(dtype)
-        gate = (jnp.dot(proj_in, _w(dp["gate_w"], eps, dtype))
+        gate = (_qdot(proj_in, dp["gate_w"], eps, dtype)
                 + dp["gate_b"].astype(dtype))[..., 0]
 
         stop_now = jax.nn.sigmoid(gate.astype(jnp.float32)) > hp.gate_threshold

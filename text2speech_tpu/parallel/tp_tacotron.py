@@ -63,7 +63,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HParams
 from ..models.tacotron2 import DecoderState
-from ..models.tacotron_serve import _w, decode_chunk_serve
+from ..models.tacotron_serve import _qdot, decode_chunk_serve
 from .tp import MODEL_AXIS, _shard_map_norep
 
 # the four column-sharded cells: (kernel key, bias key, hidden size attr)
@@ -125,9 +125,9 @@ def _make_tp_lstm_fn(dp_local: dict, axis_name: str, dtype):
     def lstm_fn(kind, h, c, x, eps):
         pre = {"att": "att_", "dec": "dec_"}[kind]
         gates = (
-            jnp.dot(x, _w(dp_local[pre + "ih_w"], eps, dtype))
+            _qdot(x, dp_local[pre + "ih_w"], eps, dtype)
             + dp_local[pre + "ih_b"].astype(dtype)
-            + jnp.dot(h, _w(dp_local[pre + "hh_w"], eps, dtype))
+            + _qdot(h, dp_local[pre + "hh_w"], eps, dtype)
             + dp_local[pre + "hh_b"].astype(dtype)
         )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
