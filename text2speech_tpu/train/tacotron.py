@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from ..config import HParams
 from ..data.dataset import Batch, TextMelDataset
+from ..data.prefetch import prefetch
 from ..models.losses import tacotron2_loss
 from ..models.tacotron2 import Tacotron2
 from ..parallel.mesh import make_data_mesh, replicate, shard_batch
@@ -203,7 +204,9 @@ class TacotronTrainer:
 
         while step < num_steps:
             start_step = step % max(1, len(self.dataset))
-            for batch in self.dataset.epoch(epoch, start_step):
+            # overlap next-batch host assembly + device mel dispatch with
+            # the running train step (reference: DataLoader workers)
+            for batch in prefetch(self.dataset.epoch(epoch, start_step)):
                 t0 = time.perf_counter()
                 dev_batch = shard_batch(
                     Batch(*[np.asarray(x) for x in batch]), self.mesh

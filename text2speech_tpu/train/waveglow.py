@@ -20,6 +20,7 @@ import optax
 
 from ..config import WaveGlowConfig
 from ..data.mel2samp import Mel2Samp, VocoderBatch, files_to_list
+from ..data.prefetch import prefetch
 from ..models.losses import waveglow_loss
 from ..models.waveglow import WaveGlow
 from ..parallel.mesh import make_data_mesh, replicate, shard_batch
@@ -110,7 +111,7 @@ class WaveGlowTrainer:
         epoch = step // max(1, len(self.dataset))
         while step < num_steps:
             start_step = step % max(1, len(self.dataset))
-            for batch in self.dataset.epoch(epoch, start_step):
+            for batch in prefetch(self.dataset.epoch(epoch, start_step)):
                 t0 = time.perf_counter()
                 dev = shard_batch(VocoderBatch(*map(np.asarray, batch)), self.mesh)
                 self.state, metrics = self._train_step(self.state, dev)
