@@ -116,6 +116,41 @@ def main():
     synth.synthesize_to_files(["안녕하세요."], [out_path])
     print(f"wrote {out_path}")
 
+    # 6. tensor-parallel serving (multi-device) ------------------------------
+    # text -> mel -> waveform over a ('model',) mesh: column-sharded decoder
+    # LSTMs + Megatron-sharded WN stacks; reproduces step 5's Synthesizer.
+    # Try it on CPU with: XLA_FLAGS=--xla_force_host_platform_device_count=8
+    devices = jax.devices()
+    if len(devices) >= 2:
+        from jax.sharding import Mesh
+
+        from text2speech_tpu.parallel.serve import TPSynthesizer
+
+        p = 8 if len(devices) >= 8 else 2
+        mesh = Mesh(np.asarray(devices[:p]), ("model",))
+        tp_synth = TPSynthesizer(
+            hp=hp, taco=trainer.model,
+            taco_variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            wg_cfg=wg_cfg, waveglow=wg_trainer.model,
+            wg_variables={"params": wg_trainer.state.params},
+            mesh=mesh, data_axis=None, chunk_steps=8,
+        )
+        wavs = tp_synth.synthesize(["안녕하세요."])
+        tp_path = os.path.join(args.workdir, "out_tp.wav")
+        wavfile.write(
+            tp_path, hp.sample_rate,
+            (np.clip(wavs[0], -1, 1) * 32767).astype(np.int16),
+        )
+        print(f"wrote {tp_path} (tensor-parallel over {p} devices)")
+    else:
+        print(
+            "skipping tensor-parallel section (1 device; set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 to try it)"
+        )
+
 
 if __name__ == "__main__":
     main()
