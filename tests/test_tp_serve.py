@@ -152,3 +152,38 @@ def test_tp_early_gate_exit_matches_single_device(models):
     for a, b in zip(wav_t, wav_s):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_tp_synthesizer_data_model_mesh(models):
+    """2x4 data x model mesh: rows decode independently, and the always-on
+    prenet dropout draws over the LOCAL batch shape — so each data shard's
+    mel equals a single-device run over THAT shard (see tp_tacotron's
+    module docstring), not the row-slice of a full-batch run."""
+    taco, tvars, wg, wvars = models
+    single = Synthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        use_denoiser=False,
+    )
+    devices = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    tp_dm = TPSynthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        mesh=mesh, data_axis="data", chunk_steps=8,
+    )
+    mel_t, len_t = tp_dm.text_to_mel(TEXTS, seed=0)
+
+    for i, text in enumerate(TEXTS):
+        mel_s, len_s = single.text_to_mel([text], seed=0)
+        assert int(np.asarray(len_t)[i]) == int(np.asarray(len_s)[0])
+        n = int(np.asarray(len_s)[0])
+        np.testing.assert_allclose(
+            np.asarray(mel_t)[i, :, :n], np.asarray(mel_s)[0, :, :n],
+            atol=2e-4,
+        )
+
+    wavs = tp_dm.synthesize(TEXTS, sigma=0.8, seed=0)
+    assert len(wavs) == len(TEXTS)
+    for w in wavs:
+        assert np.isfinite(w).all()
