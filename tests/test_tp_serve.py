@@ -187,3 +187,27 @@ def test_tp_synthesizer_data_model_mesh(models):
     assert len(wavs) == len(TEXTS)
     for w in wavs:
         assert np.isfinite(w).all()
+
+
+def test_tp_synthesize_incremental_matches_single_device(models, tp):
+    """TP streaming synthesis (chunked TP decode -> windowed TP vocode over
+    position-consistent noise) == single-device synthesize_incremental with
+    the same seeds — the first-audio-latency configuration both TP stages
+    exist for."""
+    taco, tvars, wg, wvars = models
+    single = Synthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        use_denoiser=False,
+    )
+    text = TEXTS[0]
+    ref = np.concatenate(list(single.synthesize_incremental(
+        text, sigma=0.8, seed=0, chunk_steps=8
+    )))
+    got_chunks = list(tp.synthesize_incremental(
+        text, sigma=0.8, seed=0, chunk_steps=8
+    ))
+    got = np.concatenate(got_chunks)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    assert len(got_chunks) >= 1

@@ -95,6 +95,121 @@ def chunked_mel_stream(hp, carry, decode_fn, postnet_fn, requested: int,
             return
 
 
+def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
+                              seed: int, chunk_steps: int):
+    """Shared streaming-vocode engine: turn a chunked mel stream into
+    waveform chunks with receptive-field windows over position-consistent
+    noise.  Used by :meth:`Synthesizer.synthesize_incremental` and the
+    tensor-parallel ``parallel.serve.TPSynthesizer.synthesize_incremental``
+    so the window/noise bookkeeping lives once.
+
+    ``mel_stream`` yields ``(mel_chunk [1, n_mel, n], out_len [1], final)``
+    (the :func:`chunked_mel_stream` contract);
+    ``vocode_fn(mel, noise_tuple, sigma) -> np.ndarray [1, samples]`` runs
+    the vocoder on one window.  Emitted audio equals a single-pass vocode
+    of the final mel with the same noise to float tolerance; windows and
+    the final flush are pinned inside the true utterance exactly like
+    ``models.chunked.infer_long``'s boundary windows."""
+    import numpy as np
+
+    from .models.chunked import draw_noise, receptive_overlap_frames
+
+    hop = cfg.upsample_stride
+    gpf = hop // cfg.n_group
+    ov = receptive_overlap_frames(cfg)
+    W = chunk_steps + 2 * ov           # vocoder window width, frames
+
+    key = jax.random.PRNGKey(seed + 1)
+    noise_parts: list | None = None
+    mel_parts: list = []
+    F = 0                              # final (postnet-done) mel frames
+    E = 0                              # frames already vocoded+emitted
+    done = False
+    true_len = None
+
+    def mel_cat():
+        return (
+            np.concatenate(mel_parts, axis=-1)
+            if len(mel_parts) > 1 else mel_parts[0]
+        )
+
+    def window(ws, f_lim):
+        """[1, n_mel, W] mel + matching noise slices from position ws,
+        zero-filled outside [0, f_lim) — the conv zero padding; f_lim
+        excludes post-stop garbage frames from context (the batch path
+        trims to out_length before vocoding)."""
+        mel = mel_cat()
+        wmel = np.zeros((1, mel.shape[1], W), np.float32)
+        s, e = max(ws, 0), min(ws + W, f_lim)
+        wmel[:, :, s - ws : e - ws] = mel[:, :, s:e]
+        wnoise = []
+        for comp in noise_parts:
+            z = np.zeros((1, W * gpf, comp.shape[-1]), np.float32)
+            z[:, (s - ws) * gpf : (e - ws) * gpf] = comp[:, s * gpf : e * gpf]
+            wnoise.append(jnp.asarray(z))
+        return jnp.asarray(wmel), tuple(wnoise)
+
+    def vocode(ws, keep_from, keep_to, f_lim):
+        wmel, wnoise = window(ws, f_lim)
+        audio = vocode_fn(wmel, wnoise, sigma)
+        return audio[0, (keep_from - ws) * hop : (keep_to - ws) * hop]
+
+    ci = 0
+    for mel_chunk, out_len, final in mel_stream:
+        n_new = mel_chunk.shape[-1]
+        mel_parts.append(mel_chunk.astype(np.float32))
+        # extend the noise stream to cover the new frames (one draw per
+        # chunk, position-consistent across windows)
+        new_noise = draw_noise(
+            cfg, jax.random.fold_in(key, ci), 1, n_new * gpf
+        )
+        ci += 1
+        if noise_parts is None:
+            noise_parts = [np.asarray(z) for z in new_noise]
+        else:
+            noise_parts = [
+                np.concatenate([a, np.asarray(z)], axis=1)
+                for a, z in zip(noise_parts, new_noise)
+            ]
+        F += n_new
+        done = final
+        true_len = min(int(out_len[0]), F)
+        # emit every fully-cleared chunk (pre-stop frames are all real,
+        # so full-width right context is available).  ws clamps to 0 so
+        # early windows are PINNED to the utterance start: zero-filled
+        # positions left of 0 would carry zero NOISE, which the flows
+        # turn into bias-driven hidden values that leak into the first
+        # emitted chunk (measured 0.0066 first-chunk error unclamped vs
+        # 5e-7 pinned); at ws=0 the window's left edge is the true conv
+        # zero-padding, exactly like infer_long's boundary windows.
+        while not done and F >= E + chunk_steps + ov:
+            yield vocode(max(E - ov, 0), E, E + chunk_steps, F)
+            E += chunk_steps
+    # final flush.  Windows stay pinned INSIDE [0, true_len] (left edge
+    # clamps to the utterance start, right edge to its end), so every
+    # window sees only real data plus the true boundaries' conv
+    # zero-padding — exactly infer_long's boundary-window rule.
+    true_len = min(true_len if true_len else F, F)
+    if E == 0 and true_len <= W:
+        # short utterance: no window of width W fits inside it — vocode
+        # the exact length in one pass (one compile per distinct short
+        # length; the fused path tile-rounds internally with its valid
+        # mask, so this stays boundary-exact)
+        mel = jnp.asarray(mel_cat()[:, :, :true_len])
+        nz = tuple(
+            jnp.asarray(z[:, : true_len * gpf]) for z in noise_parts
+        )
+        audio = vocode_fn(mel, nz, sigma)
+        yield audio[0, : true_len * hop]
+        return
+    while E < true_len:
+        keep_to = min(E + chunk_steps, true_len)
+        ws = min(max(E - ov, 0), true_len - W)
+        yield vocode(ws, E, keep_to, true_len)
+        E = keep_to
+
+
+
 @dataclass
 class Synthesizer:
     hp: HParams
@@ -485,110 +600,19 @@ class Synthesizer:
         slice the same stream), so emitted audio equals a single-pass
         vocode of the final mel with that noise to float tolerance; the
         final window is pinned to the utterance end like
-        :func:`.models.chunked.infer_long`."""
-        from .models.chunked import draw_noise, receptive_overlap_frames
-
-        cfg = self.wg_cfg
-        hop = cfg.upsample_stride
-        gpf = hop // cfg.n_group
-        ov = receptive_overlap_frames(cfg)
-        W = chunk_steps + 2 * ov           # vocoder window width, frames
-
-        key = jax.random.PRNGKey(seed + 1)
-        noise_parts: list | None = None
-        mel_parts: list = []
-        F = 0                              # final (postnet-done) mel frames
-        E = 0                              # frames already vocoded+emitted
-        done = False
-        true_len = None
-
-        def mel_cat():
-            return (
-                np.concatenate(mel_parts, axis=-1)
-                if len(mel_parts) > 1 else mel_parts[0]
-            )
-
-        def window(ws, f_lim):
-            """[1, n_mel, W] mel + matching noise slices from position ws,
-            zero-filled outside [0, f_lim) — the conv zero padding; f_lim
-            excludes post-stop garbage frames from context (the batch path
-            trims to out_length before vocoding)."""
-            mel = mel_cat()
-            wmel = np.zeros((1, mel.shape[1], W), np.float32)
-            s, e = max(ws, 0), min(ws + W, f_lim)
-            wmel[:, :, s - ws : e - ws] = mel[:, :, s:e]
-            wnoise = []
-            for comp in noise_parts:
-                z = np.zeros((1, W * gpf, comp.shape[-1]), np.float32)
-                z[:, (s - ws) * gpf : (e - ws) * gpf] = comp[:, s * gpf : e * gpf]
-                wnoise.append(jnp.asarray(z))
-            return jnp.asarray(wmel), tuple(wnoise)
-
-        def vocode(ws, keep_from, keep_to, f_lim):
-            wmel, wnoise = window(ws, f_lim)
-            audio = np.asarray(self._vocode_window(
-                self._wg_serve_vars, wmel, wnoise, sigma
-            ))
-            return audio[0, (keep_from - ws) * hop : (keep_to - ws) * hop]
-
+        :func:`.models.chunked.infer_long`.  Window/noise bookkeeping
+        lives in :func:`incremental_vocode_stream` (shared with the
+        tensor-parallel synthesizer)."""
         stream = self.text_to_mel_stream(
             text, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps
         )
-        ci = 0
-        for mel_chunk, out_len, final in stream:
-            n_new = mel_chunk.shape[-1]
-            mel_parts.append(mel_chunk.astype(np.float32))
-            # extend the noise stream to cover the new frames (one draw per
-            # chunk, position-consistent across windows)
-            new_noise = draw_noise(
-                cfg, jax.random.fold_in(key, ci), 1, n_new * gpf
-            )
-            ci += 1
-            if noise_parts is None:
-                noise_parts = [np.asarray(z) for z in new_noise]
-            else:
-                noise_parts = [
-                    np.concatenate([a, np.asarray(z)], axis=1)
-                    for a, z in zip(noise_parts, new_noise)
-                ]
-            F += n_new
-            done = final
-            true_len = min(int(out_len[0]), F)
-            # emit every fully-cleared chunk (pre-stop frames are all real,
-            # so full-width right context is available).  ws clamps to 0 so
-            # early windows are PINNED to the utterance start: zero-filled
-            # positions left of 0 would carry zero NOISE, which the flows
-            # turn into bias-driven hidden values that leak into the first
-            # emitted chunk (measured 0.0066 first-chunk error unclamped vs
-            # 5e-7 pinned); at ws=0 the window's left edge is the true conv
-            # zero-padding, exactly like infer_long's boundary windows.
-            while not done and F >= E + chunk_steps + ov:
-                yield vocode(max(E - ov, 0), E, E + chunk_steps, F)
-                E += chunk_steps
-        # final flush.  Windows stay pinned INSIDE [0, true_len] (left edge
-        # clamps to the utterance start, right edge to its end), so every
-        # window sees only real data plus the true boundaries' conv
-        # zero-padding — exactly infer_long's boundary-window rule.
-        true_len = min(true_len if true_len else F, F)
-        if E == 0 and true_len <= W:
-            # short utterance: no window of width W fits inside it — vocode
-            # the exact length in one pass (one compile per distinct short
-            # length; the fused path tile-rounds internally with its valid
-            # mask, so this stays boundary-exact)
-            mel = jnp.asarray(mel_cat()[:, :, :true_len])
-            nz = tuple(
-                jnp.asarray(z[:, : true_len * gpf]) for z in noise_parts
-            )
-            audio = np.asarray(self._vocode_window(
-                self._wg_serve_vars, mel, nz, sigma
-            ))
-            yield audio[0, : true_len * hop]
-            return
-        while E < true_len:
-            keep_to = min(E + chunk_steps, true_len)
-            ws = min(max(E - ov, 0), true_len - W)
-            yield vocode(ws, E, keep_to, true_len)
-            E = keep_to
+        yield from incremental_vocode_stream(
+            self.wg_cfg, stream,
+            lambda mel, nz, sg: np.asarray(
+                self._vocode_window(self._wg_serve_vars, mel, nz, sg)
+            ),
+            sigma, seed, chunk_steps,
+        )
 
     def synthesize_to_files(self, texts, paths, sample_rate=None, **kw):
         sr = sample_rate or self.wg_cfg.sampling_rate

@@ -86,17 +86,11 @@ class TPSynthesizer:
             v, mel, method=Tacotron2.postnet_residual
         ))
 
-    def text_to_mel(self, texts, seed: int = 0,
-                    max_steps: int | None = None):
-        """list[str] -> (mel_post [B, n_mel, requested], out_lengths [B]).
-
-        Drives the shared chunked-decode engine
-        (:func:`~..infer.chunked_mel_stream`) through the TP decoder —
-        early exit once every gate fired (plus the engine's postnet-context
-        tail), then zero-masks frames past each row's stop and zero-pads to
-        ``requested`` frames, exactly reproducing the batch path's
-        ``mask_outputs`` contract: the result equals single-device
-        ``Synthesizer.text_to_mel`` element-for-element."""
+    def _mel_stream(self, texts, seed: int, max_steps: int | None,
+                    chunk_steps: int | None = None):
+        """Build the chunked-decode generator for ``texts`` through the TP
+        decoder (shared engine :func:`~..infer.chunked_mel_stream`).
+        Returns ``(generator, requested, B)``."""
         from ..infer import chunked_mel_stream
 
         hp = self.hp
@@ -112,7 +106,7 @@ class TPSynthesizer:
         finished = jnp.zeros((B,), bool)
 
         requested = max_steps or hp.max_decoder_steps
-        cs = self.chunk_steps
+        cs = chunk_steps or self.chunk_steps
         limit = -(-requested // cs) * cs
         base = self._derive_rng(self._taco_vars, jax.random.PRNGKey(seed))
         all_rngs = jax.random.split(base, limit)
@@ -123,13 +117,59 @@ class TPSynthesizer:
             )
             return carry, mel_c, active
 
-        chunks: list = []
-        out_len = np.zeros((B,), np.int64)
-        for post_c, out_len, _final in chunked_mel_stream(
+        gen = chunked_mel_stream(
             hp, (state, frame, finished), decode_fn,
             lambda win: self._postnet(self._taco_vars, win),
             requested, cs, all_rngs,
-        ):
+        )
+        return gen, requested, B
+
+    def text_to_mel_stream(self, texts, chunk_steps: int | None = None,
+                           seed: int = 0, max_steps: int | None = None):
+        """Incremental TP text -> mel: yields ``(mel_post_chunk,
+        out_lengths_so_far, final)`` as the sharded decoder advances —
+        the TP analog of ``Synthesizer.text_to_mel_stream``."""
+        gen, _, _ = self._mel_stream(texts, seed, max_steps, chunk_steps)
+        yield from gen
+
+    def synthesize_incremental(self, text: str, sigma: float = 0.666,
+                               seed: int = 0, chunk_steps: int | None = None,
+                               max_steps: int | None = None):
+        """Stream ONE utterance's audio through the TP chain: TP chunked
+        decode feeding receptive-field TP vocoder windows over
+        position-consistent noise (:func:`~..infer.
+        incremental_vocode_stream`) — first audio after ~one decode chunk,
+        with BOTH stages' per-step work divided over the 'model' axis.
+        This is the latency configuration TP decode exists for: the
+        36 MB/step weight stream and the WN stacks are each split p ways
+        on the critical path to first audio."""
+        from ..infer import incremental_vocode_stream
+
+        cs = chunk_steps or self.chunk_steps
+        gen, _, _ = self._mel_stream(text, seed, max_steps, cs)
+        yield from incremental_vocode_stream(
+            self.wg_cfg, gen,
+            lambda mel, nz, sg: np.asarray(
+                self._vocoder(mel, None, sg, noise=nz)
+            ),
+            sigma, seed, cs,
+        )
+
+    def text_to_mel(self, texts, seed: int = 0,
+                    max_steps: int | None = None):
+        """list[str] -> (mel_post [B, n_mel, requested], out_lengths [B]).
+
+        Drives the shared chunked-decode engine
+        (:func:`~..infer.chunked_mel_stream`) through the TP decoder —
+        early exit once every gate fired (plus the engine's postnet-context
+        tail), then zero-masks frames past each row's stop and zero-pads to
+        ``requested`` frames, exactly reproducing the batch path's
+        ``mask_outputs`` contract: the result equals single-device
+        ``Synthesizer.text_to_mel`` element-for-element."""
+        gen, requested, B = self._mel_stream(texts, seed, max_steps)
+        chunks: list = []
+        out_len = np.zeros((B,), np.int64)
+        for post_c, out_len, _final in gen:
             chunks.append(post_c)
 
         mel_post = np.concatenate(chunks, axis=-1)
