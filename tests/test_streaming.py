@@ -135,3 +135,95 @@ def test_mel_stream_early_gate_matches_batch(synthesizer):  # noqa: F811
         np.testing.assert_allclose(
             got[i, :, :n], np.asarray(mel_ref)[i, :, :n], atol=2e-5
         )
+
+
+def test_incremental_vocode_engine_excludes_post_stop_garbage():
+    """Engine-contract unit test (r3 code-review): once the gate has
+    fired, the decode TAIL chunks (postnet context) carry post-stop
+    garbage mel — the vocoder windows must neither emit those frames nor
+    let them into the receptive-field context.  A toy linear vocoder with
+    a known receptive field makes any leak exact: emitted audio must equal
+    a single-pass toy vocode of the TRUE mel with the same noise."""
+    import jax
+
+    from text2speech_tpu.infer import incremental_vocode_stream
+    from text2speech_tpu.models.chunked import (
+        draw_noise,
+        receptive_overlap_frames,
+    )
+    from tests.test_synthesizer import WG as cfg
+
+    hop = cfg.upsample_stride
+    gpf = hop // cfg.n_group
+    ov = receptive_overlap_frames(cfg)
+    r = min(ov, 2)                      # toy receptive field, frames
+    n_mel = cfg.n_mel_channels
+    cs = 4
+    true_len = 18                       # gate fires mid-stream
+    requested = 40
+    seed = 5
+    GARBAGE = 1e3
+
+    rng = np.random.RandomState(0)
+    mel_true = rng.randn(1, n_mel, requested).astype(np.float32)
+    mel_full = mel_true.copy()
+    mel_full[:, :, true_len:] = GARBAGE  # post-stop frames are garbage
+
+    def toy_vocode(mel, noise, sigma):
+        mel = np.asarray(mel, np.float32)
+        B, M, F = mel.shape
+        pad = np.pad(mel, ((0, 0), (0, 0), (r, r)))
+        sm = np.stack(
+            [pad[:, :, i : i + F] for i in range(2 * r + 1)], 0
+        ).mean(axis=(0, 2))                                  # [B, F]
+        audio = np.repeat(sm, hop, axis=-1)                  # [B, F*hop]
+        n0 = np.asarray(noise[0], np.float32).mean(-1)       # [B, F*gpf]
+        audio = audio + sigma * np.repeat(n0, cfg.n_group, axis=-1)
+        return audio
+
+    def mel_stream():
+        # chunked_mel_stream contract: out_len freezes at the gate, final
+        # arrives only after the decode tail; chunks past the stop carry
+        # garbage values
+        limit = requested
+        total = 0
+        while total < limit:
+            chunk = mel_full[:, :, total : total + cs]
+            total += cs
+            out_len = np.asarray([min(total, true_len)], np.int64)
+            final = total >= true_len + 2 * cs or total >= limit
+            yield chunk, out_len, final
+            if final:
+                return
+
+    got = np.concatenate(
+        list(incremental_vocode_stream(
+            cfg, mel_stream(), toy_vocode, 0.8, seed, cs
+        )),
+        axis=-1,
+    )
+
+    # reference: single-pass toy vocode of the TRUE frames with the SAME
+    # per-chunk noise stream the engine draws
+    key = jax.random.PRNGKey(seed + 1)
+    parts = None
+    ci = 0
+    total = 0
+    while total < true_len + 2 * cs and total < requested:
+        nz = draw_noise(cfg, jax.random.fold_in(key, ci), 1, cs * gpf)
+        ci += 1
+        parts = (
+            [np.asarray(z) for z in nz] if parts is None
+            else [np.concatenate([a, np.asarray(z)], axis=1)
+                  for a, z in zip(parts, nz)]
+        )
+        total += cs
+    ref = toy_vocode(
+        mel_true[:, :, :true_len],
+        tuple(p[:, : true_len * gpf] for p in parts),
+        0.8,
+    )[0]
+
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    assert np.abs(got).max() < GARBAGE / 10  # no garbage leaked at all
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -211,3 +211,33 @@ def test_tp_synthesize_incremental_matches_single_device(models, tp):
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-3)
     assert len(got_chunks) >= 1
+
+
+def test_tp_incremental_on_data_model_mesh_falls_back(models):
+    """B=1 streaming on a 2x4 data x model mesh: the data axis can't split
+    a single row, so the synthesizer must fall back to lazily built
+    model-only endpoints instead of crashing in device_put
+    (r3 code-review); output equals the model-only-mesh stream."""
+    taco, tvars, wg, wvars = models
+    mk = lambda shape, axes: TPSynthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        mesh=Mesh(
+            np.asarray(
+                jax.devices("cpu")[: int(np.prod(shape))]
+            ).reshape(shape),
+            axes,
+        ),
+        data_axis="data" if "data" in axes else None, chunk_steps=8,
+    )
+    tp_dm = mk((2, 4), ("data", "model"))
+    tp_m = mk((4,), ("model",))
+
+    got = np.concatenate(list(tp_dm.synthesize_incremental(
+        TEXTS[0], sigma=0.8, seed=0, chunk_steps=8
+    )))
+    ref = np.concatenate(list(tp_m.synthesize_incremental(
+        TEXTS[0], sigma=0.8, seed=0, chunk_steps=8
+    )))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3)

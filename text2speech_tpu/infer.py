@@ -110,8 +110,6 @@ def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
     of the final mel with the same noise to float tolerance; windows and
     the final flush are pinned inside the true utterance exactly like
     ``models.chunked.infer_long``'s boundary windows."""
-    import numpy as np
-
     from .models.chunked import draw_noise, receptive_overlap_frames
 
     hop = cfg.upsample_stride
@@ -182,8 +180,11 @@ def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
         # emitted chunk (measured 0.0066 first-chunk error unclamped vs
         # 5e-7 pinned); at ws=0 the window's left edge is the true conv
         # zero-padding, exactly like infer_long's boundary windows.
-        while not done and F >= E + chunk_steps + ov:
-            yield vocode(max(E - ov, 0), E, E + chunk_steps, F)
+        # bound by true_len, not F: once the gate has fired, frames past
+        # true_len are post-stop garbage — the decode tail chunks (postnet
+        # context) must never enter the vocoder window or be emitted
+        while not done and true_len >= E + chunk_steps + ov:
+            yield vocode(max(E - ov, 0), E, E + chunk_steps, true_len)
             E += chunk_steps
     # final flush.  Windows stay pinned INSIDE [0, true_len] (left edge
     # clamps to the utterance start, right edge to its end), so every
@@ -204,7 +205,12 @@ def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
         return
     while E < true_len:
         keep_to = min(E + chunk_steps, true_len)
-        ws = min(max(E - ov, 0), true_len - W)
+        # clamp LEFT first: ws < 0 would put zero-NOISE positions before
+        # the utterance start inside the receptive field (the unpinned
+        # error this function's comments quantify at ~0.0066); if
+        # true_len < W the window right edge zero-fills past the true end,
+        # which IS the single-pass boundary (zero mel, no noise)
+        ws = max(0, min(E - ov, true_len - W))
         yield vocode(ws, E, keep_to, true_len)
         E = keep_to
 

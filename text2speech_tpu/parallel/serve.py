@@ -61,8 +61,9 @@ class TPSynthesizer:
         # derivation); the decoder/vocoder endpoints shard their own
         self._taco_vars = jax.device_put(self.taco_variables, rep)
 
+        self._dp = extract_decoder_params(self.taco_variables, hp)
         self._decoder = TPTacotronDecoder(
-            extract_decoder_params(self.taco_variables, hp), hp, mesh,
+            self._dp, hp, mesh,
             data_axis=self.data_axis, model_axis=self.model_axis,
             int8=self.int8,
         )
@@ -71,6 +72,10 @@ class TPSynthesizer:
             data_axis=self.data_axis, model_axis=self.model_axis,
             fused=True, int8=self.int8,
         )
+        # model-only endpoints, built lazily for batches the data axis
+        # can't split (B=1 streaming on a data x model mesh would otherwise
+        # fail to shard [1, ...] arrays p_data ways)
+        self._nodata: tuple | None = None
 
         self._encode = jax.jit(lambda v, ids, le: taco.apply(
             v, ids, text_lengths=le, method=Tacotron2.encode
@@ -86,6 +91,28 @@ class TPSynthesizer:
             v, mel, method=Tacotron2.postnet_residual
         ))
 
+    def _endpoints(self, B: int):
+        """(decoder, vocoder) able to shard a batch of ``B``: the
+        construction-time pair when the data axis divides ``B``, else a
+        lazily built model-only pair (weights sharded over 'model' only —
+        the B=1 streaming case on a data x model mesh)."""
+        nd = self.mesh.shape[self.data_axis] if self.data_axis else 1
+        if nd <= 1 or B % nd == 0:
+            return self._decoder, self._vocoder
+        if self._nodata is None:
+            self._nodata = (
+                TPTacotronDecoder(
+                    self._dp, self.hp, self.mesh, data_axis=None,
+                    model_axis=self.model_axis, int8=self.int8,
+                ),
+                TPWaveGlowServer(
+                    self.waveglow, self.wg_variables, self.mesh,
+                    data_axis=None, model_axis=self.model_axis,
+                    fused=True, int8=self.int8,
+                ),
+            )
+        return self._nodata
+
     def _mel_stream(self, texts, seed: int, max_steps: int | None,
                     chunk_steps: int | None = None):
         """Build the chunked-decode generator for ``texts`` through the TP
@@ -100,8 +127,9 @@ class TPSynthesizer:
         memory = self._encode(self._taco_vars, ids, lengths)
         pmem = self._pmem(self._taco_vars, memory)
         B = memory.shape[0]
+        decoder, _ = self._endpoints(B)
 
-        state = self._decoder.initial_state(memory)
+        state = decoder.initial_state(memory)
         frame = jnp.zeros((B, hp.n_mel_channels), jnp.float32)
         finished = jnp.zeros((B,), bool)
 
@@ -112,7 +140,7 @@ class TPSynthesizer:
         all_rngs = jax.random.split(base, limit)
 
         def decode_fn(carry, sr):
-            carry, mel_c, _, _, active = self._decoder(
+            carry, mel_c, _, _, active = decoder(
                 memory, pmem, *carry, sr, lengths
             )
             return carry, mel_c, active
@@ -147,11 +175,10 @@ class TPSynthesizer:
 
         cs = chunk_steps or self.chunk_steps
         gen, _, _ = self._mel_stream(text, seed, max_steps, cs)
+        _, vocoder = self._endpoints(1)         # B=1 windows
         yield from incremental_vocode_stream(
             self.wg_cfg, gen,
-            lambda mel, nz, sg: np.asarray(
-                self._vocoder(mel, None, sg, noise=nz)
-            ),
+            lambda mel, nz, sg: np.asarray(vocoder(mel, None, sg, noise=nz)),
             sigma, seed, cs,
         )
 
@@ -185,7 +212,8 @@ class TPSynthesizer:
         return mel_post, jnp.asarray(out_len)
 
     def mel_to_audio(self, mel, sigma: float = 0.666, seed: int = 0):
-        return self._vocoder(mel, jax.random.PRNGKey(seed + 1), sigma)
+        _, vocoder = self._endpoints(mel.shape[0])
+        return vocoder(mel, jax.random.PRNGKey(seed + 1), sigma)
 
     def synthesize(self, texts, sigma: float = 0.666, seed: int = 0,
                    max_steps: int | None = None):

@@ -347,9 +347,12 @@ class TPWaveGlowServer:
             assert fused, "int8 TP serving runs through the fused kernels"
             assert cfg.wn_n_layers >= 2, "int8 path keeps layer 0 bf16"
 
-        tp_params = shard_waveglow_params(
-            variables["params"], cfg, n_model, int8=int8
-        )
+        # under jit: the slice+quantize passes are thousands of tiny array
+        # ops — eager over the device tunnel they cost ~seconds EACH
+        # (CLAUDE.md gotcha #5); params stay a jit argument (gotcha #2)
+        tp_params = jax.jit(
+            lambda p: shard_waveglow_params(p, cfg, n_model, int8=int8)
+        )(variables["params"])
         mp = P(model_axis)
         blk_specs = {"start_k": P(), "start_b": P()}
         for li in range(cfg.wn_n_layers):

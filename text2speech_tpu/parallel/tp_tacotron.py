@@ -173,7 +173,12 @@ class TPTacotronDecoder:
         self.data_axis = data_axis if data_axis in mesh.axis_names else None
         n_model = mesh.shape[model_axis]
 
-        dps = shard_decoder_params(dp, hp, n_model, int8=int8)
+        # jitted for the same reason as TPWaveGlowServer's sharding: the
+        # per-slice gather/quantize ops are eager tunnel round trips
+        # otherwise (CLAUDE.md gotcha #5)
+        dps = jax.jit(
+            lambda d: shard_decoder_params(d, hp, n_model, int8=int8)
+        )(dp)
         mp = P(model_axis)
         sharded_keys = {k for wk, bk, _ in _LSTM_KEYS for k in (wk, bk)}
         param_specs = {
