@@ -42,11 +42,13 @@ scales (slicing columns doesn't change a column's amax), so int8 TP decode
 streams 36 MB / (2p) per chip.
 
 Expected latency arithmetic (v5e, reference size, from the measured
-779 GB/s and the measured 15.2 µs/step int8@b16 point): bf16 TP over p=4
-chips ⇒ ~9 MB/step/chip ≈ 12 µs + 2 all_gathers (~2 µs ICI) ≈ 14 µs/step
-— ~3.4x faster first-audio than the 47 µs single-chip floor.  Single-chip
-rig here, so the claim is validated functionally (8-virtual-device CPU
-mesh) rather than timed.
+779 GB/s HBM and the measured 50.5 µs/step LSTM-only streaming scan):
+bf16 TP over p=4 chips ⇒ ~9 MB/step/chip ≈ 12 µs + 2 all_gathers (~2 µs
+ICI) ≈ 14 µs/step — ~3.4x faster first-audio than the 47 µs none-resident
+single-chip floor (~2x vs the measured ~27 µs/step where XLA VMEM-pins
+the invariant hh kernels; pinning composes WITH TP — each chip's slice is
+smaller, so more of it fits).  Single-chip rig here, so the claim is
+validated functionally (8-virtual-device CPU mesh) rather than timed.
 
 Reference scaled: ``tacotron/tacotron.py:355-393`` (decoder step) +
 ``:431-466`` (inference loop); the reference decodes on one GPU.
