@@ -237,3 +237,36 @@ def test_default_overlap_matches_single_pass(model_and_vars):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=0
     )
+
+
+def test_chunked_windows_shard_over_mesh(model_and_vars):
+    """Sequence parallelism for free (SURVEY.md §5 / docs/SCALING.md): the
+    stacked window batch shards over a mesh's data axis — frame-axis
+    parallelism across devices for one long utterance, including a window
+    count the axis size doesn't divide (padded with a duplicate last
+    window, discarded after).  Must equal the unsharded chunked result."""
+    from jax.sharding import Mesh
+
+    model, variables = model_and_vars
+    frames = 200
+    rng = np.random.RandomState(3)
+    spect = jnp.asarray(
+        rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(9), 1, frames * gpf)
+
+    ref = infer_long(
+        model, variables, spect, None, sigma=0.9,
+        chunk_frames=32, overlap_frames=64, noise=noise,
+    )
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("data",))
+    # n_windows = ceil(200/32) = 7, not divisible by 8 -> pad path
+    out = infer_long(
+        model, variables, spect, None, sigma=0.9,
+        chunk_frames=32, overlap_frames=64, noise=noise, mesh=mesh,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
+    )

@@ -88,6 +88,8 @@ def infer_long(
     noise: tuple[jnp.ndarray, ...] | None = None,
     fused: bool = False,
     int8_params: dict | None = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> jnp.ndarray:
     """mel [B, n_mel, frames] -> audio [B, frames * hop], chunked on frames.
 
@@ -110,6 +112,13 @@ def infer_long(
     ``int8_params`` (from :func:`..models.waveglow_fused.
     quantize_waveglow_int8`) routes each window through the int8 kernel
     path instead; ``variables`` is then unused.
+
+    ``mesh``: shard the stacked window batch over ``mesh``'s ``data_axis``
+    — SEQUENCE parallelism for free (SURVEY.md §5): WaveGlow has no
+    dependency across time frames, so an arbitrarily long utterance's
+    frame axis becomes window rows spread across chips on ICI.  The window
+    count is padded to a multiple of the axis size (duplicate last window,
+    discarded after), so any utterance length shards.
     """
     cfg = model.cfg
     if overlap_frames is None:
@@ -159,18 +168,29 @@ def infer_long(
     ]
 
     # [n, B, ...] stacks -> [n*B, ...] batch
+    n_pad = n_windows
+    if mesh is not None:
+        nd = mesh.shape[data_axis]
+        n_pad = -(-n_windows // nd) * nd
+    pad_starts = win_starts + [win_starts[-1]] * (n_pad - n_windows)
     mel_w = jnp.concatenate(
-        [spect[:, :, ws : ws + width] for ws in win_starts], axis=0
+        [spect[:, :, ws : ws + width] for ws in pad_starts], axis=0
     )
     noise_w = tuple(
         jnp.concatenate(
-            [z[:, ws * gpf : (ws + width) * gpf] for ws in win_starts], axis=0
+            [z[:, ws * gpf : (ws + width) * gpf] for ws in pad_starts], axis=0
         )
         for z in noise
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    audio_w = vocode(mel_w, noise_w)   # [n*B, width * hop]
-    audio_w = audio_w.reshape(n_windows, B, width * hop)
+        sh = NamedSharding(mesh, P(data_axis))
+        mel_w = jax.device_put(mel_w, sh)
+        noise_w = tuple(jax.device_put(z, sh) for z in noise_w)
+
+    audio_w = vocode(mel_w, noise_w)   # [n_pad*B, width * hop]
+    audio_w = audio_w.reshape(n_pad, B, width * hop)
 
     pieces = []
     for i, (s, ws) in enumerate(zip(starts, win_starts)):
