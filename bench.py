@@ -381,7 +381,41 @@ def bench_preprocess_cpu_baseline():
         return None
 
 
+def _wait_for_tpu(max_wait_s: float = 1800.0, probe_timeout_s: float = 180.0):
+    """The dev tunnel occasionally drops for tens of minutes (single-client,
+    remote).  Backend-init failure is process-fatal, so probe device
+    availability in SUBPROCESSES (each fully exits before the next attempt —
+    the tunnel rejects concurrent clients) and wait a bounded time before
+    letting the real run proceed.  No-op once a probe sees a device."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(
+                f"# TPU probe failed {attempt}x over {max_wait_s:.0f}s; "
+                "proceeding anyway", flush=True, file=sys.stderr,
+            )
+            return
+        print(f"# TPU tunnel unavailable (probe {attempt}); retrying...",
+              flush=True, file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_tpu()
     wg_sps = bench_waveglow()
     wg_sps_int8 = bench_waveglow_int8()
     taco_fps = bench_tacotron()
