@@ -429,6 +429,30 @@ def main():
     # End-to-end: 1 second of audio needs SR/HOP mel frames then SR samples;
     # stages run sequentially.
     e2e_rtf = 1.0 / ((SR / HOP) / taco_fps + SR / wg_sps)
+
+    # First-audio latency, derived from the measured components (the tunnel's
+    # ~seconds of RPC overhead makes single-shot wall timing dishonest, so
+    # latency is composed from scaling-measured rates).  Streaming
+    # (Synthesizer.synthesize_incremental): decode one 64-step chunk, then
+    # vocode one receptive-field window of chunk + 2*overlap frames.  Decode
+    # per-step time uses the batch-16 measurement — decode is
+    # weight-streaming-bound, so B=1 per-step is <= the b16 figure (same
+    # streamed weights, fewer rows).  Non-streaming baseline: the full
+    # max_decoder_steps scan plus a full-utterance vocode.  Encoder pass
+    # (~1 conv stack + BiLSTM over ~128 tokens) excluded from both: <0.5 ms.
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.models.chunked import receptive_overlap_frames
+
+    _cfg = WaveGlowConfig(sampling_rate=SR)
+    _ov = receptive_overlap_frames(_cfg)
+    _chunk = 64
+    _step_s = 16.0 / taco_fps            # decode seconds/step at b16
+    first_audio_ms = 1000.0 * (
+        _chunk * _step_s + (_chunk + 2 * _ov) * HOP / wg_sps
+    )
+    first_audio_ms_batch = 1000.0 * (
+        1000 * _step_s + 1000 * HOP / wg_sps
+    )
     # fully int8-quantized serving chain (int8 decoder weights + int8 WN
     # kernels)
     e2e_rtf_int8 = 1.0 / ((SR / HOP) / taco_fps_int8 + SR / wg_sps_int8)
@@ -449,6 +473,8 @@ def main():
         "e2e_rtf": round(e2e_rtf, 2),
         "e2e_rtf_int8": round(e2e_rtf_int8, 2),
         "e2e_rtf_target": 50.0,
+        "first_audio_ms_streaming": round(first_audio_ms, 1),
+        "first_audio_ms_full_scan": round(first_audio_ms_batch, 1),
         "preprocess_mel_frames_per_sec": round(pp_fps, 1),
         "preprocess_device_frames_per_sec": round(pp_dev_fps, 1),
         "preprocess_cpu_baseline_frames_per_sec": pp_cpu_fps,
