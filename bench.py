@@ -396,7 +396,9 @@ def _wait_for_tpu(max_wait_s: float = 1800.0, probe_timeout_s: float = 180.0):
         attempt += 1
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu', "
+                 "'CPU fallback is not the TPU being probed for'"],
                 capture_output=True, timeout=probe_timeout_s,
             )
             if r.returncode == 0:
@@ -433,25 +435,36 @@ def main():
     # First-audio latency, derived from the measured components (the tunnel's
     # ~seconds of RPC overhead makes single-shot wall timing dishonest, so
     # latency is composed from scaling-measured rates).  Streaming
-    # (Synthesizer.synthesize_incremental): decode one 64-step chunk, then
-    # vocode one receptive-field window of chunk + 2*overlap frames.  Decode
+    # (Synthesizer.synthesize_incremental): the engine emits its first audio
+    # once chunk + overlap POSTNET-FINAL frames exist, and the mel stream
+    # withholds a postnet receptive field (prf) behind the decode frontier,
+    # so decode runs ceil((chunk + ov + prf) / chunk) whole chunks first;
+    # the vocoder then runs one window of chunk + 2*overlap frames.  Decode
     # per-step time uses the batch-16 measurement — decode is
     # weight-streaming-bound, so B=1 per-step is <= the b16 figure (same
     # streamed weights, fewer rows).  Non-streaming baseline: the full
     # max_decoder_steps scan plus a full-utterance vocode.  Encoder pass
     # (~1 conv stack + BiLSTM over ~128 tokens) excluded from both: <0.5 ms.
-    from text2speech_tpu.config import WaveGlowConfig
+    import inspect
+
+    from text2speech_tpu.config import HParams, WaveGlowConfig
+    from text2speech_tpu.infer import Synthesizer
     from text2speech_tpu.models.chunked import receptive_overlap_frames
 
+    _hp = HParams(sample_rate=SR)
     _cfg = WaveGlowConfig(sampling_rate=SR)
     _ov = receptive_overlap_frames(_cfg)
-    _chunk = 64
+    _prf = (_hp.postnet_kernel_size // 2) * _hp.postnet_n_convolutions
+    _chunk = inspect.signature(
+        Synthesizer.synthesize_incremental
+    ).parameters["chunk_steps"].default
+    _steps_first = -(-(_chunk + _ov + _prf) // _chunk) * _chunk
     _step_s = 16.0 / taco_fps            # decode seconds/step at b16
     first_audio_ms = 1000.0 * (
-        _chunk * _step_s + (_chunk + 2 * _ov) * HOP / wg_sps
+        _steps_first * _step_s + (_chunk + 2 * _ov) * HOP / wg_sps
     )
     first_audio_ms_batch = 1000.0 * (
-        1000 * _step_s + 1000 * HOP / wg_sps
+        _hp.max_decoder_steps * (_step_s + HOP / wg_sps)
     )
     # fully int8-quantized serving chain (int8 decoder weights + int8 WN
     # kernels)
