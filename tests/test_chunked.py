@@ -201,6 +201,53 @@ def test_chunked_int8_matches_int8_single_pass(model_and_vars):
     )
 
 
+def test_chunked_mesh_composes_with_fused_and_int8(model_and_vars):
+    """The sequence-parallel window sharding composes with the Pallas
+    serving paths: under ``mesh=...`` the fused/int8 windows run per-device
+    inside shard_map (each device's kernels see an ordinary unsharded
+    row-slice), and the result equals the unsharded chunked output of the
+    same path.  Row-independent math makes this exact up to dtype noise."""
+    from jax.sharding import Mesh
+
+    from text2speech_tpu.models import waveglow_fused as wf
+
+    model, variables = model_and_vars
+    frames = 200
+    rng = np.random.RandomState(3)
+    spect = jnp.asarray(
+        rng.randn(1, CFG.n_mel_channels, frames).astype(np.float32)
+    )
+    gpf = CFG.upsample_stride // CFG.n_group
+    noise = draw_noise(CFG, jax.random.PRNGKey(11), 1, frames * gpf)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("data",))
+
+    # fused x mesh (n_windows = ceil(200/48) = 5, pads to 8)
+    kw = dict(
+        sigma=0.9, chunk_frames=48, overlap_frames=40, noise=noise,
+    )
+    ref = infer_long(model, variables, spect, None, fused=True, **kw)
+    out = infer_long(
+        model, variables, spect, None, fused=True, mesh=mesh, **kw
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
+    )
+
+    # int8 x mesh: identical quantized window math per row -> tight
+    qparams = wf.quantize_waveglow_int8(variables["params"], CFG)
+    ref8 = infer_long(
+        model, variables, spect, None, int8_params=qparams, **kw
+    )
+    out8 = infer_long(
+        model, variables, spect, None, int8_params=qparams, mesh=mesh, **kw
+    )
+    assert out8.shape == ref8.shape
+    np.testing.assert_allclose(
+        np.asarray(out8), np.asarray(ref8), atol=1e-5, rtol=0
+    )
+
+
 def test_default_overlap_covers_receptive_field():
     """ADVICE r2: the default overlap must cover the flow stack's one-sided
     receptive field at ANY config size, so default-argument chunking keeps

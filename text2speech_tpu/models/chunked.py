@@ -118,7 +118,16 @@ def infer_long(
     dependency across time frames, so an arbitrarily long utterance's
     frame axis becomes window rows spread across chips on ICI.  The window
     count is padded to a multiple of the axis size (duplicate last window,
-    discarded after), so any utterance length shards.
+    discarded after), so any utterance length shards.  Composes with
+    ``fused``/``int8_params`` — those windows run through ``shard_map``
+    (each device's Pallas kernels see only its window rows; params
+    replicated).  The window stack is assembled under jit with sharded
+    output shardings, so no device ever holds the full stack; the
+    full-utterance ``spect``/``noise`` inputs themselves do live on their
+    source device (shard those upstream if the utterance alone exceeds one
+    HBM).  A short utterance (``frames <= chunk + 2*overlap``) returns via
+    the single-pass path UNSHARDED — one window has no frame parallelism
+    to extract.
     """
     cfg = model.cfg
     if overlap_frames is None:
@@ -138,24 +147,28 @@ def infer_long(
     if int8_params is not None:
         from .waveglow_fused import infer_fused_int8
 
-        def vocode(mel_w, noise_w):
-            return infer_fused_int8(
-                int8_params, cfg, mel_w, None, sigma, noise=noise_w
-            )
+        def vocode_p(p, mel_w, noise_w):
+            return infer_fused_int8(p, cfg, mel_w, None, sigma, noise=noise_w)
+
+        vocode_params = int8_params
     elif fused:
         from .waveglow_fused import infer_fused
 
-        def vocode(mel_w, noise_w):
-            return infer_fused(
-                variables["params"], cfg, mel_w, None, sigma, noise=noise_w
-            )
+        def vocode_p(p, mel_w, noise_w):
+            return infer_fused(p, cfg, mel_w, None, sigma, noise=noise_w)
+
+        vocode_params = variables["params"]
     else:
 
-        def vocode(mel_w, noise_w):
+        def vocode_p(p, mel_w, noise_w):
             return model.apply(
-                variables, mel_w, None, sigma, noise=noise_w,
-                method=WaveGlow.infer,
+                p, mel_w, None, sigma, noise=noise_w, method=WaveGlow.infer,
             )
+
+        vocode_params = variables
+
+    def vocode(mel_w, noise_w):
+        return vocode_p(vocode_params, mel_w, noise_w)
 
     width = chunk_frames + 2 * overlap_frames
     if frames <= width:
@@ -173,23 +186,41 @@ def infer_long(
         nd = mesh.shape[data_axis]
         n_pad = -(-n_windows // nd) * nd
     pad_starts = win_starts + [win_starts[-1]] * (n_pad - n_windows)
-    mel_w = jnp.concatenate(
-        [spect[:, :, ws : ws + width] for ws in pad_starts], axis=0
-    )
-    noise_w = tuple(
-        jnp.concatenate(
-            [z[:, ws * gpf : (ws + width) * gpf] for ws in pad_starts], axis=0
+
+    def assemble(spect, noise):
+        mel_w = jnp.concatenate(
+            [spect[:, :, ws : ws + width] for ws in pad_starts], axis=0
         )
-        for z in noise
-    )
+        noise_w = tuple(
+            jnp.concatenate(
+                [z[:, ws * gpf : (ws + width) * gpf] for ws in pad_starts],
+                axis=0,
+            )
+            for z in noise
+        )
+        return mel_w, noise_w
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sh = NamedSharding(mesh, P(data_axis))
-        mel_w = jax.device_put(mel_w, sh)
-        noise_w = tuple(jax.device_put(z, sh) for z in noise_w)
+        from ..parallel.mesh import shard_map_norep
 
-    audio_w = vocode(mel_w, noise_w)   # [n_pad*B, width * hop]
+        # each device materializes only ITS window rows (out_shardings on
+        # the assembly jit), and the vocoder runs per-device on its shard
+        # via shard_map — Pallas kernels (fused/int8) compose because every
+        # device sees an ordinary unsharded [rows/nd, ...] batch
+        sh = NamedSharding(mesh, P(data_axis))
+        mel_w, noise_w = jax.jit(
+            assemble, out_shardings=(sh, tuple(sh for _ in noise))
+        )(spect, noise)
+        dax = P(data_axis)
+        audio_w = jax.jit(shard_map_norep(
+            vocode_p, mesh,
+            in_specs=(P(), dax, dax), out_specs=dax,
+        ))(vocode_params, mel_w, noise_w)
+    else:
+        mel_w, noise_w = assemble(spect, noise)
+        audio_w = vocode(mel_w, noise_w)   # [n_pad*B, width * hop]
     audio_w = audio_w.reshape(n_pad, B, width * hop)
 
     pieces = []

@@ -114,3 +114,26 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     broadcast at ``waveglow/distributed.py:100-103``)."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_map_norep(run, mesh: Mesh, in_specs, out_specs):
+    """``shard_map`` with replication checking off, across jax API renames
+    (the kwarg is ``check_rep`` in older jax, ``check_vma`` in newer).
+    Used by the tensor-parallel serving paths (``tp.py``, ``tp_tacotron.py``)
+    and the sequence-parallel fused vocoder (``models/chunked.py``)."""
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    kw = {}
+    sig = inspect.signature(shard_map)
+    if "check_rep" in sig.parameters:       # older API name
+        kw["check_rep"] = False
+    elif "check_vma" in sig.parameters:
+        kw["check_vma"] = False
+    return shard_map(
+        run, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+    )

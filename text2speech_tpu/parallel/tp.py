@@ -35,6 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import WaveGlowConfig
+from .mesh import shard_map_norep as _shard_map_norep
 
 MODEL_AXIS = "model"
 
@@ -176,24 +177,6 @@ def _wn_tp(blk, x0, cond_src, cfg: WaveGlowConfig, axis_name: str):
     return wn_out
 
 
-def _shard_map_norep(run, mesh, in_specs, out_specs):
-    """shard_map with replication checking off, across jax API renames."""
-    import inspect
-
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-    kw = {}
-    sig = inspect.signature(shard_map)
-    if "check_rep" in sig.parameters:       # older API name
-        kw["check_rep"] = False
-    elif "check_vma" in sig.parameters:
-        kw["check_vma"] = False
-    return shard_map(
-        run, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
-    )
 
 
 def _wn_tp_fused(blk, x0, spect_p, cfg: WaveGlowConfig, axis_name: str,
