@@ -151,6 +151,18 @@ def main():
             "XLA_FLAGS=--xla_force_host_platform_device_count=8 to try it)"
         )
 
+    # 7. streaming synthesis (first audio before the full decode) ------------
+    # audio chunks arrive as soon as the decoded mel clears the vocoder's
+    # receptive field; the concatenation equals step 5's single-pass output
+    # for the same seed (same decode, same noise stream).
+    chunks = list(synth.synthesize_incremental("안녕하세요.", chunk_steps=8))
+    stream_wav = np.concatenate(chunks)
+    print(
+        f"streamed {len(chunks)} audio chunks "
+        f"({stream_wav.shape[0]} samples; first chunk after ~"
+        f"{8 + 8} of {hp.max_decoder_steps} decoder steps)"
+    )
+
 
 if __name__ == "__main__":
     main()
