@@ -109,7 +109,7 @@ def main():
                 mel_post[:, :, :T], args.sigma,
                 denoiser_strength=args.denoiser_strength,
             )
-        )[0, : T * wg_cfg.hop_length]
+        )[0, : T * wg_cfg.upsample_stride]
         save_wav(audio, args.out, args.sample_rate)
         if args.plot_dir:
             _save_plots(

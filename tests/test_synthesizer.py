@@ -80,6 +80,12 @@ def test_synthesize_batch_trims_lengths(synthesizer):
     assert len(wavs) == 2
     for w in wavs:
         assert w.ndim == 1 and np.isfinite(w).all()
+    # the trim unit is what the vocoder EMITS per mel frame
+    # (upsample_stride), not the analysis hop — same seed reproduces the
+    # same out_lengths, so each waveform is exactly out_len frames of audio
+    _, out_len = synthesizer.text_to_mel(["안녕하세요.", "네."])
+    for w, n in zip(wavs, np.asarray(out_len)):
+        assert len(w) == int(n) * WG.upsample_stride
 
 
 def test_synthesize_to_files(synthesizer, tmp_path):

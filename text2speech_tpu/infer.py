@@ -458,7 +458,7 @@ class Synthesizer:
             chunk_frames, overlap_frames,
         )
         audio = np.asarray(audio)
-        hop = self.wg_cfg.hop_length
+        hop = self.wg_cfg.upsample_stride
         return [
             audio[i, : int(out_lengths[i]) * hop]
             for i in range(audio.shape[0])
@@ -480,7 +480,10 @@ class Synthesizer:
             mel_post[:, :, :T], sigma, seed, denoiser_strength
         )
         audio = np.asarray(audio)
-        hop = self.wg_cfg.hop_length
+        # the vocoder emits upsample_stride samples per mel frame (==
+        # hop_length on the reference config, but not on shrunk test
+        # configs — trimming by hop_length there silently no-ops)
+        hop = self.wg_cfg.upsample_stride
         return [
             audio[i, : int(out_lengths[i]) * hop]
             for i in range(audio.shape[0])

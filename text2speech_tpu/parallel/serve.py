@@ -224,7 +224,9 @@ class TPSynthesizer:
         audio = np.asarray(
             self.mel_to_audio(mel_post[:, :, :T], sigma, seed)
         )
-        hop = self.wg_cfg.hop_length
+        # samples per mel frame actually emitted by the vocoder (see
+        # Synthesizer.synthesize — hop_length only matches on full-size cfgs)
+        hop = self.wg_cfg.upsample_stride
         return [
             audio[i, : int(out_lengths[i]) * hop]
             for i in range(audio.shape[0])
