@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--load_path", default=None,
                         help="previous run dir to resume (reloads its hparams)")
     parser.add_argument("--checkpoint_file", default=None)
+    parser.add_argument("--wav_dir", default="./wav/",
+                        help="accepted for reference CLI compatibility; "
+                             "unused (parsed-but-dead in the reference too, "
+                             "train.py:256)")
     parser.add_argument("--log_dir", default="logdir-tacotron")
     parser.add_argument("--checkpoint_path", type=str, default=None)
     parser.add_argument("--logger_path", default=None)
