@@ -381,7 +381,7 @@ def bench_preprocess_cpu_baseline():
         return None
 
 
-def _wait_for_tpu(max_wait_s: float = 1800.0, probe_timeout_s: float = 180.0):
+def _wait_for_tpu(max_wait_s: float = 5400.0, probe_timeout_s: float = 180.0):
     """The dev tunnel occasionally drops for tens of minutes (single-client,
     remote).  Backend-init failure is process-fatal, so probe device
     availability in SUBPROCESSES (each fully exits before the next attempt —
