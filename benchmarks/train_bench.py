@@ -190,6 +190,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--compare_conv_impl", action="store_true",
                     help="also time the lax.conv lowering of the WN stacks")
+    ap.add_argument("--tacotron_batches", default="8",
+                    help="comma-separated base batches; each times the "
+                         "b->4b marginal (so '16' reports the b64-regime "
+                         "throughput — decode is weight-streaming-bound, "
+                         "so train frames/s should also ride batch "
+                         "near-free until compute binds)")
     args = ap.parse_args()
 
     wg = bench_waveglow_train()
@@ -205,13 +211,19 @@ def main():
             wg2["samples_per_sec"], 1
         )
         out["waveglow_train_mfu_taps"] = round(wg2["mfu"], 3)
-    taco = bench_tacotron_train()
-    out.update({
-        "tacotron_train_frames_per_sec": round(taco["frames_per_sec"], 1),
-        "tacotron_train_tflops": round(taco["tflops"], 1),
-        "tacotron_train_mfu": round(taco["mfu"], 3),
-        "device": str(jax.devices()[0]),
-    })
+    for i, b in enumerate(
+        int(x) for x in args.tacotron_batches.split(",") if x
+    ):
+        taco = bench_tacotron_train(batch=b)
+        sfx = "" if i == 0 else f"_b{b}"
+        out.update({
+            f"tacotron_train_frames_per_sec{sfx}": round(
+                taco["frames_per_sec"], 1
+            ),
+            f"tacotron_train_tflops{sfx}": round(taco["tflops"], 1),
+            f"tacotron_train_mfu{sfx}": round(taco["mfu"], 3),
+        })
+    out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
 
 
