@@ -137,6 +137,98 @@ def test_mel_stream_early_gate_matches_batch(synthesizer):  # noqa: F811
         )
 
 
+def _rebuild_stream_noise(synthesizer, texts, chunk, seed):
+    """Re-derive the batch engine's exact noise stream + final mel/lengths
+    by replaying the deterministic mel stream with the same key discipline."""
+    from text2speech_tpu.models.chunked import draw_noise
+
+    gpf = WG.upsample_stride // WG.n_group
+    key = jax.random.PRNGKey(seed + 1)
+    mel_parts, noise_parts, lens, ci = [], None, None, 0
+    for mel_c, out_len, _final in synthesizer.text_to_mel_stream(
+        texts, chunk_steps=chunk, seed=seed
+    ):
+        mel_parts.append(mel_c)
+        nn = draw_noise(
+            WG, jax.random.fold_in(key, ci), len(texts),
+            mel_c.shape[-1] * gpf,
+        )
+        ci += 1
+        noise_parts = (
+            [np.asarray(z) for z in nn] if noise_parts is None
+            else [np.concatenate([a, np.asarray(z)], axis=1)
+                  for a, z in zip(noise_parts, nn)]
+        )
+        lens = out_len
+    mel_full = np.concatenate(mel_parts, axis=-1)
+    F = mel_full.shape[-1]
+    return mel_full, noise_parts, np.minimum(np.asarray(lens), F)
+
+
+def _assert_batch_rows_match_single_pass(synthesizer, texts, chunk, seed,
+                                         sigma):
+    from text2speech_tpu.models.waveglow import WaveGlow
+
+    hop = WG.upsample_stride
+    gpf = hop // WG.n_group
+
+    per_row = {r: [] for r in range(len(texts))}
+    for r, ch in synthesizer.synthesize_incremental_batch(
+        texts, sigma=sigma, seed=seed, chunk_steps=chunk
+    ):
+        per_row[r].append(ch)
+
+    mel_full, noise_parts, tls = _rebuild_stream_noise(
+        synthesizer, texts, chunk, seed
+    )
+    for r in range(len(texts)):
+        tl = int(tls[r])
+        ref = synthesizer.waveglow.apply(
+            synthesizer.wg_variables,
+            jnp.asarray(mel_full[r : r + 1, :, :tl]), None, sigma,
+            noise=tuple(
+                jnp.asarray(z[r : r + 1, : tl * gpf]) for z in noise_parts
+            ),
+            method=WaveGlow.infer,
+        )
+        got = np.concatenate(per_row[r])
+        assert got.shape == (tl * hop,), (r, got.shape, tl)
+        np.testing.assert_allclose(
+            got, np.asarray(ref)[0], atol=3e-4, err_msg=f"row {r}"
+        )
+
+
+def test_synthesize_incremental_batch_matches_single_pass(synthesizer):  # noqa: F811
+    """N concurrent streams through ONE lockstep decode + batched window
+    vocode calls: each row's chunk concatenation equals a single-pass
+    vocode of that row's final mel with its slice of the batch noise."""
+    _assert_batch_rows_match_single_pass(
+        synthesizer,
+        ["안녕하세요. 존경하는 사람과 함께.", "반갑습니다 여러분."],
+        chunk=8, seed=5, sigma=0.8,
+    )
+
+
+def test_synthesize_incremental_batch_early_gate_rows_flush(synthesizer):  # noqa: F811
+    """Early-stop regime: rows stop at different lengths; a finished row
+    must flush as soon as its real frames clear the stream (not wait for
+    the slowest row), stay garbage-free past its own stop, and still equal
+    its single-pass vocode."""
+    import dataclasses
+
+    s = synthesizer
+    tv = jax.tree.map(lambda x: x, s.taco_variables)
+    tv["params"]["decoder"]["gate_proj"]["bias"] = (
+        tv["params"]["decoder"]["gate_proj"]["bias"] + 10.0
+    )
+    sb = dataclasses.replace(s, taco_variables=tv)
+    texts = ["안녕하세요. 존경하는 사람.", "네."]
+    _, _, tls = _rebuild_stream_noise(sb, texts, 4, 3)
+    assert (tls < sb.hp.max_decoder_steps).any(), "early regime not hit"
+    _assert_batch_rows_match_single_pass(sb, texts, chunk=4, seed=3,
+                                         sigma=0.8)
+
+
 def test_incremental_vocode_engine_excludes_post_stop_garbage():
     """Engine-contract unit test (r3 code-review): once the gate has
     fired, the decode TAIL chunks (postnet context) carry post-stop

@@ -95,35 +95,64 @@ def chunked_mel_stream(hp, carry, decode_fn, postnet_fn, requested: int,
             return
 
 
-def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
-                              seed: int, chunk_steps: int):
-    """Shared streaming-vocode engine: turn a chunked mel stream into
-    waveform chunks with receptive-field windows over position-consistent
-    noise.  Used by :meth:`Synthesizer.synthesize_incremental` and the
-    tensor-parallel ``parallel.serve.TPSynthesizer.synthesize_incremental``
-    so the window/noise bookkeeping lives once.
+def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
+                                    sigma: float, seed: int,
+                                    chunk_steps: int):
+    """Multi-stream streaming-vocode engine: turn a BATCHED chunked mel
+    stream (B concurrent utterances decoded in one lockstep scan) into
+    per-row waveform chunks, yielding ``(row, chunk)`` pairs.
 
-    ``mel_stream`` yields ``(mel_chunk [1, n_mel, n], out_len [1], final)``
+    ``mel_stream`` yields ``(mel_chunk [B, n_mel, n], out_len [B], final)``
     (the :func:`chunked_mel_stream` contract);
-    ``vocode_fn(mel, noise_tuple, sigma) -> np.ndarray [1, samples]`` runs
-    the vocoder on one window.  Emitted audio equals a single-pass vocode
-    of the final mel with the same noise to float tolerance; windows and
-    the final flush are pinned inside the true utterance exactly like
-    ``models.chunked.infer_long``'s boundary windows."""
+    ``vocode_fn(mel, noise_tuple, sigma) -> np.ndarray [B, samples]`` runs
+    the vocoder on a stack of windows.  Window/noise rules are exactly the
+    single-stream engine's (this IS that engine — B=1 wraps it):
+
+    * one noise draw per decoded chunk covering all B rows
+      (position-consistent: windows slice the same stream), so row ``r``'s
+      emitted audio equals a single-pass vocode of its final mel
+      ``[:, :true_len_r]`` with ``noise[r]`` to float tolerance;
+    * mid-stream windows emit a chunk once a full receptive field of real
+      right context exists; ws clamps to 0 so early windows are PINNED to
+      the utterance start: zero-filled positions left of 0 would carry
+      zero NOISE, which the flows turn into bias-driven hidden values that
+      leak into the first emitted chunk (measured 0.0066 first-chunk error
+      unclamped vs 5e-7 pinned) — at ws=0 the window's left edge is the
+      true conv zero-padding, exactly like ``infer_long``'s boundary
+      windows;
+    * windows are bounded by ``true_len_r = min(out_len_r, frames)``, not
+      the decoded frontier: once a row's gate has fired, later frames are
+      post-stop garbage (the decode tail chunks exist only as postnet
+      context) and must never enter a window or be emitted;
+    * a row whose gate has fired is flushed as soon as its real frames
+      have all cleared the mel stream — it does not wait for the slowest
+      row in the batch; flush windows stay pinned INSIDE
+      ``[0, true_len_r]`` (left edge clamps to the start, right edge to
+      the row's end);
+    * a row shorter than one window (``true_len <= W`` before any
+      emission) vocodes its exact length in one pass (one compile per
+      distinct short length).
+
+    Each emission round stacks the ready rows' windows host-side into
+    ``[B, n_mel, W]`` batches (padding a short round by repeating its
+    first task, outputs discarded), so concurrent streams cost ~one
+    batched vocoder call per round — and the lockstep decode means batch
+    size is nearly free on the weight-streaming-bound decode side too:
+    N concurrent streams each see ~single-stream first-audio latency."""
     from .models.chunked import draw_noise, receptive_overlap_frames
 
     hop = cfg.upsample_stride
     gpf = hop // cfg.n_group
     ov = receptive_overlap_frames(cfg)
-    W = chunk_steps + 2 * ov           # vocoder window width, frames
+    cs = chunk_steps
+    W = cs + 2 * ov                    # vocoder window width, frames
 
     key = jax.random.PRNGKey(seed + 1)
     noise_parts: list | None = None
     mel_parts: list = []
     F = 0                              # final (postnet-done) mel frames
-    E = 0                              # frames already vocoded+emitted
-    done = False
-    true_len = None
+    E: np.ndarray | None = None        # [B] frames vocoded+emitted per row
+    flushed: np.ndarray | None = None  # [B] row fully emitted
 
     def mel_cat():
         return (
@@ -131,35 +160,54 @@ def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
             if len(mel_parts) > 1 else mel_parts[0]
         )
 
-    def window(ws, f_lim):
-        """[1, n_mel, W] mel + matching noise slices from position ws,
-        zero-filled outside [0, f_lim) — the conv zero padding; f_lim
-        excludes post-stop garbage frames from context (the batch path
-        trims to out_length before vocoding)."""
+    def run_windows(tasks):
+        """tasks: (row, ws, keep_from, keep_to, f_lim) window specs; one
+        batched vocode call per group of B, window content zero-filled
+        outside [0, f_lim) — the conv zero padding."""
         mel = mel_cat()
-        wmel = np.zeros((1, mel.shape[1], W), np.float32)
-        s, e = max(ws, 0), min(ws + W, f_lim)
-        wmel[:, :, s - ws : e - ws] = mel[:, :, s:e]
-        wnoise = []
-        for comp in noise_parts:
-            z = np.zeros((1, W * gpf, comp.shape[-1]), np.float32)
-            z[:, (s - ws) * gpf : (e - ws) * gpf] = comp[:, s * gpf : e * gpf]
-            wnoise.append(jnp.asarray(z))
-        return jnp.asarray(wmel), tuple(wnoise)
+        B = mel.shape[0]
+        for g0 in range(0, len(tasks), B):
+            group = tasks[g0 : g0 + B]
+            pad_n = B - len(group)
+            rows = group + [group[0]] * pad_n      # repeat = discarded
+            wmel = np.zeros((B, mel.shape[1], W), np.float32)
+            wnoise = [
+                np.zeros((B, W * gpf, comp.shape[-1]), np.float32)
+                for comp in noise_parts
+            ]
+            for j, (r, ws, _kf, _kt, fl) in enumerate(rows):
+                s, e = max(ws, 0), min(ws + W, fl)
+                wmel[j, :, s - ws : e - ws] = mel[r, :, s:e]
+                for z, comp in zip(wnoise, noise_parts):
+                    z[j, (s - ws) * gpf : (e - ws) * gpf] = (
+                        comp[r, s * gpf : e * gpf]
+                    )
+            audio = np.asarray(vocode_fn(
+                jnp.asarray(wmel),
+                tuple(jnp.asarray(z) for z in wnoise), sigma,
+            ))
+            for j, (r, ws, kf, kt, _fl) in enumerate(group):
+                yield r, audio[j, (kf - ws) * hop : (kt - ws) * hop]
 
-    def vocode(ws, keep_from, keep_to, f_lim):
-        wmel, wnoise = window(ws, f_lim)
-        audio = vocode_fn(wmel, wnoise, sigma)
-        return audio[0, (keep_from - ws) * hop : (keep_to - ws) * hop]
+    def vocode_exact(r, tl):
+        mel = jnp.asarray(mel_cat()[r : r + 1, :, :tl])
+        nz = tuple(
+            jnp.asarray(z[r : r + 1, : tl * gpf]) for z in noise_parts
+        )
+        return np.asarray(vocode_fn(mel, nz, sigma))[0, : tl * hop]
 
     ci = 0
     for mel_chunk, out_len, final in mel_stream:
         n_new = mel_chunk.shape[-1]
-        mel_parts.append(mel_chunk.astype(np.float32))
+        mel_parts.append(np.asarray(mel_chunk, np.float32))
+        B = mel_parts[0].shape[0]
+        if E is None:
+            E = np.zeros((B,), np.int64)
+            flushed = np.zeros((B,), bool)
         # extend the noise stream to cover the new frames (one draw per
-        # chunk, position-consistent across windows)
+        # chunk for ALL rows, position-consistent across windows)
         new_noise = draw_noise(
-            cfg, jax.random.fold_in(key, ci), 1, n_new * gpf
+            cfg, jax.random.fold_in(key, ci), B, n_new * gpf
         )
         ci += 1
         if noise_parts is None:
@@ -170,49 +218,62 @@ def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
                 for a, z in zip(noise_parts, new_noise)
             ]
         F += n_new
-        done = final
-        true_len = min(int(out_len[0]), F)
-        # emit every fully-cleared chunk (pre-stop frames are all real,
-        # so full-width right context is available).  ws clamps to 0 so
-        # early windows are PINNED to the utterance start: zero-filled
-        # positions left of 0 would carry zero NOISE, which the flows
-        # turn into bias-driven hidden values that leak into the first
-        # emitted chunk (measured 0.0066 first-chunk error unclamped vs
-        # 5e-7 pinned); at ws=0 the window's left edge is the true conv
-        # zero-padding, exactly like infer_long's boundary windows.
-        # bound by true_len, not F: once the gate has fired, frames past
-        # true_len are post-stop garbage — the decode tail chunks (postnet
-        # context) must never enter the vocoder window or be emitted
-        while not done and true_len >= E + chunk_steps + ov:
-            yield vocode(max(E - ov, 0), E, E + chunk_steps, true_len)
-            E += chunk_steps
-    # final flush.  Windows stay pinned INSIDE [0, true_len] (left edge
-    # clamps to the utterance start, right edge to its end), so every
-    # window sees only real data plus the true boundaries' conv
-    # zero-padding — exactly infer_long's boundary-window rule.
-    true_len = min(true_len if true_len else F, F)
-    if E == 0 and true_len <= W:
-        # short utterance: no window of width W fits inside it — vocode
-        # the exact length in one pass (one compile per distinct short
-        # length; the fused path tile-rounds internally with its valid
-        # mask, so this stays boundary-exact)
-        mel = jnp.asarray(mel_cat()[:, :, :true_len])
-        nz = tuple(
-            jnp.asarray(z[:, : true_len * gpf]) for z in noise_parts
-        )
-        audio = vocode_fn(mel, nz, sigma)
-        yield audio[0, : true_len * hop]
-        return
-    while E < true_len:
-        keep_to = min(E + chunk_steps, true_len)
-        # clamp LEFT first: ws < 0 would put zero-NOISE positions before
-        # the utterance start inside the receptive field (the unpinned
-        # error this function's comments quantify at ~0.0066); if
-        # true_len < W the window right edge zero-fills past the true end,
-        # which IS the single-pass boundary (zero mel, no noise)
-        ws = max(0, min(E - ov, true_len - W))
-        yield vocode(ws, E, keep_to, true_len)
-        E = keep_to
+        out_len = np.asarray(out_len, np.int64)
+        true_len = np.minimum(out_len, F)
+
+        tasks: list = []
+        shorts: list = []
+        for r in range(B):
+            if flushed[r]:
+                continue
+            tl = int(true_len[r])
+            while not final and tl >= E[r] + cs + ov:
+                tasks.append(
+                    (r, max(int(E[r]) - ov, 0), int(E[r]),
+                     int(E[r]) + cs, tl)
+                )
+                E[r] += cs
+            # row complete: the stream ended, or this row's gate fired
+            # (out_len frozen below the emitted frontier) and all its real
+            # frames have cleared the postnet (tl = out_len <= F)
+            if final or int(out_len[r]) < F:
+                if E[r] == 0 and tl <= W:
+                    if tl > 0:
+                        shorts.append((r, tl))
+                else:
+                    while E[r] < tl:
+                        kt = min(int(E[r]) + cs, tl)
+                        ws = max(0, min(int(E[r]) - ov, tl - W))
+                        tasks.append((r, ws, int(E[r]), kt, tl))
+                        E[r] = kt
+                flushed[r] = True
+        if tasks:
+            yield from run_windows(tasks)
+        for r, tl in shorts:
+            yield r, vocode_exact(r, tl)
+
+
+def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
+                              seed: int, chunk_steps: int):
+    """Single-stream streaming-vocode engine: turn a chunked mel stream
+    into waveform chunks with receptive-field windows over
+    position-consistent noise.  Used by
+    :meth:`Synthesizer.synthesize_incremental` and the tensor-parallel
+    ``parallel.serve.TPSynthesizer.synthesize_incremental``.
+
+    ``mel_stream`` yields ``(mel_chunk [1, n_mel, n], out_len [1], final)``
+    (the :func:`chunked_mel_stream` contract);
+    ``vocode_fn(mel, noise_tuple, sigma) -> np.ndarray [1, samples]`` runs
+    the vocoder on one window.  Emitted audio equals a single-pass vocode
+    of the final mel with the same noise to float tolerance; windows and
+    the final flush are pinned inside the true utterance exactly like
+    ``models.chunked.infer_long``'s boundary windows.  This is the B=1
+    case of :func:`incremental_vocode_stream_batch` (one engine, pinned by
+    the toy-vocoder contract test in ``tests/test_streaming.py``)."""
+    for _row, chunk in incremental_vocode_stream_batch(
+        cfg, mel_stream, vocode_fn, sigma, seed, chunk_steps
+    ):
+        yield chunk
 
 
 
@@ -616,6 +677,36 @@ class Synthesizer:
             text, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps
         )
         yield from incremental_vocode_stream(
+            self.wg_cfg, stream,
+            lambda mel, nz, sg: np.asarray(
+                self._vocode_window(self._wg_serve_vars, mel, nz, sg)
+            ),
+            sigma, seed, chunk_steps,
+        )
+
+    def synthesize_incremental_batch(
+        self,
+        texts,
+        sigma: float = 0.666,
+        seed: int = 0,
+        chunk_steps: int = 64,
+        max_steps: int | None = None,
+    ):
+        """Stream N utterances CONCURRENTLY: yields ``(row, chunk)`` pairs
+        as each stream's decoded mel clears the vocoder's receptive field.
+        One batched decode scan drives all rows in lockstep — decode is
+        weight-streaming-bound (bench.py), so the batch rides the same
+        36 MB/step stream nearly free and every concurrent stream sees
+        ~single-stream first-audio latency; each emission round is one
+        batched vocoder call on the stacked per-row windows.  A row whose
+        gate fires early flushes immediately (it does not wait for the
+        slowest row).  Per-row chunk concatenation equals a single-pass
+        vocode of that row's final mel with its slice of the batch noise
+        stream (:func:`incremental_vocode_stream_batch`)."""
+        stream = self.text_to_mel_stream(
+            texts, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps
+        )
+        yield from incremental_vocode_stream_batch(
             self.wg_cfg, stream,
             lambda mel, nz, sg: np.asarray(
                 self._vocode_window(self._wg_serve_vars, mel, nz, sg)
