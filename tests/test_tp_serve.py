@@ -213,6 +213,30 @@ def test_tp_synthesize_incremental_matches_single_device(models, tp):
     assert len(got_chunks) >= 1
 
 
+def test_tp_synthesize_incremental_batch_matches_single_device(models, tp):
+    """N concurrent TP streams == the single-device batched streaming
+    engine row for row (same seeds -> same lockstep decode, same batch
+    noise draws; both stages mesh-split on the TP side)."""
+    taco, tvars, wg, wvars = models
+    single = Synthesizer(
+        hp=HP, taco=taco, taco_variables=tvars,
+        wg_cfg=WG, waveglow=wg, wg_variables=wvars,
+        use_denoiser=False,
+    )
+    kw = dict(sigma=0.8, seed=0, chunk_steps=8)
+    ref_rows = {r: [] for r in range(len(TEXTS))}
+    for r, ch in single.synthesize_incremental_batch(TEXTS, **kw):
+        ref_rows[r].append(ch)
+    got_rows = {r: [] for r in range(len(TEXTS))}
+    for r, ch in tp.synthesize_incremental_batch(TEXTS, **kw):
+        got_rows[r].append(ch)
+    for r in range(len(TEXTS)):
+        ref = np.concatenate(ref_rows[r])
+        got = np.concatenate(got_rows[r])
+        assert got.shape == ref.shape, (r, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=2e-3, err_msg=f"row {r}")
+
+
 def test_tp_incremental_on_data_model_mesh_falls_back(models):
     """B=1 streaming on a 2x4 data x model mesh: the data axis can't split
     a single row, so the synthesizer must fall back to lazily built

@@ -182,6 +182,28 @@ class TPSynthesizer:
             sigma, seed, cs,
         )
 
+    def synthesize_incremental_batch(self, texts, sigma: float = 0.666,
+                                     seed: int = 0,
+                                     chunk_steps: int | None = None,
+                                     max_steps: int | None = None):
+        """N concurrent streams through the TP chain, yielding
+        ``(row, chunk)`` pairs (:func:`~..infer.
+        incremental_vocode_stream_batch`): one lockstep TP decode drives
+        every row with the 36 MB/step weight stream split over the 'model'
+        axis, and each emission round is one batched TP vocoder call on
+        the stacked per-row windows — concurrent-session serving with both
+        stages mesh-split."""
+        from ..infer import incremental_vocode_stream_batch
+
+        cs = chunk_steps or self.chunk_steps
+        gen, _, B = self._mel_stream(texts, seed, max_steps, cs)
+        _, vocoder = self._endpoints(B)
+        yield from incremental_vocode_stream_batch(
+            self.wg_cfg, gen,
+            lambda mel, nz, sg: np.asarray(vocoder(mel, None, sg, noise=nz)),
+            sigma, seed, cs,
+        )
+
     def text_to_mel(self, texts, seed: int = 0,
                     max_steps: int | None = None):
         """list[str] -> (mel_post [B, n_mel, requested], out_lengths [B]).
