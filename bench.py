@@ -466,6 +466,13 @@ def main():
     first_audio_ms_batch = 1000.0 * (
         _hp.max_decoder_steps * (_step_s + HOP / wg_sps)
     )
+    # 16 CONCURRENT streaming sessions (synthesize_incremental_batch): the
+    # decode term is unchanged — _step_s already IS the b16 lockstep rate —
+    # and the emission round's batched window vocode covers 16 windows
+    first_audio_ms_16_sessions = 1000.0 * (
+        _steps_first * _step_s
+        + 16 * (_chunk + 2 * _ov) * HOP / wg_sps
+    )
     # fully int8-quantized serving chain (int8 decoder weights + int8 WN
     # kernels)
     e2e_rtf_int8 = 1.0 / ((SR / HOP) / taco_fps_int8 + SR / wg_sps_int8)
@@ -488,6 +495,7 @@ def main():
         "e2e_rtf_target": 50.0,
         "first_audio_ms_streaming": round(first_audio_ms, 1),
         "first_audio_ms_full_scan": round(first_audio_ms_batch, 1),
+        "first_audio_ms_16_sessions": round(first_audio_ms_16_sessions, 1),
         "preprocess_mel_frames_per_sec": round(pp_fps, 1),
         "preprocess_device_frames_per_sec": round(pp_dev_fps, 1),
         "preprocess_cpu_baseline_frames_per_sec": pp_cpu_fps,
