@@ -319,3 +319,95 @@ def test_incremental_vocode_engine_excludes_post_stop_garbage():
     assert got.shape == ref.shape, (got.shape, ref.shape)
     assert np.abs(got).max() < GARBAGE / 10  # no garbage leaked at all
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_batch_vocode_engine_staggered_gates_toy():
+    """Batch-engine contract with a toy linear vocoder: three rows whose
+    gates fire at different steps (one short row below a window width, one
+    mid-stream, one never).  Each row's audio must equal a single-pass toy
+    vocode of its TRUE frames with its slice of the batch noise stream, no
+    post-stop garbage may leak, and an early-finished row must flush
+    before later-finishing rows complete (no waiting on the slowest)."""
+    import jax
+
+    from text2speech_tpu.infer import incremental_vocode_stream_batch
+    from text2speech_tpu.models.chunked import (
+        draw_noise,
+        receptive_overlap_frames,
+    )
+    from tests.test_synthesizer import WG as cfg
+
+    hop = cfg.upsample_stride
+    gpf = hop // cfg.n_group
+    ov = receptive_overlap_frames(cfg)
+    r = min(ov, 2)
+    n_mel = cfg.n_mel_channels
+    cs = 4
+    requested = 40
+    seed = 7
+    GARBAGE = 1e3
+    B = 3
+    true_lens = [18, 7, requested]      # mid-stream / short / never fires
+
+    rng = np.random.RandomState(1)
+    mel_true = rng.randn(B, n_mel, requested).astype(np.float32)
+    mel_full = mel_true.copy()
+    for b, tl in enumerate(true_lens):
+        mel_full[b, :, tl:] = GARBAGE
+
+    def toy_vocode(mel, noise, sigma):
+        mel = np.asarray(mel, np.float32)
+        _, _, F = mel.shape
+        pad = np.pad(mel, ((0, 0), (0, 0), (r, r)))
+        sm = np.stack(
+            [pad[:, :, i : i + F] for i in range(2 * r + 1)], 0
+        ).mean(axis=(0, 2))
+        audio = np.repeat(sm, hop, axis=-1)
+        n0 = np.asarray(noise[0], np.float32).mean(-1)
+        return audio + sigma * np.repeat(n0, cfg.n_group, axis=-1)
+
+    def mel_stream():
+        total = 0
+        while total < requested:
+            chunk = mel_full[:, :, total : total + cs]
+            total += cs
+            out_len = np.asarray(
+                [min(total, tl) for tl in true_lens], np.int64
+            )
+            yield chunk, out_len, total >= requested
+
+    emissions = list(incremental_vocode_stream_batch(
+        cfg, mel_stream(), toy_vocode, 0.8, seed, cs
+    ))
+    last_idx = {
+        b: max(i for i, (rr, _) in enumerate(emissions) if rr == b)
+        for b in range(B)
+    }
+    # row 1 (short, gate at 7) flushes long before rows 0 and 2 finish
+    assert last_idx[1] < last_idx[0] < last_idx[2], last_idx
+
+    # rebuild the engine's batch noise stream
+    key = jax.random.PRNGKey(seed + 1)
+    parts, ci, total = None, 0, 0
+    while total < requested:
+        nz = draw_noise(cfg, jax.random.fold_in(key, ci), B, cs * gpf)
+        ci += 1
+        parts = (
+            [np.asarray(z) for z in nz] if parts is None
+            else [np.concatenate([a, np.asarray(z)], axis=1)
+                  for a, z in zip(parts, nz)]
+        )
+        total += cs
+
+    for b, tl in enumerate(true_lens):
+        got = np.concatenate(
+            [ch for rr, ch in emissions if rr == b], axis=-1
+        )
+        ref = toy_vocode(
+            mel_true[b : b + 1, :, :tl],
+            tuple(p[b : b + 1, : tl * gpf] for p in parts),
+            0.8,
+        )[0]
+        assert got.shape == ref.shape, (b, got.shape, ref.shape)
+        assert np.abs(got).max() < GARBAGE / 10, b
+        np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=f"row {b}")
