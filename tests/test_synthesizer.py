@@ -230,6 +230,22 @@ def test_int8_vocoder_option(synthesizer):
     stream = np.concatenate(chunks)
     assert np.isfinite(stream).all() and stream.size > 0
 
+    # ...and so does multi-stream streaming: per-row int8 chunks track the
+    # fp batch engine's for the same seed (identical decode + noise draws)
+    texts = ["안녕.", "네."]
+    rows8 = {r: [] for r in range(len(texts))}
+    for r, ch in synth8.synthesize_incremental_batch(texts, seed=3,
+                                                     chunk_steps=8):
+        rows8[r].append(ch)
+    rows_f = {r: [] for r in range(len(texts))}
+    for r, ch in synth_f.synthesize_incremental_batch(texts, seed=3,
+                                                      chunk_steps=8):
+        rows_f[r].append(ch)
+    for r in range(len(texts)):
+        a, b = np.concatenate(rows8[r]), np.concatenate(rows_f[r])
+        assert a.shape == b.shape and np.isfinite(a).all()
+        assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9) < 0.15
+
 
 def test_load_synthesizer_without_vocoder_checkpoint(tmp_path):
     """wg_ckpt_dir=None supports the Griffin-Lim (mel-only) CLI path."""
