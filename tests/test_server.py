@@ -1,0 +1,245 @@
+"""Continuous-batching streaming server (``text2speech_tpu.server``).
+
+Contracts pinned here:
+
+* **Single-pass equivalence** — a session's concatenated audio equals one
+  single-pass vocode of its final mel with its own noise stream (the same
+  invariant the lockstep streaming engine pins in ``test_streaming``).
+* **Join independence** — a session's output depends only on
+  ``(text, seed)``: the same request through a loaded multi-slot server
+  (admitted mid-flight into a recycled slot) equals a dedicated
+  single-slot server run.  This is what per-row decode keys buy.
+* **Continuous admission** — more requests than slots all complete, and
+  slots are reused (rounds with recycled slots actually decode the new
+  session, not the stale row).
+* **Early-gate staggering** (toy-driven, exact arithmetic) — a fast
+  session flushes and frees its slot while a slow one is still decoding;
+  the freed slot admits the next queued request; per-session audio is
+  exactly the toy single-pass result, post-stop garbage excluded.
+
+Reference behavior served: ``tacotron/tacotron.py:431-466`` +
+``inference.py:80-95`` re-architected as a multi-session scheduler (the
+reference synthesizes one request at a time and has no serving layer).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text2speech_tpu.server import ContinuousBatcher, make_server
+from tests.test_synthesizer import HP, WG, synthesizer  # noqa: F401
+
+
+TEXTS = ["안녕하세요.", "존경하는 사람과 함께 갑니다.", "네.", "반갑습니다.",
+         "오늘 날씨가 좋네요."]
+
+
+def _single_pass(synth, srv, sid, sigma):
+    """Reference: one vocode of the session's final mel with its noise."""
+    from text2speech_tpu.models.waveglow import WaveGlow
+
+    s = srv.sessions[sid]
+    gpf = WG.upsample_stride // WG.n_group
+    tl = min(s.out_len, srv.requested)
+    post = s.post_cat()[:, :tl]
+    comps = srv._sess_noise(s, tl)
+    nz = tuple(jnp.asarray(c[None, : tl * gpf]) for c in comps)
+    return np.asarray(synth.waveglow.apply(
+        synth.wg_variables, jnp.asarray(post[None]), None, sigma,
+        noise=nz, method=WaveGlow.infer))[0]
+
+
+def test_server_sessions_match_single_pass(synthesizer):  # noqa: F811
+    """More sessions than slots; every session's streamed audio equals a
+    single-pass vocode of its own mel/noise."""
+    sigma = 0.8
+    srv = make_server(synthesizer, slots=2, chunk_steps=8, max_text_len=80,
+                      sigma=sigma, retain_sessions=True)
+    wavs = srv.run(TEXTS)
+    assert sorted(wavs) == list(range(len(TEXTS)))
+    assert srv.stats["admitted"] == len(TEXTS)
+    assert srv.idle
+    for sid, wav in wavs.items():
+        ref = _single_pass(synthesizer, srv, sid, sigma)
+        assert wav.shape == ref.shape, (sid, wav.shape, ref.shape)
+        np.testing.assert_allclose(wav, ref, atol=3e-4, err_msg=f"sid {sid}")
+
+
+def test_server_join_independence(synthesizer):  # noqa: F811
+    """The same (text, seed) produces the same audio whether it runs alone
+    in a 1-slot server or is admitted mid-flight into a busy server."""
+    sigma = 0.8
+    srv = make_server(synthesizer, slots=2, chunk_steps=8, max_text_len=80,
+                      sigma=sigma, retain_sessions=True)
+    # five requests into two slots: sids 2..4 join recycled slots
+    seeds = [11, 22, 33, 44, 55]
+    wavs = srv.run(TEXTS, seeds=seeds)
+
+    for i in (0, 2, 4):   # fresh slot, first recycled join, later join
+        solo = make_server(synthesizer, slots=1, chunk_steps=8,
+                           max_text_len=80, sigma=sigma)
+        ref = solo.run([TEXTS[i]], seeds=[seeds[i]])[0]
+        np.testing.assert_allclose(wavs[i], ref, atol=3e-4,
+                                   err_msg=f"text {i}")
+
+
+def test_server_quantized_decode(synthesizer):  # noqa: F811
+    """The int8-decoder serving path drives the same scheduler; sessions
+    complete with finite audio of gate-or-contract length."""
+    from text2speech_tpu.infer import Synthesizer
+
+    q = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables, use_denoiser=False,
+        quantized_decode=True,
+    )
+    srv = make_server(q, slots=2, chunk_steps=8, max_text_len=80,
+                      retain_sessions=True)
+    wavs = srv.run(TEXTS[:3])
+    hop = WG.upsample_stride
+    for sid, wav in wavs.items():
+        s = srv.sessions[sid]
+        tl = min(s.out_len, srv.requested)
+        assert wav.shape == (tl * hop,)
+        assert np.isfinite(wav).all()
+
+
+def test_server_rejects_overlong_text(synthesizer):  # noqa: F811
+    srv = make_server(synthesizer, slots=1, chunk_steps=8, max_text_len=8)
+    srv.submit("아주 아주 아주 긴 문장입니다.")
+    with pytest.raises(ValueError, match="max_text_len"):
+        srv.step()
+
+
+# --- toy-driven scheduler test (exact arithmetic, no models) ---------------
+
+
+def _toy_batcher(slots, stop_at_by_req, cs=4, requested=16):
+    """ContinuousBatcher over deterministic toy callables.
+
+    A request is an integer uid; its decode emits mel[c, k] =
+    uid*1000 + step + c/10 and its gate fires after ``stop_at_by_req[uid]``
+    frames.  Postnet residual is zero; the toy vocoder is local:
+    audio[2k:2k+2] = mel[0, k] + noise[k].  prf=1/ov=1 keep the window
+    machinery engaged while every value stays exactly reconstructable.
+    """
+    n_mel, prf, ov, gpf, hop = 2, 1, 1, 1, 2
+
+    def admit_fn(uid, seed):
+        return {
+            "uid": jnp.asarray(float(uid)),
+            "t0": jnp.asarray(0.0),
+            "stop": jnp.asarray(float(stop_at_by_req[uid])),
+            "done": jnp.asarray(False),
+        }
+
+    def init_batch_fn():
+        z = jnp.zeros((slots,))
+        return {"uid": z, "t0": z, "stop": z + 10_000.0,
+                "done": jnp.zeros((slots,), bool)}
+
+    def decode_fn(tree, keys):
+        n = keys.shape[0]
+        steps = tree["t0"][:, None] + jnp.arange(n)[None, :]      # [B, n]
+        mel = (tree["uid"][:, None, None] * 1000.0
+               + steps[:, None, :]
+               + jnp.arange(n_mel)[None, :, None] / 10.0)
+        # active marks frames at-or-before the stop frame, like the model
+        active = (steps <= tree["stop"][:, None]) & ~tree["done"][:, None]
+        done = tree["done"] | (steps[:, -1] >= tree["stop"])
+        new = dict(tree)
+        new["t0"] = tree["t0"] + n
+        new["done"] = done
+        return new, mel, active, done
+
+    def postnet_fn(wins):
+        return jnp.zeros_like(wins)
+
+    def vocode_fn(mel, noise, sigma):
+        base = jnp.repeat(mel[:, 0, :], hop, axis=-1)
+        nz = jnp.repeat(noise[0][..., 0], hop // gpf, axis=-1)
+        return base + nz
+
+    def key_fn(seed):
+        return np.asarray(
+            jax.random.split(jax.random.PRNGKey(seed),
+                             -(-requested // cs) * cs))
+
+    def draw_noise_fn(key):
+        return (np.asarray(
+            jax.random.normal(key, (cs * gpf, 1)), np.float32),)
+
+    return ContinuousBatcher(
+        slots=slots, chunk_steps=cs, requested=requested, prf=prf, ov=ov,
+        n_mel=n_mel, gpf=gpf, hop=hop, noise_widths=(1,), sigma=0.0,
+        admit_fn=admit_fn, init_batch_fn=init_batch_fn, decode_fn=decode_fn,
+        postnet_fn=postnet_fn, vocode_fn=vocode_fn, key_fn=key_fn,
+        draw_noise_fn=draw_noise_fn, retain_sessions=True,
+    )
+
+
+def _toy_expected(srv, uid, sid):
+    """Exact expected audio: mel[0, k] = uid*1000 + k over the true length,
+    plus the session's own noise stream."""
+    s = srv.sessions[sid]
+    tl = min(s.out_len, srv.requested)
+    mel0 = uid * 1000.0 + np.arange(tl)
+    noise = srv._sess_noise(s, tl)[0][:tl, 0]
+    return np.repeat(mel0 + noise, srv.hop // 1)[: tl * srv.hop], tl
+
+
+def test_toy_server_staggered_gates_and_slot_reuse():
+    # uid -> stop frame: uid 0 stops fast, uid 1 runs to the contract,
+    # uid 2 queues behind both and must take uid 0's freed slot
+    stop = {0: 2, 1: 99, 2: 5}
+    srv = _toy_batcher(slots=2, stop_at_by_req=stop)
+    sids = {uid: srv.submit(uid) for uid in (0, 1, 2)}
+
+    final_round: dict[int, int] = {}
+    parts: dict[int, list] = {sid: [] for sid in sids.values()}
+    rounds = 0
+    while not srv.idle:
+        rounds += 1
+        assert rounds < 50, "server did not converge"
+        for ev in srv.step():
+            if ev.final:
+                final_round[ev.sid] = rounds
+            elif ev.audio is not None:
+                parts[ev.sid].append(ev.audio)
+
+    # fast session finished strictly before the slow one
+    assert final_round[sids[0]] < final_round[sids[1]]
+    # the queued session started in the freed slot and also finished
+    assert srv.sessions[sids[2]].slot == srv.sessions[sids[0]].slot
+    assert sids[2] in final_round
+
+    for uid, sid in sids.items():
+        audio = np.concatenate(parts[sid])
+        want, tl = _toy_expected(srv, uid, sid)
+        assert tl == min(stop[uid] + 1, srv.requested)  # post-stop excluded
+        np.testing.assert_allclose(audio, want, atol=1e-4,
+                                   err_msg=f"uid {uid}")
+
+
+def test_toy_server_idle_slots_are_harmless():
+    """A half-empty server produces the same audio as a full one."""
+    stop = {0: 6, 1: 6, 2: 6, 3: 6}
+    a = _toy_batcher(slots=4, stop_at_by_req=stop)
+    outs_a = a.run([0])
+    b = _toy_batcher(slots=4, stop_at_by_req=stop)
+    outs_b = b.run([0, 1, 2, 3])
+    np.testing.assert_allclose(outs_a[0], outs_b[0], atol=1e-4)
+
+
+def test_toy_server_stats_account_rounds():
+    stop = {0: 2, 1: 10}
+    srv = _toy_batcher(slots=2, stop_at_by_req=stop)
+    srv.run([0, 1])
+    st = srv.stats
+    assert st["admitted"] == 2
+    assert st["row_steps"] == st["rounds"] * 2 * srv.cs
+    assert 0 < st["active_row_steps"] <= st["row_steps"]

@@ -72,11 +72,26 @@ class Prenet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dropout_rng: jax.Array) -> jnp.ndarray:
+        # dropout_rng is either ONE key (shape [2]; batch rows share the
+        # per-step key, draws span the whole [B, ...] activation — the batch
+        # decode semantics) or PER-ROW keys (shape [B, 2]; each row's mask
+        # derives only from its own key, making a row's dropout stream
+        # independent of batch size and slot — what the continuous-batching
+        # server needs so a session's output doesn't depend on when it
+        # joined the batch)
+        per_row = dropout_rng.ndim == 2
         for i, size in enumerate(self.sizes):
             x = nn.Dense(size, use_bias=False, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 0.5, x.shape)
+            if per_row:
+                splits = jax.vmap(jax.random.split)(dropout_rng)  # [B, 2, 2]
+                dropout_rng, sub = splits[:, 0], splits[:, 1]
+                keep = jax.vmap(
+                    lambda k: jax.random.bernoulli(k, 0.5, x.shape[1:])
+                )(sub)
+            else:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                keep = jax.random.bernoulli(sub, 0.5, x.shape)
             x = jnp.where(keep, x / 0.5, 0.0)
         return x
 
@@ -507,7 +522,14 @@ class Tacotron2(nn.Module):
         ``max_decoder_steps`` scan (reference break-loop:
         ``tacotron.py:447-461``).  Feeding consecutive slices of
         ``jax.random.split(derive_rng-result, T)`` makes the chunked decode
-        bitwise-identical to one :meth:`inference` scan."""
+        bitwise-identical to one :meth:`inference` scan.
+
+        ``step_rngs`` may instead be PER-ROW keys ``[n_steps, B]``
+        (array shape ``[n_steps, B, 2]``): each row's prenet-dropout draws
+        then derive only from its own key stream, so a row's decode is
+        independent of batch size and of the other rows — the contract the
+        continuous-batching server (:mod:`..server`) relies on to admit
+        sessions into arbitrary slots mid-flight."""
         hp = self.hp
         B, T_in, _ = memory.shape
         mask = (
@@ -519,7 +541,11 @@ class Tacotron2(nn.Module):
 
         def body(carry, rng_t):
             state, frame, finished = carry
-            rng_pre, rng_step = jax.random.split(rng_t)
+            if rng_t.ndim == 2:          # per-row keys [B, 2]
+                splits = jax.vmap(jax.random.split)(rng_t)
+                rng_pre, rng_step = splits[:, 0], splits[:, 1][0]
+            else:
+                rng_pre, rng_step = jax.random.split(rng_t)
             pre = self.decoder.prenet(frame, rng_pre)
             state, (mel_frame, gate, weights) = self.decoder.step(
                 state, pre, memory, processed_memory, mask, rng_step, False

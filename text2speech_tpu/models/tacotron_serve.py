@@ -176,15 +176,27 @@ def decode_chunk_serve(
     def body(carry, rng_t):
         st, frame, finished = carry
         eps = jnp.sum(st.attention_h[0, :1]).astype(jnp.float32) * 0
-        rng_pre, rng_step = jax.random.split(rng_t)
+        per_row = rng_t.ndim == 2        # [B, 2] per-row keys (see
+        if per_row:                      # Tacotron2.decode_chunk docstring)
+            splits = jax.vmap(jax.random.split)(rng_t)
+            rng_pre, rng_step = splits[:, 0], splits[:, 1][0]
+        else:
+            rng_pre, rng_step = jax.random.split(rng_t)
 
         # prenet (dropout always on; key splits mirror Prenet.__call__)
         x = frame.astype(dtype)
         rng = rng_pre
         for name in ("prenet_fc0", "prenet_fc1"):
             x = jax.nn.relu(_qdot(x, dp[name], eps, dtype))
-            rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 0.5, x.shape)
+            if per_row:
+                splits = jax.vmap(jax.random.split)(rng)
+                rng, sub = splits[:, 0], splits[:, 1]
+                keep = jax.vmap(
+                    lambda k: jax.random.bernoulli(k, 0.5, x.shape[1:])
+                )(sub)
+            else:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 0.5, x.shape)
             x = jnp.where(keep, x / 0.5, 0.0)
 
         # attention LSTM (the flax step's rng_att/rng_dec derive from

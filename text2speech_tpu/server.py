@@ -1,0 +1,530 @@
+"""Continuous-batching streaming TTS server.
+
+The reference synthesizes one request at a time (``inference.py:80-95``) and
+has no serving layer.  This module is the TPU-native serving story built on
+the measured decode bound (bench.py): autoregressive Tacotron decode is
+WEIGHT-STREAMING-bound (~36 MB of decoder weights per step against HBM), so
+extra rows in the batched decode scan are nearly free — idle rows waste no
+meaningful chip time.  The server therefore keeps ONE fixed-shape B-slot
+decode batch running at all times and admits queued sessions into freed
+slots mid-flight (continuous batching, the same scheduling idea as modern
+LLM serving engines, applied to TTS):
+
+* **Static shapes everywhere** — one decode compile (``[B]`` rows x
+  ``chunk_steps``), one postnet-window compile, one vocoder-window compile;
+  admission writes a session's encoder memory / decoder carry into its slot
+  row with a jitted ``dynamic_update_index_in_dim`` tree update (slot index
+  is a traced argument, so admissions never retrace).
+* **Session independence** — decode runs with PER-ROW dropout keys
+  (``Tacotron2.decode_chunk`` per-row mode), so a session's mel stream
+  depends only on its own ``(text, seed)``, never on which slot it landed
+  in, when it joined, or who shares the batch.  Noise for the vocoder is a
+  per-session block stream (``fold_in(session_key, block)``), position-
+  consistent across windows: a session's concatenated audio equals a
+  single-pass vocode of its final mel with its own noise to float
+  tolerance — the same invariant the lockstep streaming engine pins
+  (``infer.incremental_vocode_stream_batch``).
+* **Per-slot frontiers** — unlike the lockstep engine (all rows share one
+  decode clock), every slot carries its own decode/postnet/vocode
+  frontiers, so sessions at different progress coexist in one batch.  A
+  session's slot frees as soon as its audio is fully flushed (its valid
+  frames cleared the postnet receptive field and the vocoder windows); the
+  next queued request is admitted at the start of the following round.
+
+Scheduling per ``step()`` round:
+
+1. admit queued sessions into free slots (jitted row placement);
+2. one batched ``decode_chunk`` of ``chunk_steps`` frames for ALL slots
+   (per-row keys; free slots decode garbage — they ride the same streamed
+   weights, which is the whole point);
+3. postnet over fixed-width windows (``chunk + 2*prf`` frames) of each
+   advancing slot, batched across slots into one call;
+4. vocoder over fixed-width receptive-field windows (``chunk + 2*ov``
+   frames) of each slot's postnet output with its own noise stream,
+   batched across slots into one call; early-gate slots flush without
+   waiting for anyone;
+5. emit ``StreamEvent(sid, audio_chunk)`` per ready window and a final
+   event when a session completes.
+
+Window/edge rules (start pinning, true-length bounding, zero-fill ==
+conv padding only) are the streaming engine's — see
+``infer.incremental_vocode_stream_batch``'s docstring for the derivations.
+
+Reference behavior served: ``tacotron/tacotron.py:431-466`` (decode loop)
++ ``inference.py:80-95`` (mel -> waveform), re-architected as a
+multi-session scheduler.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class StreamEvent:
+    """One server emission: an audio chunk for session ``sid``, or (with
+    ``audio=None, final=True``) the session-complete marker."""
+
+    sid: int
+    audio: np.ndarray | None
+    final: bool = False
+
+
+@dataclass
+class _Session:
+    sid: int
+    slot: int
+    keys: np.ndarray            # [limit, 2] per-step decode keys
+    noise_key: jax.Array
+    # decode-side frontiers
+    t: int = 0                  # decoded frames
+    out_len: int = 0            # active frames within the contract
+    gate_fired: bool = False
+    cap: int = 0                # min(t, requested): real decoded frames
+    mel_final: bool = False
+    # postnet-side
+    mel_parts: list = field(default_factory=list)    # raw decode chunks
+    post_parts: list = field(default_factory=list)   # postnet output
+    emitted: int = 0            # postnet frames emitted
+    # vocoder-side
+    E: int = 0                  # frames vocoded+emitted
+    flushed: bool = False
+    noise_blocks: list = field(default_factory=list)  # per-comp np arrays
+    noise_frames: int = 0
+
+    def mel_cat(self) -> np.ndarray:
+        return (np.concatenate(self.mel_parts, axis=-1)
+                if len(self.mel_parts) > 1 else self.mel_parts[0])
+
+    def post_cat(self) -> np.ndarray:
+        return (np.concatenate(self.post_parts, axis=-1)
+                if len(self.post_parts) > 1 else self.post_parts[0])
+
+
+class ContinuousBatcher:
+    """Slot scheduler over injected device callables (pure scheduling here;
+    :func:`make_server` wires it to a :class:`..infer.Synthesizer`).
+
+    Callables (all shapes static):
+
+    * ``admit_fn(request, seed) -> row_tree`` — per-session batch-row
+      pytree (encoder memory row, length, zeroed decoder carry, ...);
+    * ``init_batch_fn() -> batch_tree`` — the B-slot batch pytree;
+    * ``decode_fn(batch_tree, keys [chunk, B, 2]) ->
+      (batch_tree, mel [B, n_mel, chunk], active [B, chunk],
+      finished [B])``;
+    * ``postnet_fn(wins [B, n_mel, chunk+2*prf]) -> residual`` (same
+      shape; output mel = window + residual);
+    * ``vocode_fn(mel [B, n_mel, W], noise_tuple, sigma) ->
+      [B, W*gpf*n_group]`` with ``W = chunk + 2*ov``;
+    * ``key_fn(seed) -> np [limit, 2]`` per-session decode step keys;
+    * ``draw_noise_fn(key) -> tuple of np [chunk*gpf, width]`` one
+      noise block per flow component.
+    """
+
+    def __init__(self, *, slots: int, chunk_steps: int, requested: int,
+                 prf: int, ov: int, n_mel: int, gpf: int, hop: int,
+                 noise_widths: tuple[int, ...], sigma: float,
+                 admit_fn, init_batch_fn, decode_fn, postnet_fn, vocode_fn,
+                 key_fn, draw_noise_fn, vocode_exact_fn=None,
+                 retain_sessions: bool = False):
+        assert chunk_steps >= prf, (
+            "chunk_steps must cover the postnet receptive field "
+            f"({chunk_steps} < {prf}) so emission frontiers advance "
+            "every round")
+        self.slots = slots
+        self.cs = chunk_steps
+        self.requested = requested
+        self.limit = -(-requested // chunk_steps) * chunk_steps
+        self.prf = prf
+        self.ov = ov
+        self.n_mel = n_mel
+        self.gpf = gpf
+        self.hop = hop
+        self.noise_widths = tuple(noise_widths)
+        self.sigma = sigma
+        self.Wp = chunk_steps + 2 * prf     # postnet window, frames
+        self.Wv = chunk_steps + 2 * ov      # vocoder window, frames
+
+        self._admit_fn = admit_fn
+        self._decode_fn = decode_fn
+        self._postnet_fn = postnet_fn
+        self._vocode_fn = vocode_fn
+        self._vocode_exact_fn = vocode_exact_fn or vocode_fn
+        self._key_fn = key_fn
+        self._draw_noise_fn = draw_noise_fn
+
+        # slot index is a TRACED argument: admissions into any slot hit one
+        # compile (CLAUDE.md gotcha: compiles on this rig take minutes)
+        self._place = jax.jit(
+            lambda tree, row, i: jax.tree.map(
+                lambda a, b: jax.lax.dynamic_update_index_in_dim(
+                    a, b, i, 0),
+                tree, row,
+            )
+        )
+        self._batch = init_batch_fn()
+        self._queue: deque = deque()
+        self._slots: list[_Session | None] = [None] * slots
+        self._next_sid = 0
+        self._retain = retain_sessions
+        # completed sessions are dropped unless retain_sessions=True (their
+        # mel/noise buffers are per-utterance-sized; a long-lived server
+        # must not accumulate them) — tests retain to assert invariants
+        self.sessions: dict[int, _Session] = {}
+        self.stats = {"rounds": 0, "row_steps": 0, "active_row_steps": 0,
+                      "postnet_calls": 0, "vocoder_calls": 0,
+                      "admitted": 0}
+
+    # --- public API --------------------------------------------------------
+
+    def submit(self, request, seed: int | None = None) -> int:
+        """Queue a synthesis request; returns its session id.  ``seed``
+        defaults to the session id; a session's output is a function of
+        ``(request, seed)`` only."""
+        sid = self._next_sid
+        self._next_sid += 1
+        self._queue.append((sid, request, sid if seed is None else seed))
+        return sid
+
+    @property
+    def idle(self) -> bool:
+        return not self._queue and all(s is None for s in self._slots)
+
+    @property
+    def active_count(self) -> int:
+        return sum(s is not None for s in self._slots)
+
+    def step(self) -> list[StreamEvent]:
+        """One scheduling round: admit, decode one chunk for every slot,
+        emit every audio window that became ready.  Returns the round's
+        events (possibly empty during pipeline warmup)."""
+        self._admit()
+        live = [s for s in self._slots if s is not None]
+        if not live:
+            return []
+        self.stats["rounds"] += 1
+        self.stats["row_steps"] += self.slots * self.cs
+        self.stats["active_row_steps"] += len(live) * self.cs
+
+        # --- decode one chunk for all slots (per-row keys) ----------------
+        keys = np.zeros((self.cs, self.slots, 2), np.uint32)
+        for s in live:
+            keys[:, s.slot] = s.keys[s.t : s.t + self.cs]
+        self._batch, mel_c, active, finished = self._decode_fn(
+            self._batch, jnp.asarray(keys))
+        mel_c = np.asarray(mel_c, np.float32)
+        active = np.asarray(active)
+        finished = np.asarray(finished)
+
+        post_tasks: list = []
+        for s in live:
+            r = s.slot
+            s.mel_parts.append(mel_c[r])
+            prev_t = s.t
+            s.t += self.cs
+            n_contract = max(0, min(self.cs, self.requested - prev_t))
+            s.out_len += int(active[r, :n_contract].sum())
+            s.gate_fired = bool(finished[r])
+            s.cap = min(s.t, self.requested)
+            if not s.mel_final:
+                # all valid frames emittable once the decode frontier
+                # covers the last valid frame's postnet context (or the
+                # contract ends — context past `requested` is conv
+                # zero-padding in the batch path too)
+                ctx_end = min(s.out_len + self.prf, self.requested)
+                s.mel_final = s.t >= self.limit or (
+                    s.gate_fired and s.cap >= ctx_end)
+            tl = min(s.out_len, self.requested)
+            upto = (max(s.emitted, tl) if s.mel_final
+                    else max(s.emitted, s.cap - self.prf))
+            if upto > s.emitted:
+                post_tasks.append((s, max(0, s.emitted - self.prf),
+                                   s.emitted, upto))
+
+        if post_tasks:
+            self._run_postnet(post_tasks)
+
+        # --- vocoder windows over the advanced postnet frontiers ----------
+        events: list[StreamEvent] = []
+        voc_tasks: list = []
+        shorts: list = []
+        for s in live:
+            if s.flushed:
+                continue
+            tl = min(s.out_len, s.emitted, self.requested)
+            while not s.mel_final and tl >= s.E + self.cs + self.ov:
+                voc_tasks.append((s, max(s.E - self.ov, 0), s.E,
+                                  s.E + self.cs, tl))
+                s.E += self.cs
+            if s.mel_final:
+                # postnet emitted >= tl by construction of `upto` above
+                if s.E == 0 and tl <= self.Wv:
+                    if tl > 0:
+                        shorts.append((s, tl))
+                else:
+                    while s.E < tl:
+                        kt = min(s.E + self.cs, tl)
+                        ws = max(0, min(s.E - self.ov, tl - self.Wv))
+                        voc_tasks.append((s, ws, s.E, kt, tl))
+                        s.E = kt
+                s.flushed = True
+
+        for s, chunk in self._run_vocoder(voc_tasks):
+            events.append(StreamEvent(s.sid, chunk))
+        for s, tl in shorts:
+            events.append(StreamEvent(s.sid, self._vocode_short(s, tl)))
+
+        # --- free completed slots ------------------------------------------
+        for s in live:
+            if s.flushed and s.mel_final:
+                events.append(StreamEvent(s.sid, None, final=True))
+                self._slots[s.slot] = None
+                if not self._retain:
+                    self.sessions.pop(s.sid, None)
+        return events
+
+    def run(self, requests, seeds=None) -> dict[int, np.ndarray]:
+        """Convenience driver: submit everything, step until idle, return
+        ``{sid: concatenated audio}`` (streaming callers use :meth:`step`
+        directly)."""
+        sids = [self.submit(r, None if seeds is None else seeds[i])
+                for i, r in enumerate(requests)]
+        parts: dict[int, list] = {sid: [] for sid in sids}
+        while not self.idle:
+            for ev in self.step():
+                if ev.audio is not None:
+                    parts[ev.sid].append(ev.audio)
+        return {
+            sid: (np.concatenate(chunks) if chunks
+                  else np.zeros((0,), np.float32))
+            for sid, chunks in parts.items()
+        }
+
+    # --- internals ----------------------------------------------------------
+
+    def _admit(self):
+        for slot in range(self.slots):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            sid, request, seed = self._queue.popleft()
+            row = self._admit_fn(request, seed)
+            self._batch = self._place(self._batch, row, slot)
+            s = _Session(
+                sid=sid, slot=slot, keys=np.asarray(self._key_fn(seed)),
+                noise_key=jax.random.fold_in(
+                    jax.random.PRNGKey(seed + 1), 0x5EED),
+            )
+            self._slots[slot] = s
+            self.sessions[sid] = s
+            self.stats["admitted"] += 1
+
+    def _run_postnet(self, tasks):
+        """Batched postnet over fixed-width windows; window content is real
+        decoded frames on ``[ws, min(ws+Wp, cap))`` and zero beyond —
+        exactly the conv padding the full-sequence postnet sees (frames
+        past ``cap`` either don't exist yet and are outside every emitted
+        frame's receptive field, or are past ``requested`` where the batch
+        path pads with zeros)."""
+        B = self.slots
+        for g0 in range(0, len(tasks), B):
+            group = tasks[g0 : g0 + B]
+            rows = group + [group[0]] * (B - len(group))
+            wins = np.zeros((B, self.n_mel, self.Wp), np.float32)
+            for j, (s, ws, _kf, _kt) in enumerate(rows):
+                mel = s.mel_cat()
+                e = min(ws + self.Wp, s.cap)
+                wins[j, :, : e - ws] = mel[:, ws:e]
+            res = np.asarray(self._postnet_fn(jnp.asarray(wins)),
+                             np.float32)
+            self.stats["postnet_calls"] += 1
+            out = wins + res
+            for j, (s, ws, kf, kt) in enumerate(group):
+                s.post_parts.append(out[j, :, kf - ws : kt - ws])
+                s.emitted = kt
+
+    def _sess_noise(self, s: _Session, frames: int):
+        """Session noise components covering ``frames`` mel frames,
+        extended block-by-block (``fold_in(session_key, block)``) so any
+        window slices the same position-consistent stream."""
+        while s.noise_frames < frames:
+            j = len(s.noise_blocks)
+            block = self._draw_noise_fn(jax.random.fold_in(s.noise_key, j))
+            s.noise_blocks.append([np.asarray(c, np.float32) for c in block])
+            s.noise_frames += self.cs
+        n_comp = len(self.noise_widths)
+        return [
+            np.concatenate([blk[c] for blk in s.noise_blocks], axis=0)
+            for c in range(n_comp)
+        ]
+
+    def _run_vocoder(self, tasks):
+        """Batched vocode over fixed receptive-field windows of each slot's
+        postnet output with its own noise stream; same pinning rules as the
+        lockstep engine (window real-fill bounded by the row's true length,
+        start clamped to 0, flush windows pinned inside the utterance)."""
+        if not tasks:
+            return
+        B = self.slots
+        for g0 in range(0, len(tasks), B):
+            group = tasks[g0 : g0 + B]
+            rows = group + [group[0]] * (B - len(group))
+            wmel = np.zeros((B, self.n_mel, self.Wv), np.float32)
+            wnoise = [
+                np.zeros((B, self.Wv * self.gpf, w), np.float32)
+                for w in self.noise_widths
+            ]
+            for j, (s, ws, _kf, _kt, fl) in enumerate(rows):
+                lo, e = max(ws, 0), min(ws + self.Wv, fl)
+                post = s.post_cat()
+                wmel[j, :, lo - ws : e - ws] = post[:, lo:e]
+                comps = self._sess_noise(s, e)
+                for z, comp in zip(wnoise, comps):
+                    z[j, (lo - ws) * self.gpf : (e - ws) * self.gpf] = (
+                        comp[lo * self.gpf : e * self.gpf])
+            audio = np.asarray(self._vocode_fn(
+                jnp.asarray(wmel),
+                tuple(jnp.asarray(z) for z in wnoise), self.sigma))
+            self.stats["vocoder_calls"] += 1
+            for j, (s, ws, kf, kt, _fl) in enumerate(group):
+                yield s, audio[j, (kf - ws) * self.hop : (kt - ws) * self.hop]
+
+    def _vocode_short(self, s: _Session, tl: int) -> np.ndarray:
+        """A session shorter than one window vocodes its exact length in
+        one pass (zero-filling the window tail is NOT conv padding for the
+        flows — zero noise positions produce bias-driven hidden values
+        that would leak back into the valid frames; see the lockstep
+        engine's derivation)."""
+        post = s.post_cat()[:, :tl]
+        comps = self._sess_noise(s, tl)
+        nz = tuple(
+            jnp.asarray(c[None, : tl * self.gpf]) for c in comps
+        )
+        audio = np.asarray(self._vocode_exact_fn(
+            jnp.asarray(post[None]), nz, self.sigma))
+        self.stats["vocoder_calls"] += 1
+        return audio[0, : tl * self.hop]
+
+
+def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
+                max_text_len: int = 256, max_steps: int | None = None,
+                sigma: float = 0.666,
+                retain_sessions: bool = False) -> ContinuousBatcher:
+    """Build a :class:`ContinuousBatcher` over a
+    :class:`..infer.Synthesizer`'s jitted handles (same decode / postnet /
+    vocoder programs as the lockstep streaming path; honors the
+    synthesizer's ``quantized_decode`` / fused / int8 vocoder settings).
+
+    ``max_text_len`` is the static encoder width every session pads to
+    (one compile); texts longer than it are rejected at ``submit`` time by
+    the admit function."""
+    from .models.chunked import (draw_noise, noise_schedule,
+                                 receptive_overlap_frames)
+    from .models.tacotron2 import DecoderState, Tacotron2
+    from .text import encode_batch
+
+    hp = synth.hp
+    cfg = synth.wg_cfg
+    requested = max_steps or hp.max_decoder_steps
+    prf = (hp.postnet_kernel_size // 2) * hp.postnet_n_convolutions
+    ov = receptive_overlap_frames(cfg)
+    gpf = cfg.upsample_stride // cfg.n_group
+    limit = -(-requested // chunk_steps) * chunk_steps
+
+    quantized = synth.quantized_decode
+    taco_vars = synth.taco_variables
+
+    # probe the compute dtype once (matches text_to_mel_stream's state init)
+    probe_ids = jnp.zeros((1, max_text_len), jnp.int32)
+    probe_mem = synth._encode_mem(taco_vars, probe_ids, jnp.asarray([1]))
+    dt = probe_mem.dtype
+    enc_dim = probe_mem.shape[-1]
+
+    def zero_state(B):
+        z = lambda d: jnp.zeros((B, d), dt)
+        return DecoderState(
+            z(hp.attention_rnn_dim), z(hp.attention_rnn_dim),
+            z(hp.decoder_rnn_dim), z(hp.decoder_rnn_dim),
+            jnp.zeros((B, max_text_len), dt),
+            jnp.zeros((B, max_text_len), dt),
+            z(hp.enc_conv_channels),
+        )
+
+    def init_batch_fn():
+        tree = {
+            "memory": jnp.zeros((slots, max_text_len, enc_dim), dt),
+            "lengths": jnp.ones((slots,), jnp.int32),
+            "state": zero_state(slots),
+            "frame": jnp.zeros((slots, hp.n_mel_channels), dt),
+            "finished": jnp.zeros((slots,), bool),
+        }
+        if quantized:
+            pm = synth._pmem_fn(taco_vars, tree["memory"])
+            tree["pmem"] = pm
+        return tree
+
+    def admit_fn(text, seed):
+        ids_np, lens_np = encode_batch([text])
+        if ids_np.shape[1] > max_text_len:
+            raise ValueError(
+                f"text encodes to {ids_np.shape[1]} symbols > server "
+                f"max_text_len={max_text_len}")
+        ids = np.zeros((1, max_text_len), np.int32)
+        ids[:, : ids_np.shape[1]] = ids_np
+        mem = synth._encode_mem(
+            taco_vars, jnp.asarray(ids), jnp.asarray(lens_np))
+        row = {
+            "memory": mem[0],
+            "lengths": jnp.asarray(int(lens_np[0]), jnp.int32),
+            "state": jax.tree.map(lambda a: a[0], zero_state(1)),
+            "frame": jnp.zeros((hp.n_mel_channels,), dt),
+            "finished": jnp.asarray(False),
+        }
+        if quantized:
+            row["pmem"] = synth._pmem_fn(taco_vars, mem)[0]
+        return row
+
+    if quantized:
+        def decode_fn(tree, keys):
+            carry, mel_c, _, _, active = synth._decode_chunk_q(
+                synth._dp_q, tree["memory"], tree["pmem"],
+                tree["state"], tree["frame"], tree["finished"],
+                keys, tree["lengths"])
+            new = dict(tree)
+            new["state"], new["frame"], new["finished"] = carry
+            return new, mel_c, active, carry[2]
+    else:
+        def decode_fn(tree, keys):
+            carry, mel_c, _, _, active = synth._decode_chunk(
+                taco_vars, tree["memory"], tree["state"], tree["frame"],
+                tree["finished"], keys, tree["lengths"])
+            new = dict(tree)
+            new["state"], new["frame"], new["finished"] = carry
+            return new, mel_c, active, carry[2]
+
+    def key_fn(seed):
+        base = synth._derive_rng(taco_vars, jax.random.PRNGKey(seed))
+        return np.asarray(jax.random.split(base, limit))
+
+    def draw_noise_fn(key):
+        block = draw_noise(cfg, key, 1, chunk_steps * gpf)
+        return tuple(np.asarray(c[0]) for c in block)
+
+    return ContinuousBatcher(
+        slots=slots, chunk_steps=chunk_steps, requested=requested,
+        prf=prf, ov=ov, n_mel=hp.n_mel_channels, gpf=gpf,
+        hop=cfg.upsample_stride,
+        noise_widths=tuple(noise_schedule(cfg)), sigma=sigma,
+        admit_fn=admit_fn, init_batch_fn=init_batch_fn,
+        decode_fn=decode_fn,
+        postnet_fn=lambda wins: synth._postnet_window(taco_vars, wins),
+        vocode_fn=lambda mel, nz, sg: synth._vocode_window(
+            synth._wg_serve_vars, mel, nz, sg),
+        key_fn=key_fn, draw_noise_fn=draw_noise_fn,
+        retain_sessions=retain_sessions,
+    )
