@@ -180,6 +180,27 @@ def main():
         + ", ".join(f"row {r}: {n} samples" for r, n in sessions.items())
     )
 
+    # 9. continuous batching --------------------------------------------------
+    # a production queue: more requests than slots; sessions are admitted
+    # into freed slots mid-flight while the fixed-shape decode batch keeps
+    # running (decode rows are weight-streaming-bound ~free), and each
+    # session's audio is a function of (text, seed) only.
+    from text2speech_tpu.server import make_server
+
+    srv = make_server(synth, slots=2, chunk_steps=8, max_text_len=96)
+    for text in ["안녕하세요.", "반갑습니다.", "세 번째 요청."]:
+        srv.submit(text)
+    served: dict = {}
+    while not srv.idle:
+        for ev in srv.step():
+            if ev.audio is not None:
+                served[ev.sid] = served.get(ev.sid, 0) + len(ev.audio)
+    print(
+        f"continuous batching: 3 requests through 2 slots in "
+        f"{srv.stats['rounds']} rounds — "
+        + ", ".join(f"sid {s}: {n} samples" for s, n in sorted(served.items()))
+    )
+
 
 if __name__ == "__main__":
     main()

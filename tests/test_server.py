@@ -115,6 +115,61 @@ def test_server_rejects_overlong_text(synthesizer):  # noqa: F811
         srv.step()
 
 
+def _tp_synth(synthesizer, mesh, data_axis):
+    from text2speech_tpu.parallel.serve import TPSynthesizer
+
+    return TPSynthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables,
+        mesh=mesh, data_axis=data_axis, chunk_steps=8,
+    )
+
+
+def test_server_tp_matches_single_device(synthesizer):  # noqa: F811
+    """The mesh-split server (TP decode + TP vocoder) reproduces the
+    single-device server per session — per-row keys make the dropout
+    streams identical, TP numerics are fp-tolerance equal."""
+    from jax.sharding import Mesh
+    from text2speech_tpu.server import make_server_tp
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
+    tps = _tp_synth(synthesizer, mesh, data_axis=None)
+    seeds = [7, 8, 9]
+    wav_tp = make_server_tp(tps, slots=2, chunk_steps=8, max_text_len=80,
+                            sigma=0.8).run(TEXTS[:3], seeds=seeds)
+    wav_s = make_server(synthesizer, slots=2, chunk_steps=8,
+                        max_text_len=80, sigma=0.8).run(
+        TEXTS[:3], seeds=seeds)
+    for sid in wav_s:
+        assert wav_tp[sid].shape == wav_s[sid].shape, sid
+        np.testing.assert_allclose(wav_tp[sid], wav_s[sid], atol=2e-3,
+                                   err_msg=f"sid {sid}")
+
+
+def test_server_tp_data_model_mesh(synthesizer):  # noqa: F811
+    """On a 2-D data x model mesh the per-row step keys are sharded
+    P(None, 'data'), so each data shard's rows still draw from their own
+    keys — sessions equal the single-device server."""
+    from jax.sharding import Mesh
+    from text2speech_tpu.server import make_server_tp
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]).reshape(2, 4),
+                ("data", "model"))
+    tps = _tp_synth(synthesizer, mesh, data_axis="data")
+    seeds = [3, 4]
+    wav_tp = make_server_tp(tps, slots=2, chunk_steps=8, max_text_len=80,
+                            sigma=0.8).run(TEXTS[:2], seeds=seeds)
+    wav_s = make_server(synthesizer, slots=2, chunk_steps=8,
+                        max_text_len=80, sigma=0.8).run(
+        TEXTS[:2], seeds=seeds)
+    for sid in wav_s:
+        assert wav_tp[sid].shape == wav_s[sid].shape, sid
+        np.testing.assert_allclose(wav_tp[sid], wav_s[sid], atol=2e-3,
+                                   err_msg=f"sid {sid}")
+
+
 # --- toy-driven scheduler test (exact arithmetic, no models) ---------------
 
 

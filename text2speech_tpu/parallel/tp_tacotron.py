@@ -35,6 +35,10 @@ always-on prenet dropout draws ``bernoulli(key, local_shape)`` — so a data
 shard's dropout masks equal a single-device run over THAT shard, not the
 row-slice of a full-batch run (same sampling distribution, different
 draws; ``tests/test_tp_tacotron.py`` pins the per-shard equivalence).
+PER-ROW step keys (``[n, B, 2]``; sharded ``P(None, 'data')`` so each
+shard sees its own rows' keys) remove even that divergence: each row's
+draws derive only from its own key, which is what the continuous-batching
+server (``..server.make_server_tp``) runs on.
 
 Composes with the int8 serving path: column slices keep per-output-channel
 scales bit-identical to the single-device ``quantize_decoder_params``
@@ -216,14 +220,23 @@ class TPTacotronDecoder:
                 lstm_fn=_make_tp_lstm_fn(dp_local, model_axis, dtype),
             )
 
-        self._fn = jax.jit(_shard_map_norep(
-            run,
-            mesh,
-            in_specs=(param_specs, bspec, bspec, state_spec, bspec, bspec,
-                      P(), bspec),
-            out_specs=((state_spec, bspec, bspec), bspec, bspec, bspec,
-                       bspec),
-        ))
+        def build(rng_spec):
+            return jax.jit(_shard_map_norep(
+                run,
+                mesh,
+                in_specs=(param_specs, bspec, bspec, state_spec, bspec,
+                          bspec, rng_spec, bspec),
+                out_specs=((state_spec, bspec, bspec), bspec, bspec, bspec,
+                           bspec),
+            ))
+
+        self._build = build
+        self._fn = build(P())
+        # per-row step keys ([n, B, 2]): the B axis must follow the batch
+        # sharding so each shard's body sees keys for ITS rows only (built
+        # lazily — only the continuous-batching server uses this mode)
+        self._rowkey_spec = P(None, da) if da else P()
+        self._fn_rowkeys = None
 
     def __call__(self, memory, processed_memory, state, frame, finished,
                  step_rngs, text_lengths=None):
@@ -244,11 +257,19 @@ class TPTacotronDecoder:
             ),
             state, self._state_spec,
         )
-        rep = NamedSharding(self.mesh, P())
-        return self._fn(
+        step_rngs = jnp.asarray(step_rngs)
+        if step_rngs.ndim == 3:          # per-row keys [n, B, 2]
+            if self._fn_rowkeys is None:
+                self._fn_rowkeys = self._build(self._rowkey_spec)
+            fn = self._fn_rowkeys
+            rng_sharding = NamedSharding(self.mesh, self._rowkey_spec)
+        else:
+            fn = self._fn
+            rng_sharding = NamedSharding(self.mesh, P())
+        return fn(
             self._dps, bput(memory), bput(processed_memory), state,
             bput(frame), bput(finished),
-            jax.device_put(jnp.asarray(step_rngs), rep), bput(text_lengths),
+            jax.device_put(step_rngs, rng_sharding), bput(text_lengths),
         )
 
     def initial_state(self, memory: jnp.ndarray) -> DecoderState:

@@ -528,3 +528,97 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
         retain_sessions=retain_sessions,
     )
+
+
+def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
+                   max_text_len: int = 256, max_steps: int | None = None,
+                   sigma: float = 0.666,
+                   retain_sessions: bool = False) -> ContinuousBatcher:
+    """Continuous batching over a ``parallel.serve.TPSynthesizer``: the same
+    scheduler, with every per-round device call mesh-split — the decode
+    chunk through the column-sharded ``TPTacotronDecoder`` (per-row step
+    keys ride ``P(None, 'data')``, so even under a data x model mesh each
+    row's dropout stream derives only from its own key) and the window
+    vocodes through ``TPWaveGlowServer``'s fused per-device kernels.  A
+    session's audio matches the single-device server for the same
+    ``(text, seed)`` to fp tolerance (``tests/test_server.py``)."""
+    from .models.chunked import (draw_noise, noise_schedule,
+                                 receptive_overlap_frames)
+    from .text import encode_batch
+
+    hp = tps.hp
+    cfg = tps.wg_cfg
+    requested = max_steps or hp.max_decoder_steps
+    prf = (hp.postnet_kernel_size // 2) * hp.postnet_n_convolutions
+    ov = receptive_overlap_frames(cfg)
+    gpf = cfg.upsample_stride // cfg.n_group
+    limit = -(-requested // chunk_steps) * chunk_steps
+
+    decoder, vocoder = tps._endpoints(slots)
+    _, vocoder1 = tps._endpoints(1)     # exact-length short utterances
+
+    probe_ids = jnp.zeros((1, max_text_len), jnp.int32)
+    probe_mem = tps._encode(tps._taco_vars, probe_ids, jnp.asarray([1]))
+    dt = probe_mem.dtype
+    enc_dim = probe_mem.shape[-1]
+
+    def init_batch_fn():
+        memory = jnp.zeros((slots, max_text_len, enc_dim), dt)
+        return {
+            "memory": memory,
+            "pmem": tps._pmem(tps._taco_vars, memory),
+            "lengths": jnp.ones((slots,), jnp.int32),
+            "state": decoder.initial_state(memory),
+            "frame": jnp.zeros((slots, hp.n_mel_channels), jnp.float32),
+            "finished": jnp.zeros((slots,), bool),
+        }
+
+    def admit_fn(text, seed):
+        ids_np, lens_np = encode_batch([text])
+        if ids_np.shape[1] > max_text_len:
+            raise ValueError(
+                f"text encodes to {ids_np.shape[1]} symbols > server "
+                f"max_text_len={max_text_len}")
+        ids = np.zeros((1, max_text_len), np.int32)
+        ids[:, : ids_np.shape[1]] = ids_np
+        mem = tps._encode(
+            tps._taco_vars, jnp.asarray(ids), jnp.asarray(lens_np))
+        return {
+            "memory": mem[0],
+            "pmem": tps._pmem(tps._taco_vars, mem)[0],
+            "lengths": jnp.asarray(int(lens_np[0]), jnp.int32),
+            "state": jax.tree.map(lambda a: a[0], decoder.initial_state(mem)),
+            "frame": jnp.zeros((hp.n_mel_channels,), jnp.float32),
+            "finished": jnp.asarray(False),
+        }
+
+    def decode_fn(tree, keys):
+        carry, mel_c, _, _, active = decoder(
+            tree["memory"], tree["pmem"], tree["state"], tree["frame"],
+            tree["finished"], keys, tree["lengths"])
+        new = dict(tree)
+        new["state"], new["frame"], new["finished"] = carry
+        return new, mel_c, active, carry[2]
+
+    def key_fn(seed):
+        base = tps._derive_rng(tps._taco_vars, jax.random.PRNGKey(seed))
+        return np.asarray(jax.random.split(base, limit))
+
+    def draw_noise_fn(key):
+        block = draw_noise(cfg, key, 1, chunk_steps * gpf)
+        return tuple(np.asarray(c[0]) for c in block)
+
+    return ContinuousBatcher(
+        slots=slots, chunk_steps=chunk_steps, requested=requested,
+        prf=prf, ov=ov, n_mel=hp.n_mel_channels, gpf=gpf,
+        hop=cfg.upsample_stride,
+        noise_widths=tuple(noise_schedule(cfg)), sigma=sigma,
+        admit_fn=admit_fn, init_batch_fn=init_batch_fn,
+        decode_fn=decode_fn,
+        postnet_fn=lambda wins: tps._postnet(tps._taco_vars, wins),
+        vocode_fn=lambda mel, nz, sg: vocoder(mel, None, sg, noise=nz),
+        vocode_exact_fn=lambda mel, nz, sg: vocoder1(
+            mel, None, sg, noise=nz),
+        key_fn=key_fn, draw_noise_fn=draw_noise_fn,
+        retain_sessions=retain_sessions,
+    )
