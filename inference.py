@@ -60,6 +60,16 @@ def main():
                              "vocoder's receptive field (first-audio "
                              "latency ~= one chunk, not the full decode)")
     parser.add_argument("--stream_chunk_steps", type=int, default=64)
+    parser.add_argument("--serve_slots", type=int, default=0,
+                        help="continuous-batching server mode: serve the "
+                             "input texts through N decode slots (requests "
+                             "join freed slots mid-flight), writing one wav "
+                             "per session as it completes")
+    parser.add_argument("--texts_file", default=None,
+                        help="one text per line; with --serve_slots these "
+                             "are the request queue (default: --text)")
+    parser.add_argument("--serve_max_text_len", type=int, default=256,
+                        help="static encoder width sessions pad to")
     args = parser.parse_args()
 
     hp = HParams.load(args.hparams) if args.hparams else HParams(
@@ -83,6 +93,46 @@ def main():
         import numpy as np
 
         from text2speech_tpu.dsp.audio import save_wav
+
+        if args.serve_slots:
+            import os
+            import time
+
+            from text2speech_tpu.server import make_server
+
+            if args.texts_file:
+                with open(args.texts_file, encoding="utf-8") as f:
+                    texts = [ln.strip() for ln in f if ln.strip()]
+            else:
+                texts = [args.text]
+            srv = make_server(
+                synth, slots=args.serve_slots,
+                chunk_steps=args.stream_chunk_steps,
+                max_text_len=args.serve_max_text_len, sigma=args.sigma,
+            )
+            sids = [srv.submit(t) for t in texts]
+            base, ext = os.path.splitext(args.out)
+            parts: dict = {sid: [] for sid in sids}
+            t0 = time.perf_counter()
+            first: dict = {}
+            while not srv.idle:
+                for ev in srv.step():
+                    if ev.final:
+                        path = f"{base}_{ev.sid}{ext or '.wav'}"
+                        save_wav(np.concatenate(parts[ev.sid]), path,
+                                 args.sample_rate)
+                        print(f"session {ev.sid} complete at "
+                              f"t={time.perf_counter() - t0:.2f}s -> {path}")
+                    elif ev.audio is not None:
+                        if ev.sid not in first:
+                            first[ev.sid] = time.perf_counter() - t0
+                            print(f"session {ev.sid} first audio at "
+                                  f"t={first[ev.sid]:.2f}s")
+                        parts[ev.sid].append(ev.audio)
+            print(f"served {len(texts)} sessions through "
+                  f"{args.serve_slots} slots in {srv.stats['rounds']} "
+                  f"rounds")
+            return
 
         if args.stream:
             import time

@@ -152,6 +152,33 @@ def test_inference_cli_stream(ckpts, tmp_path):
     assert sr == 22050 and wav.dtype == np.int16 and wav.size > 0
 
 
+def test_inference_cli_serve(ckpts, tmp_path):
+    """--serve_slots runs the continuous-batching server over a queue of
+    texts (more requests than slots) and writes one wav per session."""
+    texts = tmp_path / "texts.txt"
+    texts.write_text("안녕하세요.\n반갑습니다.\n세 번째 요청.\n",
+                     encoding="utf-8")
+    out = tmp_path / "serve.wav"
+    r = run_cli(
+        "inference.py",
+        ["--taco_checkpoint", ckpts["taco"],
+         "--waveglow_checkpoint", ckpts["wg"],
+         "--hparams", ckpts["hp"],
+         "--waveglow_config", ckpts["wg_cfg"],
+         "--texts_file", str(texts),
+         "--out", str(out),
+         "--serve_slots", "2", "--stream_chunk_steps", "8",
+         "--serve_max_text_len", "64"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "served 3 sessions through 2 slots" in r.stdout
+    for sid in range(3):
+        sr, wav = wavfile.read(str(tmp_path / f"serve_{sid}.wav"))
+        assert sr == 22050 and wav.dtype == np.int16 and wav.size > 0
+        assert f"session {sid} first audio" in r.stdout
+
+
 def test_waveglow_inference_cli(ckpts, tmp_path):
     frames = 64
     mel = np.random.RandomState(0).randn(8, frames).astype(np.float32)
