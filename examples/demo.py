@@ -14,6 +14,7 @@ this is the equivalent guided tour — runs on CPU or TPU in a few minutes:
 6. serves the same chain tensor-parallel over a device mesh (if >=2 devices)
 7. streams one utterance's audio incrementally (first-audio latency path)
 8. serves two concurrent streaming sessions through one batched decode
+9. runs the continuous-batching server (requests join freed slots mid-flight)
 """
 
 import argparse
