@@ -115,6 +115,83 @@ def test_server_rejects_overlong_text(synthesizer):  # noqa: F811
         srv.step()
 
 
+def test_server_checkpoint_swap_recompile_free(synthesizer):  # noqa: F811
+    """Synthesizer.load_weights swaps checkpoints under a running server:
+    the next session serves the new weights and NO jitted program
+    recompiles (params are jit arguments everywhere)."""
+    from text2speech_tpu.infer import Synthesizer
+
+    synth = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables, use_denoiser=False,
+    )
+    srv = make_server(synth, slots=1, chunk_steps=8, max_text_len=80,
+                      retain_sessions=True)
+    w0 = next(iter(srv.run([TEXTS[0]], seeds=[5]).values()))
+    caches = lambda: (synth._decode_chunk._cache_size(),
+                      synth._vocode_window._cache_size(),
+                      synth._postnet_window._cache_size(),
+                      synth._encode_mem._cache_size())
+    c0 = caches()
+
+    prng = np.random.RandomState(3)
+    perturb = lambda tree: jax.tree.map(
+        lambda x: (x + (0.03 * prng.randn(*x.shape)).astype(x.dtype))
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+    synth.load_weights(perturb(synthesizer.taco_variables),
+                       perturb(synthesizer.wg_variables))
+
+    # same (text, seed), new weights
+    w1 = next(iter(srv.run([TEXTS[0]], seeds=[5]).values()))
+    assert w1.shape != w0.shape or not np.allclose(w1, w0, atol=1e-5)
+    assert caches() == c0, (caches(), c0)
+
+
+def test_server_int8_vocoder_composes(synthesizer):  # noqa: F811
+    """The int8 fused-vocoder serving path drives the same scheduler
+    (windows through infer_fused_int8; Pallas auto-interprets on CPU)."""
+    from text2speech_tpu.infer import Synthesizer
+
+    q = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables, use_denoiser=False,
+        int8_vocoder=True,
+    )
+    srv = make_server(q, slots=2, chunk_steps=8, max_text_len=80,
+                      retain_sessions=True)
+    wavs = srv.run(TEXTS[:2], seeds=[1, 2])
+    ref = make_server(synthesizer, slots=2, chunk_steps=8, max_text_len=80,
+                      retain_sessions=True).run(TEXTS[:2], seeds=[1, 2])
+    for sid, wav in wavs.items():
+        assert wav.shape == ref[sid].shape
+        assert np.isfinite(wav).all() and np.abs(wav).max() > 0
+        # same decode; vocoder differs only by the quantization band
+        rel = (np.linalg.norm(wav - ref[sid])
+               / max(np.linalg.norm(ref[sid]), 1e-9))
+        assert rel < 0.5, rel
+
+
+def test_server_stats_per_session_accounting(synthesizer):  # noqa: F811
+    srv = make_server(synthesizer, slots=2, chunk_steps=8, max_text_len=80,
+                      retain_sessions=True)
+    wavs = srv.run(TEXTS[:3])
+    st = srv.stats
+    assert st["completed"] == 3
+    assert st["emitted_samples"] == sum(w.size for w in wavs.values())
+    for sid in wavs:
+        s = srv.sessions[sid]
+        assert s.emitted_samples == wavs[sid].size
+        assert s.first_emit_round is not None
+        assert s.first_emit_round >= s.admit_round
+    assert st["first_audio_rounds_sum"] >= 0
+
+
 def _tp_synth(synthesizer, mesh, data_axis):
     from text2speech_tpu.parallel.serve import TPSynthesizer
 

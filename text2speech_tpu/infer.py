@@ -444,6 +444,43 @@ class Synthesizer:
 
     # --- public API --------------------------------------------------------
 
+    def load_weights(self, taco_variables: dict | None = None,
+                     wg_variables: dict | None = None):
+        """Swap checkpoints in place with ZERO recompiles: params are jit
+        ARGUMENTS everywhere (never closure captures), so the existing
+        compiled programs serve the new weights on the next call.  Derived
+        serving weights (int8 quantization, denoiser handle) are rebuilt
+        the same way ``__post_init__`` built them.  A running
+        continuous-batching server (``server.make_server``) reads weights
+        through this object and picks the swap up on its next round —
+        in-flight sessions see the new weights mid-utterance, so drain
+        first if that matters."""
+        if taco_variables is not None:
+            self.taco_variables = taco_variables
+            if self.quantized_decode:
+                from .models.tacotron_serve import (
+                    extract_decoder_params,
+                    quantize_decoder_params,
+                )
+
+                self._dp_q = quantize_decoder_params(
+                    extract_decoder_params(taco_variables, self.hp)
+                )
+        if wg_variables is not None:
+            self.wg_variables = wg_variables
+            if self.int8_vocoder:
+                from .models.waveglow_fused import quantize_waveglow_int8
+
+                wg_cfg = self.wg_cfg
+                self._wg_serve_vars = jax.jit(
+                    lambda p: quantize_waveglow_int8(p, wg_cfg)
+                )(wg_variables["params"])
+            else:
+                self._wg_serve_vars = wg_variables
+            if self.use_denoiser:
+                _, self._denoise = make_denoiser(
+                    self.waveglow, wg_variables)
+
     def text_to_mel(self, texts, seed: int = 0, max_steps: int | None = None,
                     with_align: bool = False):
         """list[str] -> (mel_post [B, n_mel, T], out_lengths [B]).

@@ -96,6 +96,10 @@ class _Session:
     flushed: bool = False
     noise_blocks: list = field(default_factory=list)  # per-comp np arrays
     noise_frames: int = 0
+    # accounting
+    admit_round: int = 0        # stats["rounds"] value when admitted
+    first_emit_round: int | None = None
+    emitted_samples: int = 0
 
     def mel_cat(self) -> np.ndarray:
         return (np.concatenate(self.mel_parts, axis=-1)
@@ -179,7 +183,8 @@ class ContinuousBatcher:
         self.sessions: dict[int, _Session] = {}
         self.stats = {"rounds": 0, "row_steps": 0, "active_row_steps": 0,
                       "postnet_calls": 0, "vocoder_calls": 0,
-                      "admitted": 0}
+                      "admitted": 0, "completed": 0,
+                      "first_audio_rounds_sum": 0, "emitted_samples": 0}
 
     # --- public API --------------------------------------------------------
 
@@ -277,13 +282,20 @@ class ContinuousBatcher:
 
         for s, chunk in self._run_vocoder(voc_tasks):
             events.append(StreamEvent(s.sid, chunk))
+            self._account_emit(s, chunk)
         for s, tl in shorts:
-            events.append(StreamEvent(s.sid, self._vocode_short(s, tl)))
+            chunk = self._vocode_short(s, tl)
+            events.append(StreamEvent(s.sid, chunk))
+            self._account_emit(s, chunk)
 
         # --- free completed slots ------------------------------------------
         for s in live:
             if s.flushed and s.mel_final:
                 events.append(StreamEvent(s.sid, None, final=True))
+                self.stats["completed"] += 1
+                if s.first_emit_round is not None:
+                    self.stats["first_audio_rounds_sum"] += (
+                        s.first_emit_round - s.admit_round)
                 self._slots[s.slot] = None
                 if not self._retain:
                     self.sessions.pop(s.sid, None)
@@ -308,6 +320,16 @@ class ContinuousBatcher:
 
     # --- internals ----------------------------------------------------------
 
+    def _account_emit(self, s: _Session, chunk):
+        n = int(np.size(chunk))
+        s.emitted_samples += n
+        self.stats["emitted_samples"] += n
+        if s.first_emit_round is None:
+            # decode rounds from this session's admission to first audio
+            # (x chunk_steps steps each): the per-session streaming-latency
+            # ledger capacity planners read off stats
+            s.first_emit_round = self.stats["rounds"]
+
     def _admit(self):
         for slot in range(self.slots):
             if self._slots[slot] is not None or not self._queue:
@@ -319,6 +341,7 @@ class ContinuousBatcher:
                 sid=sid, slot=slot, keys=np.asarray(self._key_fn(seed)),
                 noise_key=jax.random.fold_in(
                     jax.random.PRNGKey(seed + 1), 0x5EED),
+                admit_round=self.stats["rounds"],
             )
             self._slots[slot] = s
             self.sessions[sid] = s
@@ -437,11 +460,15 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
     limit = -(-requested // chunk_steps) * chunk_steps
 
     quantized = synth.quantized_decode
-    taco_vars = synth.taco_variables
+    # weights are read from `synth` at CALL time (params are jit arguments
+    # throughout, so a checkpoint swap — Synthesizer.load_weights — takes
+    # effect on the next round with ZERO recompiles; in-flight sessions see
+    # the new weights mid-utterance, so drain first if that matters)
 
     # probe the compute dtype once (matches text_to_mel_stream's state init)
     probe_ids = jnp.zeros((1, max_text_len), jnp.int32)
-    probe_mem = synth._encode_mem(taco_vars, probe_ids, jnp.asarray([1]))
+    probe_mem = synth._encode_mem(synth.taco_variables, probe_ids,
+                                  jnp.asarray([1]))
     dt = probe_mem.dtype
     enc_dim = probe_mem.shape[-1]
 
@@ -464,7 +491,7 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
             "finished": jnp.zeros((slots,), bool),
         }
         if quantized:
-            pm = synth._pmem_fn(taco_vars, tree["memory"])
+            pm = synth._pmem_fn(synth.taco_variables, tree["memory"])
             tree["pmem"] = pm
         return tree
 
@@ -477,7 +504,7 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         ids = np.zeros((1, max_text_len), np.int32)
         ids[:, : ids_np.shape[1]] = ids_np
         mem = synth._encode_mem(
-            taco_vars, jnp.asarray(ids), jnp.asarray(lens_np))
+            synth.taco_variables, jnp.asarray(ids), jnp.asarray(lens_np))
         row = {
             "memory": mem[0],
             "lengths": jnp.asarray(int(lens_np[0]), jnp.int32),
@@ -486,7 +513,7 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
             "finished": jnp.asarray(False),
         }
         if quantized:
-            row["pmem"] = synth._pmem_fn(taco_vars, mem)[0]
+            row["pmem"] = synth._pmem_fn(synth.taco_variables, mem)[0]
         return row
 
     if quantized:
@@ -501,14 +528,16 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
     else:
         def decode_fn(tree, keys):
             carry, mel_c, _, _, active = synth._decode_chunk(
-                taco_vars, tree["memory"], tree["state"], tree["frame"],
+                synth.taco_variables, tree["memory"], tree["state"],
+                tree["frame"],
                 tree["finished"], keys, tree["lengths"])
             new = dict(tree)
             new["state"], new["frame"], new["finished"] = carry
             return new, mel_c, active, carry[2]
 
     def key_fn(seed):
-        base = synth._derive_rng(taco_vars, jax.random.PRNGKey(seed))
+        base = synth._derive_rng(synth.taco_variables,
+                                 jax.random.PRNGKey(seed))
         return np.asarray(jax.random.split(base, limit))
 
     def draw_noise_fn(key):
@@ -522,7 +551,8 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         noise_widths=tuple(noise_schedule(cfg)), sigma=sigma,
         admit_fn=admit_fn, init_batch_fn=init_batch_fn,
         decode_fn=decode_fn,
-        postnet_fn=lambda wins: synth._postnet_window(taco_vars, wins),
+        postnet_fn=lambda wins: synth._postnet_window(
+            synth.taco_variables, wins),
         vocode_fn=lambda mel, nz, sg: synth._vocode_window(
             synth._wg_serve_vars, mel, nz, sg),
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
