@@ -367,6 +367,31 @@ def test_toy_server_idle_slots_are_harmless():
     np.testing.assert_allclose(outs_a[0], outs_b[0], atol=1e-4)
 
 
+def test_toy_server_cancel():
+    """Cancel drops a queued session and frees an active session's slot;
+    the freed slot admits the next queued request; no further events are
+    emitted for cancelled sessions."""
+    stop = {0: 99, 1: 99, 2: 4, 3: 99}
+    srv = _toy_batcher(slots=1, stop_at_by_req=stop)
+    s0 = srv.submit(0)   # takes the slot
+    s1 = srv.submit(1)   # queued
+    s2 = srv.submit(2)   # queued
+    srv.step()
+    assert srv.cancel(s1)          # queued -> dropped
+    assert srv.cancel(s0)          # active -> slot freed
+    assert not srv.cancel(s1)      # already gone
+    seen = set()
+    rounds = 0
+    while not srv.idle:
+        rounds += 1
+        assert rounds < 30
+        for ev in srv.step():
+            seen.add(ev.sid)
+    assert seen == {s2}            # only the surviving session emits
+    assert srv.stats["cancelled"] == 2
+    assert srv.stats["completed"] == 1
+
+
 def test_toy_server_stats_account_rounds():
     stop = {0: 2, 1: 10}
     srv = _toy_batcher(slots=2, stop_at_by_req=stop)

@@ -183,7 +183,7 @@ class ContinuousBatcher:
         self.sessions: dict[int, _Session] = {}
         self.stats = {"rounds": 0, "row_steps": 0, "active_row_steps": 0,
                       "postnet_calls": 0, "vocoder_calls": 0,
-                      "admitted": 0, "completed": 0,
+                      "admitted": 0, "completed": 0, "cancelled": 0,
                       "first_audio_rounds_sum": 0, "emitted_samples": 0}
 
     # --- public API --------------------------------------------------------
@@ -196,6 +196,26 @@ class ContinuousBatcher:
         self._next_sid += 1
         self._queue.append((sid, request, sid if seed is None else seed))
         return sid
+
+    def cancel(self, sid: int) -> bool:
+        """Cancel a session: drop it from the queue, or free its slot
+        immediately (the row decodes garbage until the next admission,
+        which is ~free — decode is weight-streaming-bound).  Returns
+        whether anything was cancelled; no further events are emitted for
+        the session."""
+        for item in self._queue:
+            if item[0] == sid:
+                self._queue.remove(item)
+                self.stats["cancelled"] += 1
+                return True
+        for slot, s in enumerate(self._slots):
+            if s is not None and s.sid == sid:
+                self._slots[slot] = None
+                if not self._retain:
+                    self.sessions.pop(sid, None)
+                self.stats["cancelled"] += 1
+                return True
+        return False
 
     @property
     def idle(self) -> bool:
