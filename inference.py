@@ -68,6 +68,11 @@ def main():
     parser.add_argument("--texts_file", default=None,
                         help="one text per line; with --serve_slots these "
                              "are the request queue (default: --text)")
+    parser.add_argument("--http_port", type=int, default=None,
+                        help="with --serve_slots: expose the continuous-"
+                             "batching server over HTTP (POST /synthesize "
+                             "streams chunked WAV; GET /stats, /healthz) "
+                             "instead of batch-processing --texts_file")
     parser.add_argument("--serve_max_text_len", type=int, default=256,
                         help="static encoder width sessions pad to")
     args = parser.parse_args()
@@ -110,6 +115,21 @@ def main():
                 chunk_steps=args.stream_chunk_steps,
                 max_text_len=args.serve_max_text_len, sigma=args.sigma,
             )
+            if args.http_port is not None:
+                from text2speech_tpu.http_serve import make_http_server
+
+                httpd, runner = make_http_server(
+                    srv, host="0.0.0.0", port=args.http_port,
+                    sample_rate=args.sample_rate, log_requests=True)
+                print(f"HTTP TTS server on :{httpd.server_address[1]} "
+                      f"({args.serve_slots} slots; POST /synthesize)")
+                try:
+                    httpd.serve_forever()
+                except KeyboardInterrupt:
+                    pass
+                finally:
+                    runner.shutdown()
+                return
             sids = [srv.submit(t) for t in texts]
             base, ext = os.path.splitext(args.out)
             parts: dict = {sid: [] for sid in sids}

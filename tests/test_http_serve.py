@@ -1,0 +1,151 @@
+"""HTTP streaming front-end (``text2speech_tpu.http_serve``).
+
+Contracts pinned here:
+
+* **Byte-exact serving** — the PCM a client receives over HTTP equals the
+  int16 conversion of the same ``(text, seed)`` session run directly
+  through a ``ContinuousBatcher`` (the transport adds nothing and drops
+  nothing).
+* **Concurrency** — simultaneous POSTs stream independent sessions through
+  one shared slot batch, each matching its solo reference.
+* **Edge behavior** — overlong text is a 400 at submission (the scheduler
+  never sees it); ``/stats`` and ``/healthz`` serve while sessions run;
+  a client disconnect cancels its session and frees the slot.
+
+The reference has no serving layer (``inference.py:80-95`` is a one-shot
+script); these tests pin the network layer added on top of the
+continuous batcher.
+"""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from text2speech_tpu.http_serve import (float_to_pcm16, make_http_server,
+                                        wav_stream_header)
+from text2speech_tpu.server import make_server
+from tests.test_synthesizer import HP, WG, synthesizer  # noqa: F401
+
+SIGMA = 0.8
+TEXTS = ["안녕하세요.", "존경하는 사람과 함께 갑니다.", "네."]
+
+
+@pytest.fixture(scope="module")
+def http_srv(synthesizer):  # noqa: F811
+    batcher = make_server(synthesizer, slots=2, chunk_steps=8,
+                          max_text_len=80, sigma=SIGMA)
+    httpd, runner = make_http_server(batcher, port=0, max_pending=4)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+    runner.shutdown()
+
+
+def _solo_pcm(synthesizer, text, seed):  # noqa: F811
+    """Reference bytes: the same (text, seed) through a direct batcher."""
+    srv = make_server(synthesizer, slots=1, chunk_steps=8, max_text_len=80,
+                      sigma=SIGMA)
+    wav = srv.run([text], seeds=[seed])[0]
+    return float_to_pcm16(wav)
+
+
+def _post_synthesize(port, text, seed):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    conn.request("POST", "/synthesize",
+                 body=json.dumps({"text": text, "seed": seed}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp, body
+
+
+def test_http_stream_matches_direct_run(synthesizer, http_srv):  # noqa: F811
+    resp, body = _post_synthesize(http_srv, TEXTS[0], seed=11)
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "audio/wav"
+    assert resp.getheader("X-Session-Id") is not None
+    header = wav_stream_header(22050)
+    assert body[: len(header)] == header
+    assert body[len(header):] == _solo_pcm(synthesizer, TEXTS[0], 11)
+
+
+def test_http_concurrent_sessions(synthesizer, http_srv):  # noqa: F811
+    results = {}
+
+    def worker(i):
+        _, body = _post_synthesize(http_srv, TEXTS[i], seed=100 + i)
+        results[i] = body[len(wav_stream_header(22050)):]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(3):
+        assert results[i] == _solo_pcm(synthesizer, TEXTS[i], 100 + i), i
+
+
+def test_http_overlong_text_is_400(http_srv):
+    long_text = "아주 " * 200 + "긴 문장입니다."
+    resp, body = _post_synthesize(http_srv, long_text, seed=1)
+    assert resp.status == 400
+    assert "max_text_len" in json.loads(body)["error"]
+
+
+def test_http_stats_and_health(http_srv):
+    _post_synthesize(http_srv, TEXTS[2], seed=3)   # ensure >=1 completion
+    conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=60)
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    assert r.status == 200 and json.loads(r.read())["ok"]
+    conn.request("GET", "/stats")
+    r = conn.getresponse()
+    stats = json.loads(r.read())
+    conn.close()
+    assert stats["slots"] == 2
+    assert stats["completed"] >= 1
+    assert stats["open_streams"] == 0
+
+
+def test_http_disconnect_cancels(synthesizer, http_srv):  # noqa: F811
+    """Closing the connection mid-stream frees the session's slot."""
+    conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=600)
+    conn.request("POST", "/synthesize",
+                 body=json.dumps({"text": TEXTS[1], "seed": 7}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    resp.read(len(wav_stream_header(22050)) + 2)   # first bytes arrived
+    conn.close()                                   # hang up mid-stream
+
+    # the server keeps serving: a fresh full request still matches solo
+    resp2, body2 = _post_synthesize(http_srv, TEXTS[2], seed=8)
+    assert resp2.status == 200
+    assert body2[len(wav_stream_header(22050)):] == _solo_pcm(
+        synthesizer, TEXTS[2], 8)
+
+
+def test_http_rejects_bad_json(http_srv):
+    conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=60)
+    conn.request("POST", "/synthesize", body=b"not json",
+                 headers={"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
+    conn.request("POST", "/nope", body=b"{}")
+    r = conn.getresponse()
+    assert r.status == 404
+    r.read()
+    conn.close()
+
+
+def test_pcm16_conversion_matches_reference_rule():
+    x = np.array([0.0, 1.0, -1.0, 2.0, -2.0, 0.5], np.float32)
+    out = np.frombuffer(float_to_pcm16(x), "<i2")
+    np.testing.assert_array_equal(
+        out, np.array([0, 32767, -32767, 32767, -32767, 16383], np.int16))

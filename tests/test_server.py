@@ -109,10 +109,13 @@ def test_server_quantized_decode(synthesizer):  # noqa: F811
 
 
 def test_server_rejects_overlong_text(synthesizer):  # noqa: F811
+    """Invalid requests fail at submit() — never inside step(), which must
+    stay up for the other sessions (the HTTP front-end maps this to 400)."""
     srv = make_server(synthesizer, slots=1, chunk_steps=8, max_text_len=8)
-    srv.submit("아주 아주 아주 긴 문장입니다.")
     with pytest.raises(ValueError, match="max_text_len"):
-        srv.step()
+        srv.submit("아주 아주 아주 긴 문장입니다.")
+    assert srv.idle
+    srv.step()   # the server is unaffected
 
 
 def test_server_checkpoint_swap_recompile_free(synthesizer):  # noqa: F811

@@ -1,0 +1,282 @@
+"""HTTP streaming front-end for the continuous-batching TTS server.
+
+The reference has no serving layer at all — ``inference.py:80-95`` is a
+one-shot script.  This module turns :class:`.server.ContinuousBatcher` into
+a network service with nothing beyond the standard library:
+
+* **One scheduler thread owns the batcher and the device.**  JAX dispatch,
+  admission (`submit`) and cancellation all happen on that thread;
+  HTTP handler threads communicate with it only through queues
+  (``ContinuousBatcher`` is not thread-safe, and two threads dispatching
+  to the TPU would serialize anyway).  While sessions are active the
+  thread spins ``step()`` back-to-back — each round is one batched decode
+  + postnet + vocode, so the device stays busy; when idle it parks on an
+  event until the next submission.
+* **Chunked-transfer WAV streaming.**  ``POST /synthesize`` answers with
+  ``Transfer-Encoding: chunked`` ``audio/wav``: a RIFF header with
+  unknown-length placeholder sizes (the standard convention for live WAV
+  streams — players treat 0xFFFFFFFF as "read until EOF"), then one
+  chunk per :class:`.server.StreamEvent` as int16 PCM.  First audio
+  reaches the client after ~``chunk_steps`` decoder steps, not after the
+  full utterance (the whole point of the streaming engine underneath).
+* **Disconnect == cancel.**  A client closing its connection mid-stream
+  frees the session's slot for the next queued request (a broken pipe on
+  write enqueues a cancel to the scheduler thread).
+* **Admission control.**  Invalid texts are rejected with 400 at submit
+  time (``ContinuousBatcher.submit`` validates before queueing); a full
+  queue returns 503 so load sheds at the edge instead of growing an
+  unbounded backlog.
+
+Endpoints::
+
+    POST /synthesize   {"text": "...", "seed": 123?}  -> chunked audio/wav
+                       response headers carry X-Session-Id
+    GET  /stats        scheduler counters + live queue/slot occupancy
+    GET  /healthz      200 when the scheduler thread is alive
+
+The int16 conversion matches the reference CLI's wav write
+(``waveglow/inference.py:48-65``: clip to [-1, 1], scale by 32767).
+
+Reference behavior served: ``inference.py:80-95`` (text -> waveform),
+re-architected as a concurrent network service over the continuous
+batcher (``server.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def wav_stream_header(sample_rate: int, channels: int = 1,
+                      bits: int = 16) -> bytes:
+    """RIFF/WAVE header for a stream of unknown length: RIFF and data chunk
+    sizes are the 0xFFFFFFFF placeholder, which players read as
+    "until EOF" (the live-streaming WAV convention)."""
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             byte_rate, block_align, bits),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
+def float_to_pcm16(wav) -> bytes:
+    """[-1, 1] float audio -> little-endian int16 PCM bytes (the reference
+    CLI's conversion, ``waveglow/inference.py:48-65``)."""
+    import numpy as np
+
+    x = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()
+
+
+class ServerRunner:
+    """Owns a :class:`.server.ContinuousBatcher` on a dedicated scheduler
+    thread; thread-safe ``open_stream`` / ``cancel`` for handler threads.
+
+    ``open_stream(text, seed)`` returns ``(sid, q)`` where ``q`` yields
+    ``np.ndarray`` audio chunks and a final ``None``.  The call blocks only
+    for admission-queue handoff (one scheduler-loop iteration), not for
+    synthesis."""
+
+    def __init__(self, batcher, *, max_pending: int | None = None):
+        self._srv = batcher
+        self.max_pending = max_pending
+        self._inbox: queue.Queue = queue.Queue()
+        self._streams: dict[int, queue.Queue] = {}
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self._lock = threading.Lock()          # guards _streams
+        self._thread = threading.Thread(
+            target=self._loop, name="tts-scheduler", daemon=True)
+        self._thread.start()
+
+    # --- handler-thread API -------------------------------------------------
+
+    def open_stream(self, text: str, seed: int | None = None):
+        if self._stop.is_set():
+            raise RuntimeError("server is shut down")
+        if (self.max_pending is not None
+                and len(self._srv._queue) >= self.max_pending):
+            raise OverflowError(
+                f"admission queue full ({self.max_pending} pending)")
+        reply: queue.Queue = queue.Queue()
+        self._inbox.put(("submit", text, seed, reply))
+        self._wake.set()
+        kind, val = reply.get()
+        if kind == "error":
+            raise val
+        return val, self._streams[val]
+
+    def cancel(self, sid: int) -> None:
+        self._inbox.put(("cancel", sid, None, None))
+        self._wake.set()
+
+    def stats(self) -> dict:
+        """Monitoring snapshot (counters are ints mutated on the scheduler
+        thread; a torn read is at worst one round stale)."""
+        d = dict(self._srv.stats)
+        d["active_slots"] = self._srv.active_count
+        d["slots"] = self._srv.slots
+        d["queued"] = len(self._srv._queue)
+        d["open_streams"] = len(self._streams)
+        return d
+
+    @property
+    def alive(self) -> bool:
+        return self._thread.is_alive() and not self._stop.is_set()
+
+    def shutdown(self, join: bool = True) -> None:
+        self._stop.set()
+        self._wake.set()
+        if join:
+            self._thread.join(timeout=30)
+
+    # --- scheduler thread ----------------------------------------------------
+
+    def _drain_inbox(self) -> None:
+        while True:
+            try:
+                msg = self._inbox.get_nowait()
+            except queue.Empty:
+                return
+            kind, a, b, reply = msg
+            if kind == "submit":
+                try:
+                    sid = self._srv.submit(a, b)
+                except Exception as e:          # validation errors -> caller
+                    reply.put(("error", e))
+                    continue
+                with self._lock:
+                    self._streams[sid] = queue.Queue()
+                reply.put(("ok", sid))
+            elif kind == "cancel":
+                self._srv.cancel(a)
+                with self._lock:
+                    q = self._streams.pop(a, None)
+                if q is not None:
+                    q.put(None)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self._drain_inbox()
+            if self._srv.idle:
+                self._wake.wait(timeout=0.25)
+                self._wake.clear()
+                continue
+            for ev in self._srv.step():
+                with self._lock:
+                    q = self._streams.get(ev.sid)
+                if q is None:                   # cancelled / disconnected
+                    continue
+                if ev.final:
+                    q.put(None)
+                    with self._lock:
+                        self._streams.pop(ev.sid, None)
+                elif ev.audio is not None:
+                    q.put(ev.audio)
+        # unblock any readers still waiting
+        with self._lock:
+            for q in self._streams.values():
+                q.put(None)
+            self._streams.clear()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    # set by make_http_server:
+    runner: ServerRunner
+    sample_rate: int
+    log_requests = False
+
+    def log_message(self, fmt, *args):          # quiet by default
+        if self.log_requests:
+            super().log_message(fmt, *args)
+
+    # --- helpers -------------------------------------------------------------
+
+    def _send_json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _write_chunk(self, data: bytes) -> None:
+        self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+    # --- endpoints -----------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send_json(
+                200 if self.runner.alive else 503,
+                {"ok": self.runner.alive})
+        elif self.path == "/stats":
+            self._send_json(200, self.runner.stats())
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/synthesize":
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            text = req["text"]
+            seed = req.get("seed")
+        except (ValueError, KeyError) as e:
+            self._send_json(400, {"error": f"bad request: {e!r}"})
+            return
+        try:
+            sid, q = self.runner.open_stream(text, seed)
+        except OverflowError as e:              # queue full
+            self._send_json(503, {"error": str(e)})
+            return
+        except Exception as e:                  # validation (overlong text…)
+            self._send_json(400, {"error": str(e)})
+            return
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Session-Id", str(sid))
+        self.end_headers()
+        try:
+            self._write_chunk(wav_stream_header(self.sample_rate))
+            while True:
+                chunk = q.get()
+                if chunk is None:
+                    break
+                self._write_chunk(float_to_pcm16(chunk))
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            self.runner.cancel(sid)             # free the slot now
+            self.close_connection = True
+
+
+def make_http_server(batcher, *, host: str = "127.0.0.1", port: int = 0,
+                     sample_rate: int = 22050,
+                     max_pending: int | None = 128,
+                     log_requests: bool = False):
+    """Wrap a :class:`.server.ContinuousBatcher` (from ``make_server`` /
+    ``make_server_tp``) in a threaded HTTP server.  Returns
+    ``(httpd, runner)``; call ``httpd.serve_forever()`` (blocking) and on
+    teardown ``httpd.shutdown(); runner.shutdown()``.  ``port=0`` binds an
+    ephemeral port (``httpd.server_address[1]``)."""
+    runner = ServerRunner(batcher, max_pending=max_pending)
+    handler = type("Handler", (_Handler,), {
+        "runner": runner,
+        "sample_rate": sample_rate,
+        "log_requests": log_requests,
+    })
+    httpd = ThreadingHTTPServer((host, port), handler)
+    httpd.daemon_threads = True
+    return httpd, runner

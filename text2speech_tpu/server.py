@@ -136,7 +136,7 @@ class ContinuousBatcher:
                  noise_widths: tuple[int, ...], sigma: float,
                  admit_fn, init_batch_fn, decode_fn, postnet_fn, vocode_fn,
                  key_fn, draw_noise_fn, vocode_exact_fn=None,
-                 retain_sessions: bool = False):
+                 validate_fn=None, retain_sessions: bool = False):
         assert chunk_steps >= prf, (
             "chunk_steps must cover the postnet receptive field "
             f"({chunk_steps} < {prf}) so emission frontiers advance "
@@ -162,6 +162,7 @@ class ContinuousBatcher:
         self._vocode_exact_fn = vocode_exact_fn or vocode_fn
         self._key_fn = key_fn
         self._draw_noise_fn = draw_noise_fn
+        self._validate_fn = validate_fn
 
         # slot index is a TRACED argument: admissions into any slot hit one
         # compile (CLAUDE.md gotcha: compiles on this rig take minutes)
@@ -191,7 +192,12 @@ class ContinuousBatcher:
     def submit(self, request, seed: int | None = None) -> int:
         """Queue a synthesis request; returns its session id.  ``seed``
         defaults to the session id; a session's output is a function of
-        ``(request, seed)`` only."""
+        ``(request, seed)`` only.  Invalid requests (e.g. text longer than
+        the server's static encoder width) raise HERE, at submission —
+        never inside :meth:`step`, which must stay up for other
+        sessions."""
+        if self._validate_fn is not None:
+            self._validate_fn(request)
         sid = self._next_sid
         self._next_sid += 1
         self._queue.append((sid, request, sid if seed is None else seed))
@@ -515,12 +521,15 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
             tree["pmem"] = pm
         return tree
 
+    def validate_fn(text):
+        n = encode_batch([text])[0].shape[1]
+        if n > max_text_len:
+            raise ValueError(
+                f"text encodes to {n} symbols > server "
+                f"max_text_len={max_text_len}")
+
     def admit_fn(text, seed):
         ids_np, lens_np = encode_batch([text])
-        if ids_np.shape[1] > max_text_len:
-            raise ValueError(
-                f"text encodes to {ids_np.shape[1]} symbols > server "
-                f"max_text_len={max_text_len}")
         ids = np.zeros((1, max_text_len), np.int32)
         ids[:, : ids_np.shape[1]] = ids_np
         mem = synth._encode_mem(
@@ -576,7 +585,7 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         vocode_fn=lambda mel, nz, sg: synth._vocode_window(
             synth._wg_serve_vars, mel, nz, sg),
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
-        retain_sessions=retain_sessions,
+        validate_fn=validate_fn, retain_sessions=retain_sessions,
     )
 
 
@@ -623,12 +632,15 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
             "finished": jnp.zeros((slots,), bool),
         }
 
+    def validate_fn(text):
+        n = encode_batch([text])[0].shape[1]
+        if n > max_text_len:
+            raise ValueError(
+                f"text encodes to {n} symbols > server "
+                f"max_text_len={max_text_len}")
+
     def admit_fn(text, seed):
         ids_np, lens_np = encode_batch([text])
-        if ids_np.shape[1] > max_text_len:
-            raise ValueError(
-                f"text encodes to {ids_np.shape[1]} symbols > server "
-                f"max_text_len={max_text_len}")
         ids = np.zeros((1, max_text_len), np.int32)
         ids[:, : ids_np.shape[1]] = ids_np
         mem = tps._encode(
@@ -670,5 +682,5 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
         vocode_exact_fn=lambda mel, nz, sg: vocoder1(
             mel, None, sg, noise=nz),
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
-        retain_sessions=retain_sessions,
+        validate_fn=validate_fn, retain_sessions=retain_sessions,
     )
