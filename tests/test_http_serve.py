@@ -90,6 +90,22 @@ def test_http_concurrent_sessions(synthesizer, http_srv):  # noqa: F811
         assert results[i] == _solo_pcm(synthesizer, TEXTS[i], 100 + i), i
 
 
+def test_http_per_request_sigma(synthesizer, http_srv):  # noqa: F811
+    """A request's "sigma" overrides the server default end-to-end."""
+    conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=600)
+    conn.request("POST", "/synthesize",
+                 body=json.dumps({"text": TEXTS[2], "seed": 5,
+                                  "sigma": 0.4}))
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    assert resp.status == 200
+    srv = make_server(synthesizer, slots=1, chunk_steps=8, max_text_len=80,
+                      sigma=SIGMA)
+    ref = srv.run([TEXTS[2]], seeds=[5], sigmas=[0.4])[0]
+    assert body[len(wav_stream_header(22050)):] == float_to_pcm16(ref)
+
+
 def test_http_overlong_text_is_400(http_srv):
     long_text = "아주 " * 200 + "긴 문장입니다."
     resp, body = _post_synthesize(http_srv, long_text, seed=1)

@@ -108,6 +108,23 @@ def test_server_quantized_decode(synthesizer):  # noqa: F811
         assert np.isfinite(wav).all()
 
 
+def test_server_per_session_sigma(synthesizer):  # noqa: F811
+    """Each session can carry its own flow temperature (the reference
+    CLI's quality knob): vocoder calls group by sigma, and every session
+    equals a single-pass vocode at ITS sigma."""
+    sigmas = [0.5, 0.8, 1.0]
+    srv = make_server(synthesizer, slots=2, chunk_steps=8, max_text_len=80,
+                      sigma=0.8, retain_sessions=True)
+    wavs = srv.run(TEXTS[:3], seeds=[1, 2, 3], sigmas=sigmas)
+    for sid, sg in enumerate(sigmas):
+        ref = _single_pass(synthesizer, srv, sid, sg)
+        np.testing.assert_allclose(wavs[sid], ref, atol=3e-4,
+                                   err_msg=f"sid {sid} sigma {sg}")
+    # the knob is live: the same session at the server default differs
+    wrong = _single_pass(synthesizer, srv, 0, 0.8)
+    assert np.abs(wavs[0] - wrong).max() > 1e-3
+
+
 def test_server_rejects_overlong_text(synthesizer):  # noqa: F811
     """Invalid requests fail at submit() — never inside step(), which must
     stay up for the other sessions (the HTTP front-end maps this to 400)."""

@@ -29,8 +29,10 @@ a network service with nothing beyond the standard library:
 
 Endpoints::
 
-    POST /synthesize   {"text": "...", "seed": 123?}  -> chunked audio/wav
-                       response headers carry X-Session-Id
+    POST /synthesize   {"text": "...", "seed": 123?, "sigma": 0.6?}
+                       -> chunked audio/wav; X-Session-Id response header
+                       (sigma = per-request flow temperature, the
+                       reference CLI's quality knob)
     GET  /stats        scheduler counters + live queue/slot occupancy
     GET  /healthz      200 when the scheduler thread is alive
 
@@ -98,7 +100,8 @@ class ServerRunner:
 
     # --- handler-thread API -------------------------------------------------
 
-    def open_stream(self, text: str, seed: int | None = None):
+    def open_stream(self, text: str, seed: int | None = None,
+                    sigma: float | None = None):
         if self._stop.is_set():
             raise RuntimeError("server is shut down")
         if (self.max_pending is not None
@@ -106,7 +109,7 @@ class ServerRunner:
             raise OverflowError(
                 f"admission queue full ({self.max_pending} pending)")
         reply: queue.Queue = queue.Queue()
-        self._inbox.put(("submit", text, seed, reply))
+        self._inbox.put(("submit", (text, seed, sigma), None, reply))
         self._wake.set()
         kind, val = reply.get()
         if kind == "error":
@@ -145,10 +148,10 @@ class ServerRunner:
                 msg = self._inbox.get_nowait()
             except queue.Empty:
                 return
-            kind, a, b, reply = msg
+            kind, a, _b, reply = msg
             if kind == "submit":
                 try:
-                    sid = self._srv.submit(a, b)
+                    sid = self._srv.submit(*a)
                 except Exception as e:          # validation errors -> caller
                     reply.put(("error", e))
                     continue
@@ -232,11 +235,12 @@ class _Handler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(n) or b"{}")
             text = req["text"]
             seed = req.get("seed")
+            sigma = req.get("sigma")
         except (ValueError, KeyError) as e:
             self._send_json(400, {"error": f"bad request: {e!r}"})
             return
         try:
-            sid, q = self.runner.open_stream(text, seed)
+            sid, q = self.runner.open_stream(text, seed, sigma)
         except OverflowError as e:              # queue full
             self._send_json(503, {"error": str(e)})
             return

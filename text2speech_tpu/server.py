@@ -81,6 +81,7 @@ class _Session:
     slot: int
     keys: np.ndarray            # [limit, 2] per-step decode keys
     noise_key: jax.Array
+    sigma: float = 0.666        # per-session flow temperature
     # decode-side frontiers
     t: int = 0                  # decoded frames
     out_len: int = 0            # active frames within the contract
@@ -189,18 +190,22 @@ class ContinuousBatcher:
 
     # --- public API --------------------------------------------------------
 
-    def submit(self, request, seed: int | None = None) -> int:
+    def submit(self, request, seed: int | None = None,
+               sigma: float | None = None) -> int:
         """Queue a synthesis request; returns its session id.  ``seed``
-        defaults to the session id; a session's output is a function of
-        ``(request, seed)`` only.  Invalid requests (e.g. text longer than
-        the server's static encoder width) raise HERE, at submission —
-        never inside :meth:`step`, which must stay up for other
-        sessions."""
+        defaults to the session id; ``sigma`` (flow sampling temperature,
+        the reference CLI's quality knob, ``inference.py:75``) defaults to
+        the server's — a session's output is a function of
+        ``(request, seed, sigma)`` only.  Invalid requests (e.g. text
+        longer than the server's static encoder width) raise HERE, at
+        submission — never inside :meth:`step`, which must stay up for
+        other sessions."""
         if self._validate_fn is not None:
             self._validate_fn(request)
         sid = self._next_sid
         self._next_sid += 1
-        self._queue.append((sid, request, sid if seed is None else seed))
+        self._queue.append((sid, request, sid if seed is None else seed,
+                            self.sigma if sigma is None else float(sigma)))
         return sid
 
     def cancel(self, sid: int) -> bool:
@@ -327,11 +332,12 @@ class ContinuousBatcher:
                     self.sessions.pop(s.sid, None)
         return events
 
-    def run(self, requests, seeds=None) -> dict[int, np.ndarray]:
+    def run(self, requests, seeds=None, sigmas=None) -> dict[int, np.ndarray]:
         """Convenience driver: submit everything, step until idle, return
         ``{sid: concatenated audio}`` (streaming callers use :meth:`step`
         directly)."""
-        sids = [self.submit(r, None if seeds is None else seeds[i])
+        sids = [self.submit(r, None if seeds is None else seeds[i],
+                            None if sigmas is None else sigmas[i])
                 for i, r in enumerate(requests)]
         parts: dict[int, list] = {sid: [] for sid in sids}
         while not self.idle:
@@ -360,13 +366,14 @@ class ContinuousBatcher:
         for slot in range(self.slots):
             if self._slots[slot] is not None or not self._queue:
                 continue
-            sid, request, seed = self._queue.popleft()
+            sid, request, seed, sigma = self._queue.popleft()
             row = self._admit_fn(request, seed)
             self._batch = self._place(self._batch, row, slot)
             s = _Session(
                 sid=sid, slot=slot, keys=np.asarray(self._key_fn(seed)),
                 noise_key=jax.random.fold_in(
                     jax.random.PRNGKey(seed + 1), 0x5EED),
+                sigma=sigma,
                 admit_round=self.stats["rounds"],
             )
             self._slots[slot] = s
@@ -419,29 +426,37 @@ class ContinuousBatcher:
         start clamped to 0, flush windows pinned inside the utterance)."""
         if not tasks:
             return
+        # sigma is a scalar of each vocode call (traced, so distinct values
+        # never recompile); group tasks by session sigma — one call per
+        # (sigma, B-batch), identical to before when sigmas are uniform
+        by_sigma: dict[float, list] = {}
+        for t in tasks:
+            by_sigma.setdefault(t[0].sigma, []).append(t)
         B = self.slots
-        for g0 in range(0, len(tasks), B):
-            group = tasks[g0 : g0 + B]
-            rows = group + [group[0]] * (B - len(group))
-            wmel = np.zeros((B, self.n_mel, self.Wv), np.float32)
-            wnoise = [
-                np.zeros((B, self.Wv * self.gpf, w), np.float32)
-                for w in self.noise_widths
-            ]
-            for j, (s, ws, _kf, _kt, fl) in enumerate(rows):
-                lo, e = max(ws, 0), min(ws + self.Wv, fl)
-                post = s.post_cat()
-                wmel[j, :, lo - ws : e - ws] = post[:, lo:e]
-                comps = self._sess_noise(s, e)
-                for z, comp in zip(wnoise, comps):
-                    z[j, (lo - ws) * self.gpf : (e - ws) * self.gpf] = (
-                        comp[lo * self.gpf : e * self.gpf])
-            audio = np.asarray(self._vocode_fn(
-                jnp.asarray(wmel),
-                tuple(jnp.asarray(z) for z in wnoise), self.sigma))
-            self.stats["vocoder_calls"] += 1
-            for j, (s, ws, kf, kt, _fl) in enumerate(group):
-                yield s, audio[j, (kf - ws) * self.hop : (kt - ws) * self.hop]
+        for sigma, stasks in by_sigma.items():
+            for g0 in range(0, len(stasks), B):
+                group = stasks[g0 : g0 + B]
+                rows = group + [group[0]] * (B - len(group))
+                wmel = np.zeros((B, self.n_mel, self.Wv), np.float32)
+                wnoise = [
+                    np.zeros((B, self.Wv * self.gpf, w), np.float32)
+                    for w in self.noise_widths
+                ]
+                for j, (s, ws, _kf, _kt, fl) in enumerate(rows):
+                    lo, e = max(ws, 0), min(ws + self.Wv, fl)
+                    post = s.post_cat()
+                    wmel[j, :, lo - ws : e - ws] = post[:, lo:e]
+                    comps = self._sess_noise(s, e)
+                    for z, comp in zip(wnoise, comps):
+                        z[j, (lo - ws) * self.gpf : (e - ws) * self.gpf] = (
+                            comp[lo * self.gpf : e * self.gpf])
+                audio = np.asarray(self._vocode_fn(
+                    jnp.asarray(wmel),
+                    tuple(jnp.asarray(z) for z in wnoise), sigma))
+                self.stats["vocoder_calls"] += 1
+                for j, (s, ws, kf, kt, _fl) in enumerate(group):
+                    yield s, audio[
+                        j, (kf - ws) * self.hop : (kt - ws) * self.hop]
 
     def _vocode_short(self, s: _Session, tl: int) -> np.ndarray:
         """A session shorter than one window vocodes its exact length in
@@ -455,7 +470,7 @@ class ContinuousBatcher:
             jnp.asarray(c[None, : tl * self.gpf]) for c in comps
         )
         audio = np.asarray(self._vocode_exact_fn(
-            jnp.asarray(post[None]), nz, self.sigma))
+            jnp.asarray(post[None]), nz, s.sigma))
         self.stats["vocoder_calls"] += 1
         return audio[0, : tl * self.hop]
 
