@@ -202,6 +202,38 @@ def main():
         + ", ".join(f"sid {s}: {n} samples" for s, n in sorted(served.items()))
     )
 
+    # 10. HTTP serving ---------------------------------------------------------
+    # the continuous batcher behind a stdlib HTTP server: POST /synthesize
+    # streams chunked-transfer WAV as the session decodes; a per-request
+    # "sigma" sets the flow temperature; /stats exposes the scheduler.
+    import http.client
+    import json as _json
+    import threading
+
+    from text2speech_tpu.http_serve import make_http_server
+
+    httpd, runner = make_http_server(
+        make_server(synth, slots=2, chunk_steps=8, max_text_len=96), port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    conn.request("POST", "/synthesize",
+                 body=_json.dumps({"text": "안녕하세요.", "seed": 7,
+                                   "sigma": 0.6}))
+    resp = conn.getresponse()
+    wav_bytes = resp.read()
+    conn.request("GET", "/stats")
+    stats = _json.loads(conn.getresponse().read())
+    conn.close()
+    httpd.shutdown()
+    runner.shutdown()
+    print(
+        f"HTTP serving: POST /synthesize on :{port} streamed "
+        f"{len(wav_bytes)} WAV bytes (status {resp.status}); "
+        f"/stats: {stats['completed']} completed, "
+        f"{stats['emitted_samples']} samples emitted"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -148,15 +148,32 @@ def test_http_disconnect_cancels(synthesizer, http_srv):  # noqa: F811
 
 def test_http_rejects_bad_json(http_srv):
     conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=60)
-    conn.request("POST", "/synthesize", body=b"not json",
-                 headers={"Content-Type": "application/json"})
-    r = conn.getresponse()
-    assert r.status == 400
-    r.read()
+    for body in (b"not json", b"[1, 2]", b"123"):
+        conn.request("POST", "/synthesize", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400, body
+        r.read()
     conn.request("POST", "/nope", body=b"{}")
     r = conn.getresponse()
     assert r.status == 404
     r.read()
+    conn.close()
+
+
+def test_http_rejects_malformed_seed_and_sigma(http_srv):
+    """Bad seed/sigma are 400 at admission — the scheduler thread never
+    sees them (a crashed scheduler would strand every other client)."""
+    resp, body = _post_synthesize(http_srv, TEXTS[2], seed="abc")
+    assert resp.status == 400 and b"seed" in body
+    conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=60)
+    conn.request("POST", "/synthesize",
+                 body=json.dumps({"text": TEXTS[2], "sigma": "hot"}))
+    r = conn.getresponse()
+    assert r.status == 400 and b"sigma" in r.read()
+    # the server still serves fine afterwards
+    conn.request("GET", "/healthz")
+    assert conn.getresponse().status == 200
     conn.close()
 
 

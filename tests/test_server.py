@@ -125,6 +125,19 @@ def test_server_per_session_sigma(synthesizer):  # noqa: F811
     assert np.abs(wavs[0] - wrong).max() > 1e-3
 
 
+def test_server_submit_validates_inputs(synthesizer):  # noqa: F811
+    """Malformed seed/sigma raise at submit() like overlong text does —
+    nothing invalid may reach step()'s jitted paths."""
+    srv = make_server(synthesizer, slots=1, chunk_steps=8, max_text_len=80)
+    for bad in ("abc", 1.5, -1, 2**40, True):
+        with pytest.raises(ValueError, match="seed"):
+            srv.submit("네.", seed=bad)
+    for bad in ("hot", float("nan"), -0.1, False):
+        with pytest.raises(ValueError, match="sigma"):
+            srv.submit("네.", sigma=bad)
+    assert srv.idle
+
+
 def test_server_rejects_overlong_text(synthesizer):  # noqa: F811
     """Invalid requests fail at submit() — never inside step(), which must
     stay up for the other sessions (the HTTP front-end maps this to 400)."""
@@ -327,7 +340,7 @@ def _toy_batcher(slots, stop_at_by_req, cs=4, requested=16):
 
     return ContinuousBatcher(
         slots=slots, chunk_steps=cs, requested=requested, prf=prf, ov=ov,
-        n_mel=n_mel, gpf=gpf, hop=hop, noise_widths=(1,), sigma=0.0,
+        n_mel=n_mel, gpf=gpf, hop=hop, noise_widths=(1,), sigma=1.0,
         admit_fn=admit_fn, init_batch_fn=init_batch_fn, decode_fn=decode_fn,
         postnet_fn=postnet_fn, vocode_fn=vocode_fn, key_fn=key_fn,
         draw_noise_fn=draw_noise_fn, retain_sessions=True,

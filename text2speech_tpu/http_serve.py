@@ -93,7 +93,9 @@ class ServerRunner:
         self._streams: dict[int, queue.Queue] = {}
         self._stop = threading.Event()
         self._wake = threading.Event()
-        self._lock = threading.Lock()          # guards _streams
+        self._lock = threading.Lock()          # guards _streams + _pending
+        self._pending = 0                      # submits in flight to inbox
+        self.error: BaseException | None = None
         self._thread = threading.Thread(
             target=self._loop, name="tts-scheduler", daemon=True)
         self._thread.start()
@@ -104,17 +106,29 @@ class ServerRunner:
                     sigma: float | None = None):
         if self._stop.is_set():
             raise RuntimeError("server is shut down")
-        if (self.max_pending is not None
-                and len(self._srv._queue) >= self.max_pending):
-            raise OverflowError(
-                f"admission queue full ({self.max_pending} pending)")
+        if self.max_pending is not None:
+            # count submits still in the inbox too, or a concurrent burst
+            # of handler threads bypasses the load shed
+            with self._lock:
+                if (len(self._srv._queue) + self._pending
+                        >= self.max_pending):
+                    raise OverflowError(
+                        f"admission queue full ({self.max_pending} pending)")
+                self._pending += 1
         reply: queue.Queue = queue.Queue()
         self._inbox.put(("submit", (text, seed, sigma), None, reply))
         self._wake.set()
-        kind, val = reply.get()
+        while True:
+            try:
+                kind, val = reply.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if self._stop.is_set():     # scheduler died under us
+                    raise RuntimeError("server is shut down") from self.error
         if kind == "error":
             raise val
-        return val, self._streams[val]
+        sid, q = val          # the scheduler sends the queue object itself:
+        return sid, q         # a session may complete before we run again
 
     def cancel(self, sid: int) -> None:
         self._inbox.put(("cancel", sid, None, None))
@@ -128,6 +142,8 @@ class ServerRunner:
         d["slots"] = self._srv.slots
         d["queued"] = len(self._srv._queue)
         d["open_streams"] = len(self._streams)
+        if self.error is not None:
+            d["error"] = repr(self.error)
         return d
 
     @property
@@ -150,14 +166,21 @@ class ServerRunner:
                 return
             kind, a, _b, reply = msg
             if kind == "submit":
+                sid = None
                 try:
                     sid = self._srv.submit(*a)
                 except Exception as e:          # validation errors -> caller
                     reply.put(("error", e))
+                finally:
+                    if self.max_pending is not None:
+                        with self._lock:
+                            self._pending -= 1
+                if sid is None:
                     continue
+                q: queue.Queue = queue.Queue()
                 with self._lock:
-                    self._streams[sid] = queue.Queue()
-                reply.put(("ok", sid))
+                    self._streams[sid] = q
+                reply.put(("ok", (sid, q)))
             elif kind == "cancel":
                 self._srv.cancel(a)
                 with self._lock:
@@ -166,28 +189,45 @@ class ServerRunner:
                     q.put(None)
 
     def _loop(self) -> None:
-        while not self._stop.is_set():
-            self._drain_inbox()
-            if self._srv.idle:
-                self._wake.wait(timeout=0.25)
-                self._wake.clear()
-                continue
-            for ev in self._srv.step():
-                with self._lock:
-                    q = self._streams.get(ev.sid)
-                if q is None:                   # cancelled / disconnected
+        try:
+            while not self._stop.is_set():
+                self._drain_inbox()
+                if self._srv.idle:
+                    self._wake.wait(timeout=0.25)
+                    self._wake.clear()
                     continue
-                if ev.final:
-                    q.put(None)
+                for ev in self._srv.step():
                     with self._lock:
-                        self._streams.pop(ev.sid, None)
-                elif ev.audio is not None:
-                    q.put(ev.audio)
-        # unblock any readers still waiting
-        with self._lock:
-            for q in self._streams.values():
-                q.put(None)
-            self._streams.clear()
+                        q = self._streams.get(ev.sid)
+                    if q is None:               # cancelled / disconnected
+                        continue
+                    if ev.final:
+                        q.put(None)
+                        with self._lock:
+                            self._streams.pop(ev.sid, None)
+                    elif ev.audio is not None:
+                        q.put(ev.audio)
+        except BaseException as e:
+            # a step() failure (device flake, scheduler bug) must not
+            # strand blocked readers — record it, shut down, unblock
+            self.error = e
+            import traceback
+            traceback.print_exc()
+        finally:
+            self._stop.set()
+            # unblock readers and fail any submits still in the inbox
+            while True:
+                try:
+                    msg = self._inbox.get_nowait()
+                except queue.Empty:
+                    break
+                if msg[0] == "submit" and msg[3] is not None:
+                    msg[3].put(("error",
+                                RuntimeError("server is shut down")))
+            with self._lock:
+                for q in self._streams.values():
+                    q.put(None)
+                self._streams.clear()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -233,10 +273,13 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError(f"body must be a JSON object, "
+                                 f"got {type(req).__name__}")
             text = req["text"]
             seed = req.get("seed")
             sigma = req.get("sigma")
-        except (ValueError, KeyError) as e:
+        except (ValueError, KeyError, TypeError) as e:
             self._send_json(400, {"error": f"bad request: {e!r}"})
             return
         try:

@@ -322,10 +322,13 @@ class Synthesizer:
 
             # quantize once per checkpoint, under jit (eager ops over the
             # device tunnel are ~seconds EACH, CLAUDE.md gotcha #5); the
-            # result replaces wg_variables as the serving-side jit argument
-            self._wg_serve_vars = jax.jit(
-                lambda p: quantize_waveglow_int8(p, wg_cfg)
-            )(self.wg_variables["params"])
+            # result replaces wg_variables as the serving-side jit argument.
+            # The jitted quantizer is CACHED on self so load_weights swaps
+            # reuse the compiled pass instead of re-tracing a fresh lambda
+            self._quantize_wg = jax.jit(
+                lambda p: quantize_waveglow_int8(p, wg_cfg))
+            self._wg_serve_vars = self._quantize_wg(
+                self.wg_variables["params"])
 
             def audio_fn(qparams, mel, rng, sigma):
                 return infer_fused_int8(qparams, wg_cfg, mel, rng, sigma)
@@ -469,12 +472,10 @@ class Synthesizer:
         if wg_variables is not None:
             self.wg_variables = wg_variables
             if self.int8_vocoder:
-                from .models.waveglow_fused import quantize_waveglow_int8
-
-                wg_cfg = self.wg_cfg
-                self._wg_serve_vars = jax.jit(
-                    lambda p: quantize_waveglow_int8(p, wg_cfg)
-                )(wg_variables["params"])
+                # reuse the jit cache from __post_init__: the swap costs
+                # one execution, zero compiles
+                self._wg_serve_vars = self._quantize_wg(
+                    wg_variables["params"])
             else:
                 self._wg_serve_vars = wg_variables
             if self.use_denoiser:

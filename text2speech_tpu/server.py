@@ -119,6 +119,9 @@ class ContinuousBatcher:
 
     * ``admit_fn(request, seed) -> row_tree`` — per-session batch-row
       pytree (encoder memory row, length, zeroed decoder carry, ...);
+    * ``validate_fn(request) -> canonical | None`` (optional) — raises on
+      invalid requests at ``submit`` time; a non-None return replaces the
+      request (e.g. pre-encoded text) before it reaches ``admit_fn``;
     * ``init_batch_fn() -> batch_tree`` — the B-slot batch pytree;
     * ``decode_fn(batch_tree, keys [chunk, B, 2]) ->
       (batch_tree, mel [B, n_mel, chunk], active [B, chunk],
@@ -126,7 +129,11 @@ class ContinuousBatcher:
     * ``postnet_fn(wins [B, n_mel, chunk+2*prf]) -> residual`` (same
       shape; output mel = window + residual);
     * ``vocode_fn(mel [B, n_mel, W], noise_tuple, sigma) ->
-      [B, W*gpf*n_group]`` with ``W = chunk + 2*ov``;
+      [B, W*gpf*n_group]`` with ``W = chunk + 2*ov``; the scheduler
+      pre-scales each row's noise by its session's sigma and always
+      passes ``sigma=1.0`` (sigma enters the flows only as
+      ``sigma * noise``, so this is exact and keeps mixed-sigma rounds
+      in ONE batched call);
     * ``key_fn(seed) -> np [limit, 2]`` per-session decode step keys;
     * ``draw_noise_fn(key) -> tuple of np [chunk*gpf, width]`` one
       noise block per flow component.
@@ -196,16 +203,34 @@ class ContinuousBatcher:
         defaults to the session id; ``sigma`` (flow sampling temperature,
         the reference CLI's quality knob, ``inference.py:75``) defaults to
         the server's — a session's output is a function of
-        ``(request, seed, sigma)`` only.  Invalid requests (e.g. text
-        longer than the server's static encoder width) raise HERE, at
-        submission — never inside :meth:`step`, which must stay up for
-        other sessions."""
+        ``(request, seed, sigma)`` only.  EVERY invalid input (overlong
+        text, malformed seed/sigma) raises HERE, at submission — never
+        inside :meth:`step`, which must stay up for other sessions.  If
+        ``validate_fn`` returns non-None, that canonical form (e.g. the
+        encoded text) is what ``admit_fn`` later receives — validation
+        work is not redone at admission."""
+        if seed is not None:
+            if isinstance(seed, bool) or not isinstance(
+                    seed, (int, np.integer)):
+                raise ValueError(f"seed must be an int, got {type(seed)}")
+            if not 0 <= seed < 2**31 - 1:
+                raise ValueError(f"seed out of range [0, 2**31-1): {seed}")
+            seed = int(seed)
+        if sigma is not None:
+            if isinstance(sigma, bool) or not isinstance(
+                    sigma, (int, float, np.floating, np.integer)):
+                raise ValueError(f"sigma must be a number, got {type(sigma)}")
+            sigma = float(sigma)
+            if not np.isfinite(sigma) or sigma < 0:
+                raise ValueError(f"sigma must be finite and >= 0: {sigma}")
         if self._validate_fn is not None:
-            self._validate_fn(request)
+            canonical = self._validate_fn(request)
+            if canonical is not None:
+                request = canonical
         sid = self._next_sid
         self._next_sid += 1
         self._queue.append((sid, request, sid if seed is None else seed,
-                            self.sigma if sigma is None else float(sigma)))
+                            self.sigma if sigma is None else sigma))
         return sid
 
     def cancel(self, sid: int) -> bool:
@@ -426,37 +451,36 @@ class ContinuousBatcher:
         start clamped to 0, flush windows pinned inside the utterance)."""
         if not tasks:
             return
-        # sigma is a scalar of each vocode call (traced, so distinct values
-        # never recompile); group tasks by session sigma — one call per
-        # (sigma, B-batch), identical to before when sigmas are uniform
-        by_sigma: dict[float, list] = {}
-        for t in tasks:
-            by_sigma.setdefault(t[0].sigma, []).append(t)
+        # sigma enters the flows ONLY as sigma * noise (waveglow.py infer,
+        # waveglow_fused.py likewise), so per-session sigma is applied by
+        # pre-scaling each row's noise on the host (an identical IEEE f32
+        # multiply) and passing sigma=1.0 — mixed-sigma rounds still batch
+        # into ONE vocoder call
         B = self.slots
-        for sigma, stasks in by_sigma.items():
-            for g0 in range(0, len(stasks), B):
-                group = stasks[g0 : g0 + B]
-                rows = group + [group[0]] * (B - len(group))
-                wmel = np.zeros((B, self.n_mel, self.Wv), np.float32)
-                wnoise = [
-                    np.zeros((B, self.Wv * self.gpf, w), np.float32)
-                    for w in self.noise_widths
-                ]
-                for j, (s, ws, _kf, _kt, fl) in enumerate(rows):
-                    lo, e = max(ws, 0), min(ws + self.Wv, fl)
-                    post = s.post_cat()
-                    wmel[j, :, lo - ws : e - ws] = post[:, lo:e]
-                    comps = self._sess_noise(s, e)
-                    for z, comp in zip(wnoise, comps):
-                        z[j, (lo - ws) * self.gpf : (e - ws) * self.gpf] = (
-                            comp[lo * self.gpf : e * self.gpf])
-                audio = np.asarray(self._vocode_fn(
-                    jnp.asarray(wmel),
-                    tuple(jnp.asarray(z) for z in wnoise), sigma))
-                self.stats["vocoder_calls"] += 1
-                for j, (s, ws, kf, kt, _fl) in enumerate(group):
-                    yield s, audio[
-                        j, (kf - ws) * self.hop : (kt - ws) * self.hop]
+        for g0 in range(0, len(tasks), B):
+            group = tasks[g0 : g0 + B]
+            rows = group + [group[0]] * (B - len(group))
+            wmel = np.zeros((B, self.n_mel, self.Wv), np.float32)
+            wnoise = [
+                np.zeros((B, self.Wv * self.gpf, w), np.float32)
+                for w in self.noise_widths
+            ]
+            for j, (s, ws, _kf, _kt, fl) in enumerate(rows):
+                lo, e = max(ws, 0), min(ws + self.Wv, fl)
+                post = s.post_cat()
+                wmel[j, :, lo - ws : e - ws] = post[:, lo:e]
+                comps = self._sess_noise(s, e)
+                sg = np.float32(s.sigma)
+                for z, comp in zip(wnoise, comps):
+                    z[j, (lo - ws) * self.gpf : (e - ws) * self.gpf] = (
+                        sg * comp[lo * self.gpf : e * self.gpf])
+            audio = np.asarray(self._vocode_fn(
+                jnp.asarray(wmel),
+                tuple(jnp.asarray(z) for z in wnoise), 1.0))
+            self.stats["vocoder_calls"] += 1
+            for j, (s, ws, kf, kt, _fl) in enumerate(group):
+                yield s, audio[
+                    j, (kf - ws) * self.hop : (kt - ws) * self.hop]
 
     def _vocode_short(self, s: _Session, tl: int) -> np.ndarray:
         """A session shorter than one window vocodes its exact length in
@@ -466,11 +490,12 @@ class ContinuousBatcher:
         engine's derivation)."""
         post = s.post_cat()[:, :tl]
         comps = self._sess_noise(s, tl)
+        sg = np.float32(s.sigma)     # same pre-scaling rule as _run_vocoder
         nz = tuple(
-            jnp.asarray(c[None, : tl * self.gpf]) for c in comps
+            jnp.asarray(sg * c[None, : tl * self.gpf]) for c in comps
         )
         audio = np.asarray(self._vocode_exact_fn(
-            jnp.asarray(post[None]), nz, s.sigma))
+            jnp.asarray(post[None]), nz, 1.0))
         self.stats["vocoder_calls"] += 1
         return audio[0, : tl * self.hop]
 
@@ -537,14 +562,15 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         return tree
 
     def validate_fn(text):
-        n = encode_batch([text])[0].shape[1]
-        if n > max_text_len:
-            raise ValueError(
-                f"text encodes to {n} symbols > server "
-                f"max_text_len={max_text_len}")
-
-    def admit_fn(text, seed):
         ids_np, lens_np = encode_batch([text])
+        if ids_np.shape[1] > max_text_len:
+            raise ValueError(
+                f"text encodes to {ids_np.shape[1]} symbols > server "
+                f"max_text_len={max_text_len}")
+        return ids_np, lens_np    # canonical request: encode once at submit
+
+    def admit_fn(request, seed):
+        ids_np, lens_np = request
         ids = np.zeros((1, max_text_len), np.int32)
         ids[:, : ids_np.shape[1]] = ids_np
         mem = synth._encode_mem(
@@ -648,14 +674,15 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
         }
 
     def validate_fn(text):
-        n = encode_batch([text])[0].shape[1]
-        if n > max_text_len:
-            raise ValueError(
-                f"text encodes to {n} symbols > server "
-                f"max_text_len={max_text_len}")
-
-    def admit_fn(text, seed):
         ids_np, lens_np = encode_batch([text])
+        if ids_np.shape[1] > max_text_len:
+            raise ValueError(
+                f"text encodes to {ids_np.shape[1]} symbols > server "
+                f"max_text_len={max_text_len}")
+        return ids_np, lens_np    # canonical request: encode once at submit
+
+    def admit_fn(request, seed):
+        ids_np, lens_np = request
         ids = np.zeros((1, max_text_len), np.int32)
         ids[:, : ids_np.shape[1]] = ids_np
         mem = tps._encode(
