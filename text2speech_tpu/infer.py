@@ -366,27 +366,18 @@ class Synthesizer:
         )
 
         # --- incremental decode handles (jitted lazily on first use) -------
-        def encode_fn(variables, ids, lengths):
-            return taco.apply(
-                variables, ids, text_lengths=lengths, method=Tacotron2.encode
-            )
+        # the four replicated endpoints are shared with the TP serving
+        # chain (one definition; see tacotron_serve.replicated_endpoints)
+        from .models.tacotron_serve import replicated_endpoints
 
-        def derive_fn(variables, rng):
-            return taco.apply(
-                variables, method=Tacotron2.derive_rng,
-                rngs={"dropout": rng},
-            )
+        (self._encode_mem, self._pmem_fn, self._derive_rng,
+         self._postnet_window) = replicated_endpoints(taco)
 
         def decode_chunk_fn(variables, memory, state, frame, finished,
                             step_rngs, lengths):
             return taco.apply(
                 variables, memory, state, frame, finished, step_rngs,
                 text_lengths=lengths, method=Tacotron2.decode_chunk,
-            )
-
-        def postnet_fn(variables, mel):
-            return taco.apply(
-                variables, mel, method=Tacotron2.postnet_residual
             )
 
         if self.int8_vocoder:
@@ -409,10 +400,7 @@ class Synthesizer:
                     method=WaveGlow.infer,
                 )
 
-        self._encode_mem = jax.jit(encode_fn)
-        self._derive_rng = jax.jit(derive_fn)
         self._decode_chunk = jax.jit(decode_chunk_fn)
-        self._postnet_window = jax.jit(postnet_fn)
         self._vocode_window = jax.jit(vocode_window_fn)
 
         if self.quantized_decode:
@@ -427,14 +415,7 @@ class Synthesizer:
             self._dp_q = quantize_decoder_params(
                 extract_decoder_params(self.taco_variables, hp)
             )
-            self._pmem_fn = jax.jit(
-                lambda v, mem: taco.apply(
-                    v, mem,
-                    method=lambda m, mm: m.decoder.attention.process_memory(
-                        mm
-                    ),
-                )
-            )
+            # memory projection: self._pmem_fn (shared endpoint above)
             self._decode_chunk_q = jax.jit(
                 lambda dp, mem, pm, st, fr, fi, sr_, le: decode_chunk_serve(
                     dp, hp, mem, pm, st, fr, fi, sr_, le, dtype=dec_dtype

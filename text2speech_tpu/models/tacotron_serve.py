@@ -38,6 +38,27 @@ from .tacotron2 import DecoderState
 QUANT_MIN_ELEMS = 1 << 20
 
 
+def replicated_endpoints(taco):
+    """The four tiny replicated jits every serving path needs around the
+    decode loop — encoder, memory projection, dropout-rng derivation,
+    postnet residual.  Built HERE once so ``infer.Synthesizer`` and
+    ``parallel.serve.TPSynthesizer`` share one definition (params stay
+    jit arguments: checkpoint swaps never recompile).  Returns
+    ``(encode, pmem, derive_rng, postnet)``."""
+    from .tacotron2 import Tacotron2
+
+    encode = jax.jit(lambda v, ids, le: taco.apply(
+        v, ids, text_lengths=le, method=Tacotron2.encode))
+    pmem = jax.jit(lambda v, mem: taco.apply(
+        v, mem,
+        method=lambda m, mm: m.decoder.attention.process_memory(mm)))
+    derive_rng = jax.jit(lambda v, r: taco.apply(
+        v, method=Tacotron2.derive_rng, rngs={"dropout": r}))
+    postnet = jax.jit(lambda v, mel: taco.apply(
+        v, mel, method=Tacotron2.postnet_residual))
+    return encode, pmem, derive_rng, postnet
+
+
 def extract_decoder_params(variables: dict, hp: HParams) -> dict:
     """Flatten the decoder's flax params into a plain serving dict."""
     dec = variables["params"]["decoder"]

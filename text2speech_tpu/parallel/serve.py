@@ -50,10 +50,21 @@ class TPSynthesizer:
     model_axis: str = MODEL_AXIS
     int8: bool = False
     chunk_steps: int = 64
+    # both stages' matmul/kernel dtype; jnp.bfloat16 = the tuned serving
+    # configuration on real TPUs (the single-device measured numbers),
+    # fp32 default keeps the CPU-mesh equality tests exact
+    compute_dtype: object = jnp.float32
 
     def __post_init__(self):
         taco, hp, mesh = self.taco, self.hp, self.mesh
         from ..models.tacotron_serve import extract_decoder_params
+
+        # normalize like the sub-endpoints do (tp.py / tp_tacotron.py), or
+        # a model-only mesh with the default data_axis="data" KeyErrors in
+        # _endpoints on the first synthesis call
+        if self.data_axis is not None and (
+                self.data_axis not in mesh.axis_names):
+            self.data_axis = None
 
         rep = NamedSharding(mesh, P())
         # replicated copy of the acoustic-model weights for the small
@@ -65,31 +76,22 @@ class TPSynthesizer:
         self._decoder = TPTacotronDecoder(
             self._dp, hp, mesh,
             data_axis=self.data_axis, model_axis=self.model_axis,
-            int8=self.int8,
+            int8=self.int8, dtype=self.compute_dtype,
         )
         self._vocoder = TPWaveGlowServer(
             self.waveglow, self.wg_variables, mesh,
             data_axis=self.data_axis, model_axis=self.model_axis,
-            fused=True, int8=self.int8,
+            fused=True, int8=self.int8, compute_dtype=self.compute_dtype,
         )
         # model-only endpoints, built lazily for batches the data axis
         # can't split (B=1 streaming on a data x model mesh would otherwise
         # fail to shard [1, ...] arrays p_data ways)
         self._nodata: tuple | None = None
 
-        self._encode = jax.jit(lambda v, ids, le: taco.apply(
-            v, ids, text_lengths=le, method=Tacotron2.encode
-        ))
-        self._pmem = jax.jit(lambda v, mem: taco.apply(
-            v, mem,
-            method=lambda m, mm: m.decoder.attention.process_memory(mm),
-        ))
-        self._derive_rng = jax.jit(lambda v, r: taco.apply(
-            v, method=Tacotron2.derive_rng, rngs={"dropout": r}
-        ))
-        self._postnet = jax.jit(lambda v, mel: taco.apply(
-            v, mel, method=Tacotron2.postnet_residual
-        ))
+        from ..models.tacotron_serve import replicated_endpoints
+
+        (self._encode, self._pmem, self._derive_rng,
+         self._postnet) = replicated_endpoints(taco)
 
     def _endpoints(self, B: int):
         """(decoder, vocoder) able to shard a batch of ``B``: the
@@ -104,11 +106,13 @@ class TPSynthesizer:
                 TPTacotronDecoder(
                     self._dp, self.hp, self.mesh, data_axis=None,
                     model_axis=self.model_axis, int8=self.int8,
+                    dtype=self.compute_dtype,
                 ),
                 TPWaveGlowServer(
                     self.waveglow, self.wg_variables, self.mesh,
                     data_axis=None, model_axis=self.model_axis,
                     fused=True, int8=self.int8,
+                    compute_dtype=self.compute_dtype,
                 ),
             )
         return self._nodata
@@ -198,10 +202,18 @@ class TPSynthesizer:
         cs = chunk_steps or self.chunk_steps
         gen, _, B = self._mel_stream(texts, seed, max_steps, cs)
         _, vocoder = self._endpoints(B)
+        # the engine's vocode_exact path (a row shorter than one window)
+        # issues BATCH-1 calls, which a data-sharded vocoder can't split —
+        # dispatch those to the model-only endpoint (same trick as
+        # server.make_server_tp's vocode_exact_fn)
+        _, vocoder1 = self._endpoints(1)
+
+        def _vocode(mel, nz, sg):
+            v = vocoder1 if mel.shape[0] == 1 else vocoder
+            return np.asarray(v(mel, None, sg, noise=nz))
+
         yield from incremental_vocode_stream_batch(
-            self.wg_cfg, gen,
-            lambda mel, nz, sg: np.asarray(vocoder(mel, None, sg, noise=nz)),
-            sigma, seed, cs,
+            self.wg_cfg, gen, _vocode, sigma, seed, cs,
         )
 
     def text_to_mel(self, texts, seed: int = 0,

@@ -287,4 +287,10 @@ class TPTacotronDecoder:
         )
 
     def cache_size(self) -> int:
-        return self._fn._cache_size()
+        """Compiled-program count across BOTH key modes (shared-key and
+        per-row-keys) — the no-retrace assertions must see retraces in
+        whichever mode the caller drives (the server uses per-row)."""
+        n = self._fn._cache_size()
+        if self._fn_rowkeys is not None:
+            n += self._fn_rowkeys._cache_size()
+        return n
