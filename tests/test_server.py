@@ -354,7 +354,9 @@ def _toy_expected(srv, uid, sid):
     tl = min(s.out_len, srv.requested)
     mel0 = uid * 1000.0 + np.arange(tl)
     noise = srv._sess_noise(s, tl)[0][:tl, 0]
-    return np.repeat(mel0 + noise, srv.hop // 1)[: tl * srv.hop], tl
+    # the scheduler pre-scales noise by the session's sigma (exact)
+    sg = np.float32(s.sigma)
+    return np.repeat(mel0 + sg * noise, srv.hop // 1)[: tl * srv.hop], tl
 
 
 def test_toy_server_staggered_gates_and_slot_reuse():
@@ -423,6 +425,56 @@ def test_toy_server_cancel():
     assert seen == {s2}            # only the surviving session emits
     assert srv.stats["cancelled"] == 2
     assert srv.stats["completed"] == 1
+
+
+def test_toy_server_soak_randomized():
+    """Soak: 60 sessions with random stop frames, per-session sigmas and
+    random mid-flight cancels through a 4-slot server.  Invariants: no
+    events after a cancel; every completed session's audio is EXACTLY the
+    toy single-pass result at its own sigma; every session ends in exactly
+    one of {completed, cancelled}; accounting balances."""
+    rng = np.random.RandomState(0)
+    n = 60
+    stop = {uid: int(rng.randint(1, 20)) for uid in range(n)}
+    srv = _toy_batcher(slots=4, stop_at_by_req=stop)   # requested=16
+    sigmas = {uid: float(rng.choice([0.5, 1.0, 2.0])) for uid in range(n)}
+    sids = {uid: srv.submit(uid, sigma=sigmas[uid]) for uid in range(n)}
+
+    cancelled: set = set()
+    finals: set = set()
+    parts: dict = {sid: [] for sid in sids.values()}
+    rounds = 0
+    while not srv.idle:
+        rounds += 1
+        assert rounds < 500, "server did not converge"
+        if rng.rand() < 0.4:                 # random mid-flight cancel
+            victim_sid = sids[int(rng.randint(0, n))]
+            if (victim_sid not in finals and victim_sid not in cancelled
+                    and srv.cancel(victim_sid)):
+                cancelled.add(victim_sid)
+        for ev in srv.step():
+            assert ev.sid not in cancelled, "event after cancel"
+            assert ev.sid not in finals, "event after final"
+            if ev.final:
+                finals.add(ev.sid)
+            elif ev.audio is not None:
+                parts[ev.sid].append(ev.audio)
+
+    # every session has exactly one outcome
+    assert len(finals) + len(cancelled) == n
+    assert srv.stats["completed"] == len(finals)
+    assert srv.stats["cancelled"] == len(cancelled)
+    assert srv.stats["admitted"] == len(finals) + sum(
+        1 for s in cancelled if s in srv.sessions)
+
+    uid_of = {v: k for k, v in sids.items()}
+    for sid in finals:
+        audio = (np.concatenate(parts[sid]) if parts[sid]
+                 else np.zeros((0,), np.float32))
+        want, tl = _toy_expected(srv, uid_of[sid], sid)
+        assert tl == min(stop[uid_of[sid]] + 1, srv.requested)
+        np.testing.assert_allclose(audio, want, atol=1e-4,
+                                   err_msg=f"sid {sid}")
 
 
 def test_toy_server_stats_account_rounds():
