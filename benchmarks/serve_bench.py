@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Measure the continuous-batching server END-TO-END on the attached chip.
+
+`bench.py` reports per-stage device rates with batch-scaling methodology
+(the tunnel makes per-dispatch wall timing dishonest) and DERIVES the
+serving extras from them.  This benchmark complements it by actually
+RUNNING `server.make_server` against the chip: real admissions, real
+per-round decode/postnet/vocode dispatches, real host-side window
+assembly — the number a capacity planner gets from the whole scheduler,
+not from its stages.
+
+Caveat (printed in the JSON): each scheduling round makes ~3 device calls
+with host readbacks between them.  On this rig every readback crosses the
+tunnel (~100 ms RTT, ~25 MB/s D2H — CLAUDE.md gotchas #3/#6), so measured
+round time = device work + tunnel tax; on a real TPU host the same
+readbacks are PCIe-local (~sub-ms) and the device work dominates.  The
+JSON therefore reports BOTH the measured wall numbers and the derived
+device-work bound for the same rounds (from bench.py's measured stage
+rates, passed via --decode_fps/--vocoder_sps) so the rig tax is explicit.
+
+Run:  python benchmarks/serve_bench.py [--slots 16] [--int8] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_bench_cache")),
+)
+
+import jax.numpy as jnp
+
+SR = 22050
+TEXTS = [
+    "안녕하세요. 오늘 날씨가 참 좋네요.",
+    "이 것은 제작되고 있는 중입니다.",
+    "존경하는 사람과 함께 갑니다.",
+    "다음 문장을 합성해 주세요.",
+]
+
+
+def build_synthesizer(int8: bool, quantized_decode: bool):
+    from text2speech_tpu.config import HParams, WaveGlowConfig
+    from text2speech_tpu.infer import Synthesizer
+    from text2speech_tpu.models.tacotron2 import Tacotron2
+    from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.text import N_SYMBOLS
+
+    hp = HParams(sample_rate=SR)
+    cfg = WaveGlowConfig(sampling_rate=SR)
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(hp, n_vocab=N_SYMBOLS, compute_dtype=jnp.bfloat16)
+    tvars = jax.jit(taco.init)(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 32), jnp.int32) + 3,
+        jnp.full((2,), 32, jnp.int32),
+        jnp.zeros((2, hp.n_mel_channels, 64)),
+        jnp.full((2,), 64, jnp.int32),
+    )
+    wg = WaveGlow(cfg, compute_dtype=jnp.bfloat16)
+    frames = cfg.segment_length // cfg.hop_length + 1
+    wvars = jax.jit(wg.init)(
+        rng,
+        jnp.zeros((1, cfg.n_mel_channels, frames)),
+        jnp.zeros((1, cfg.segment_length)),
+    )
+    # bias the stop gate SHUT so every session decodes its full contract
+    # (random-init gates otherwise fire immediately — half the rows read
+    # sigmoid(x) > 0.5 at step 1 and the "throughput" run measures
+    # one-frame sessions)
+    tvars = jax.tree_util.tree_map_with_path(
+        lambda path, x: x - 10.0
+        if any(getattr(p, "key", None) == "gate_proj" for p in path)
+        and x.ndim == 1 else x,
+        tvars,
+    )
+    jax.block_until_ready((tvars, wvars))
+    return Synthesizer(
+        hp=hp, taco=taco, taco_variables=tvars,
+        wg_cfg=cfg, waveglow=wg, wg_variables=wvars,
+        use_denoiser=False,
+        use_fused_vocoder=not int8, int8_vocoder=int8,
+        quantized_decode=quantized_decode,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--chunk_steps", type=int, default=64)
+    ap.add_argument("--n_requests", type=int, default=32)
+    ap.add_argument("--max_steps", type=int, default=192,
+                    help="per-session decode contract (the builder biases "
+                         "the stop gate shut, so every session runs the "
+                         "full contract — deterministic round count)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 vocoder kernels (+ pair with "
+                         "--quantized_decode for the full int8 chain)")
+    ap.add_argument("--quantized_decode", action="store_true")
+    ap.add_argument("--decode_fps", type=float, default=590_000.0,
+                    help="bench.py-measured aggregate decode frames/s at "
+                         "batch ~slots, for the derived device bound")
+    ap.add_argument("--vocoder_sps", type=float, default=2_900_000.0,
+                    help="bench.py-measured vocoder samples/s")
+    args = ap.parse_args()
+
+    from text2speech_tpu.server import make_server
+
+    synth = build_synthesizer(args.int8, args.quantized_decode)
+    srv = make_server(
+        synth, slots=args.slots, chunk_steps=args.chunk_steps,
+        max_text_len=128, max_steps=args.max_steps,
+    )
+
+    # warmup wave: compiles every program (decode chunk, postnet window,
+    # vocoder window, row placement) before the timed run
+    for t in TEXTS[: min(2, args.slots)]:
+        srv.submit(t)
+    while not srv.idle:
+        srv.step()
+    warm_stats = dict(srv.stats)
+
+    # timed run
+    for i in range(args.n_requests):
+        srv.submit(TEXTS[i % len(TEXTS)], seed=i)
+    round_s = []
+    t_all0 = time.perf_counter()
+    while not srv.idle:
+        t0 = time.perf_counter()
+        srv.step()
+        round_s.append(time.perf_counter() - t0)
+    wall = time.perf_counter() - t_all0
+
+    st = srv.stats
+    rounds = st["rounds"] - warm_stats["rounds"]
+    emitted = st["emitted_samples"] - warm_stats["emitted_samples"]
+    completed = st["completed"] - warm_stats["completed"]
+    occ = (st["active_row_steps"] - warm_stats["active_row_steps"]) / max(
+        st["row_steps"] - warm_stats["row_steps"], 1)
+    far = (st["first_audio_rounds_sum"]
+           - warm_stats["first_audio_rounds_sum"]) / max(completed, 1)
+
+    # derived device-work bound for the SAME rounds: decode chunk_steps x
+    # slots frames + vocode the emitted samples, at bench.py's measured
+    # stage rates (what these rounds cost without the tunnel tax)
+    dev_decode_s = rounds * args.chunk_steps * args.slots / args.decode_fps
+    dev_vocode_s = emitted / args.vocoder_sps
+    dev_bound_s = dev_decode_s + dev_vocode_s
+
+    print(json.dumps({
+        "metric": "server_samples_per_sec_measured",
+        "value": round(emitted / wall, 1),
+        "unit": "samples/sec",
+        "vs_baseline": round(emitted / wall / 2_750_000.0, 3),
+        "sessions_completed": completed,
+        "slots": args.slots,
+        "chunk_steps": args.chunk_steps,
+        "rounds": rounds,
+        "wall_s": round(wall, 2),
+        "round_ms_median": round(1000 * float(np.median(round_s)), 1),
+        "aggregate_rtf": round(emitted / wall / SR, 2),
+        "slot_occupancy": round(occ, 3),
+        "mean_first_audio_rounds": round(far, 2),
+        "derived_device_bound_s": round(dev_bound_s, 2),
+        "derived_device_samples_per_sec": round(emitted / dev_bound_s, 1),
+        "tunnel_tax_factor": round(wall / dev_bound_s, 2),
+        "note": "measured over the dev tunnel (~3 host round-trips/round); "
+                "on a TPU-local host expect ~derived_device_samples_per_sec",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,21 @@ def test_server_per_session_sigma(synthesizer):  # noqa: F811
     assert np.abs(wavs[0] - wrong).max() > 1e-3
 
 
+def test_server_batched_noise_prefetch_exact(synthesizer):  # noqa: F811
+    """The one-dispatch-per-round batched noise prefetch produces BITWISE
+    the per-session lazy draws (vmap over keys == per-key draws): a server
+    with the prefetch disabled emits identical audio."""
+    mk = lambda: make_server(synthesizer, slots=2, chunk_steps=8,
+                             max_text_len=80, sigma=0.8)
+    a = mk()
+    b = mk()
+    b._draw_noise_batch_fn = None          # lazy per-session fallback only
+    wa = a.run(TEXTS[:3], seeds=[1, 2, 3])
+    wb = b.run(TEXTS[:3], seeds=[1, 2, 3])
+    for sid in wa:
+        np.testing.assert_array_equal(wa[sid], wb[sid], err_msg=f"sid {sid}")
+
+
 def test_server_submit_validates_inputs(synthesizer):  # noqa: F811
     """Malformed seed/sigma raise at submit() like overlong text does —
     nothing invalid may reach step()'s jitted paths."""

@@ -80,7 +80,8 @@ class _Session:
     sid: int
     slot: int
     keys: np.ndarray            # [limit, 2] per-step decode keys
-    noise_key: jax.Array
+    noise_key: np.ndarray       # [2] uint32 (host copy: batched prefetch
+                                # stacks keys without per-session dispatch)
     sigma: float = 0.666        # per-session flow temperature
     # decode-side frontiers
     t: int = 0                  # decoded frames
@@ -136,7 +137,14 @@ class ContinuousBatcher:
       in ONE batched call);
     * ``key_fn(seed) -> np [limit, 2]`` per-session decode step keys;
     * ``draw_noise_fn(key) -> tuple of np [chunk*gpf, width]`` one
-      noise block per flow component.
+      noise block per flow component;
+    * ``draw_noise_batch_fn(keys [B, 2], idx [B]) -> tuple of
+      [B, chunk*gpf, width]`` (optional) — ``fold_in(keys[r], idx[r])``
+      then one block per row, ALL rows in one device call.  When given,
+      the scheduler prefetches every live session's next block per round
+      in a single batched dispatch instead of one ``draw_noise_fn`` call
+      per session (the per-session path stays as the fallback for flush
+      tails and MUST produce identical values — same fold_in, same draw).
     """
 
     def __init__(self, *, slots: int, chunk_steps: int, requested: int,
@@ -144,6 +152,7 @@ class ContinuousBatcher:
                  noise_widths: tuple[int, ...], sigma: float,
                  admit_fn, init_batch_fn, decode_fn, postnet_fn, vocode_fn,
                  key_fn, draw_noise_fn, vocode_exact_fn=None,
+                 draw_noise_batch_fn=None,
                  validate_fn=None, retain_sessions: bool = False):
         assert chunk_steps >= prf, (
             "chunk_steps must cover the postnet receptive field "
@@ -170,6 +179,7 @@ class ContinuousBatcher:
         self._vocode_exact_fn = vocode_exact_fn or vocode_fn
         self._key_fn = key_fn
         self._draw_noise_fn = draw_noise_fn
+        self._draw_noise_batch_fn = draw_noise_batch_fn
         self._validate_fn = validate_fn
 
         # slot index is a TRACED argument: admissions into any slot hit one
@@ -311,6 +321,25 @@ class ContinuousBatcher:
         if post_tasks:
             self._run_postnet(post_tasks)
 
+        # --- batched noise prefetch (one dispatch for every live session's
+        # next block; the per-session draw stays as the flush fallback) ----
+        if self._draw_noise_batch_fn is not None:
+            need = [s for s in live if s.noise_frames < s.t]
+            if need:
+                nkeys = np.zeros((self.slots, 2), np.uint32)
+                nidx = np.zeros((self.slots,), np.uint32)
+                for s in need:
+                    nkeys[s.slot] = s.noise_key
+                    nidx[s.slot] = len(s.noise_blocks)
+                blocks = [
+                    np.asarray(c, np.float32)
+                    for c in self._draw_noise_batch_fn(
+                        jnp.asarray(nkeys), jnp.asarray(nidx))
+                ]
+                for s in need:
+                    s.noise_blocks.append([c[s.slot] for c in blocks])
+                    s.noise_frames += self.cs
+
         # --- vocoder windows over the advanced postnet frontiers ----------
         events: list[StreamEvent] = []
         voc_tasks: list = []
@@ -396,8 +425,8 @@ class ContinuousBatcher:
             self._batch = self._place(self._batch, row, slot)
             s = _Session(
                 sid=sid, slot=slot, keys=np.asarray(self._key_fn(seed)),
-                noise_key=jax.random.fold_in(
-                    jax.random.PRNGKey(seed + 1), 0x5EED),
+                noise_key=np.asarray(jax.random.fold_in(
+                    jax.random.PRNGKey(seed + 1), 0x5EED)),
                 sigma=sigma,
                 admit_round=self.stats["rounds"],
             )
@@ -614,6 +643,16 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         block = draw_noise(cfg, key, 1, chunk_steps * gpf)
         return tuple(np.asarray(c[0]) for c in block)
 
+    def _one_block(k, j):
+        blk = draw_noise(cfg, jax.random.fold_in(k, j), 1,
+                         chunk_steps * gpf)
+        return tuple(c[0] for c in blk)
+
+    # all live sessions' next blocks in ONE dispatch (vmap over keys is
+    # bitwise the per-key draw — pinned by
+    # tests/test_server.py::test_server_batched_noise_prefetch_exact)
+    draw_noise_batch_fn = jax.jit(jax.vmap(_one_block))
+
     return ContinuousBatcher(
         slots=slots, chunk_steps=chunk_steps, requested=requested,
         prf=prf, ov=ov, n_mel=hp.n_mel_channels, gpf=gpf,
@@ -626,6 +665,7 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         vocode_fn=lambda mel, nz, sg: synth._vocode_window(
             synth._wg_serve_vars, mel, nz, sg),
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
+        draw_noise_batch_fn=draw_noise_batch_fn,
         validate_fn=validate_fn, retain_sessions=retain_sessions,
     )
 
@@ -712,6 +752,13 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
         block = draw_noise(cfg, key, 1, chunk_steps * gpf)
         return tuple(np.asarray(c[0]) for c in block)
 
+    def _one_block(k, j):
+        blk = draw_noise(cfg, jax.random.fold_in(k, j), 1,
+                         chunk_steps * gpf)
+        return tuple(c[0] for c in blk)
+
+    draw_noise_batch_fn = jax.jit(jax.vmap(_one_block))
+
     return ContinuousBatcher(
         slots=slots, chunk_steps=chunk_steps, requested=requested,
         prf=prf, ov=ov, n_mel=hp.n_mel_channels, gpf=gpf,
@@ -724,5 +771,6 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
         vocode_exact_fn=lambda mel, nz, sg: vocoder1(
             mel, None, sg, noise=nz),
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
+        draw_noise_batch_fn=draw_noise_batch_fn,
         validate_fn=validate_fn, retain_sessions=retain_sessions,
     )
