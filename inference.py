@@ -120,7 +120,11 @@ def main():
 
                 httpd, runner = make_http_server(
                     srv, host="0.0.0.0", port=args.http_port,
-                    sample_rate=args.sample_rate, log_requests=True)
+                    sample_rate=args.sample_rate, log_requests=True,
+                    # POST /reload {"taco_ckpt_dir": ..., "wg_ckpt_dir":
+                    # ...}: zero-recompile live checkpoint swap
+                    reload_fn=lambda taco_ckpt_dir=None, wg_ckpt_dir=None:
+                        synth.load_checkpoints(taco_ckpt_dir, wg_ckpt_dir))
                 print(f"HTTP TTS server on :{httpd.server_address[1]} "
                       f"({args.serve_slots} slots; POST /synthesize)")
                 try:

@@ -177,6 +177,77 @@ def test_http_rejects_malformed_seed_and_sigma(http_srv):
     conn.close()
 
 
+def test_http_reload_not_configured_is_404(http_srv):
+    conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=60)
+    conn.request("POST", "/reload", body=b"{}")
+    r = conn.getresponse()
+    assert r.status == 404
+    r.read()
+    conn.close()
+
+
+def test_http_live_checkpoint_swap(synthesizer):  # noqa: F811
+    """POST /reload swaps weights under the running server (executed on
+    the scheduler thread): the same (text, seed) then reproduces a direct
+    batcher run over the NEW weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2speech_tpu.infer import Synthesizer
+
+    synth = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables, use_denoiser=False,
+    )
+    prng = np.random.RandomState(7)
+    perturb = lambda tree: jax.tree.map(
+        lambda x: (x + (0.03 * prng.randn(*x.shape)).astype(x.dtype))
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+    new_tv = perturb(synthesizer.taco_variables)
+    new_wv = perturb(synthesizer.wg_variables)
+
+    httpd, runner = make_http_server(
+        make_server(synth, slots=1, chunk_steps=8, max_text_len=80,
+                    sigma=SIGMA),
+        port=0,
+        reload_fn=lambda which: synth.load_weights(new_tv, new_wv))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    try:
+        _, before = _post_synthesize(port, TEXTS[0], seed=9)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/reload",
+                     body=json.dumps({"which": "new"}))
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())["ok"]
+        # bad kwargs -> 400, server still fine
+        conn.request("POST", "/reload", body=json.dumps({"nope": 1}))
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.close()
+        _, after = _post_synthesize(port, TEXTS[0], seed=9)
+        assert after != before                      # weights actually live
+
+        ref_synth = Synthesizer(
+            hp=synthesizer.hp, taco=synthesizer.taco,
+            taco_variables=new_tv,
+            wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+            wg_variables=new_wv, use_denoiser=False,
+        )
+        ref = make_server(ref_synth, slots=1, chunk_steps=8,
+                          max_text_len=80, sigma=SIGMA).run(
+            [TEXTS[0]], seeds=[9])[0]
+        assert after[len(wav_stream_header(22050)):] == float_to_pcm16(ref)
+    finally:
+        httpd.shutdown()
+        runner.shutdown()
+
+
 def test_pcm16_conversion_matches_reference_rule():
     x = np.array([0.0, 1.0, -1.0, 2.0, -2.0, 0.5], np.float32)
     out = np.frombuffer(float_to_pcm16(x), "<i2")

@@ -33,6 +33,9 @@ Endpoints::
                        -> chunked audio/wav; X-Session-Id response header
                        (sigma = per-request flow temperature, the
                        reference CLI's quality knob)
+    POST /reload       {"taco_ckpt_dir": ...?, "wg_ckpt_dir": ...?}
+                       live checkpoint swap via the configured reload_fn
+                       (zero recompiles — params are jit arguments)
     GET  /stats        scheduler counters + live queue/slot occupancy
     GET  /healthz      200 when the scheduler thread is alive
 
@@ -134,6 +137,26 @@ class ServerRunner:
         self._inbox.put(("cancel", sid, None, None))
         self._wake.set()
 
+    def call(self, fn):
+        """Run ``fn()`` ON the scheduler thread (between rounds) and return
+        its result — the admin path for operations that touch the batcher
+        or the synthesizer (e.g. a live checkpoint swap)."""
+        if self._stop.is_set():
+            raise RuntimeError("server is shut down")
+        reply: queue.Queue = queue.Queue()
+        self._inbox.put(("call", fn, None, reply))
+        self._wake.set()
+        while True:
+            try:
+                kind, val = reply.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise RuntimeError("server is shut down") from self.error
+        if kind == "error":
+            raise val
+        return val
+
     def stats(self) -> dict:
         """Monitoring snapshot (counters are ints mutated on the scheduler
         thread; a torn read is at worst one round stale)."""
@@ -187,6 +210,11 @@ class ServerRunner:
                     q = self._streams.pop(a, None)
                 if q is not None:
                     q.put(None)
+            elif kind == "call":
+                try:
+                    reply.put(("ok", a()))
+                except Exception as e:
+                    reply.put(("error", e))
 
     def _loop(self) -> None:
         try:
@@ -221,7 +249,7 @@ class ServerRunner:
                     msg = self._inbox.get_nowait()
                 except queue.Empty:
                     break
-                if msg[0] == "submit" and msg[3] is not None:
+                if msg[0] in ("submit", "call") and msg[3] is not None:
                     msg[3].put(("error",
                                 RuntimeError("server is shut down")))
             with self._lock:
@@ -235,6 +263,7 @@ class _Handler(BaseHTTPRequestHandler):
     # set by make_http_server:
     runner: ServerRunner
     sample_rate: int
+    reload_fn = None
     log_requests = False
 
     def log_message(self, fmt, *args):          # quiet by default
@@ -267,6 +296,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):
+        if self.path == "/reload":
+            self._do_reload()
+            return
         if self.path != "/synthesize":
             self._send_json(404, {"error": f"no route {self.path}"})
             return
@@ -308,20 +340,52 @@ class _Handler(BaseHTTPRequestHandler):
             self.runner.cancel(sid)             # free the slot now
             self.close_connection = True
 
+    def _do_reload(self):
+        """Live checkpoint swap: runs ``reload_fn(**body)`` on the
+        scheduler thread (between rounds) — with params as jit arguments
+        this is recompile-free; the next round serves the new weights
+        (in-flight sessions see them mid-utterance: drain first if that
+        matters)."""
+        if self.reload_fn is None:
+            self._send_json(404, {"error": "no reload_fn configured"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
+        except (ValueError, TypeError) as e:
+            self._send_json(400, {"error": f"bad request: {e!r}"})
+            return
+        try:
+            self.runner.call(lambda: self.reload_fn(**req))
+        except (TypeError, ValueError, FileNotFoundError) as e:
+            self._send_json(400, {"error": str(e)})
+            return
+        except Exception as e:
+            self._send_json(500, {"error": repr(e)})
+            return
+        self._send_json(200, {"ok": True})
+
 
 def make_http_server(batcher, *, host: str = "127.0.0.1", port: int = 0,
                      sample_rate: int = 22050,
                      max_pending: int | None = 128,
+                     reload_fn=None,
                      log_requests: bool = False):
     """Wrap a :class:`.server.ContinuousBatcher` (from ``make_server`` /
     ``make_server_tp``) in a threaded HTTP server.  Returns
     ``(httpd, runner)``; call ``httpd.serve_forever()`` (blocking) and on
     teardown ``httpd.shutdown(); runner.shutdown()``.  ``port=0`` binds an
-    ephemeral port (``httpd.server_address[1]``)."""
+    ephemeral port (``httpd.server_address[1]``).  ``reload_fn(**body)``
+    (optional) enables ``POST /reload`` — it runs on the scheduler thread,
+    e.g. ``Synthesizer.load_checkpoints`` for a zero-recompile live
+    checkpoint swap."""
     runner = ServerRunner(batcher, max_pending=max_pending)
     handler = type("Handler", (_Handler,), {
         "runner": runner,
         "sample_rate": sample_rate,
+        "reload_fn": staticmethod(reload_fn) if reload_fn else None,
         "log_requests": log_requests,
     })
     httpd = ThreadingHTTPServer((host, port), handler)

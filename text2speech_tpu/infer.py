@@ -463,6 +463,33 @@ class Synthesizer:
                 _, self._denoise = make_denoiser(
                     self.waveglow, wg_variables)
 
+    def load_checkpoints(self, taco_ckpt_dir: str | None = None,
+                         wg_ckpt_dir: str | None = None):
+        """Restore either/both models from Orbax checkpoint dirs and swap
+        them in via :meth:`load_weights` (zero recompiles).  The current
+        weights are the restore template, so shapes must match — this is
+        the live-upgrade path for a running server (HTTP ``POST /reload``)."""
+        from .train.checkpoint import CheckpointManager
+        from .train.state import TrainState, create_train_state
+
+        tv = wv = None
+        if taco_ckpt_dir is not None:
+            tstate = create_train_state(self.hp, self.taco_variables)
+            tstate, _ = CheckpointManager(taco_ckpt_dir).restore(tstate)
+            tv = {"params": tstate.params, "batch_stats": tstate.batch_stats}
+        if wg_ckpt_dir is not None:
+            import optax
+
+            tx = optax.adam(self.wg_cfg.learning_rate)
+            wstate = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=self.wg_variables["params"], batch_stats={},
+                opt_state=tx.init(self.wg_variables["params"]), tx=tx,
+            )
+            wstate, _ = CheckpointManager(wg_ckpt_dir).restore(wstate)
+            wv = {"params": wstate.params}
+        self.load_weights(tv, wv)
+
     def text_to_mel(self, texts, seed: int = 0, max_steps: int | None = None,
                     with_align: bool = False):
         """list[str] -> (mel_post [B, n_mel, T], out_lengths [B]).
