@@ -172,10 +172,14 @@ def bench_tacotron_train(batch=8, t_in=128, t_out=400):
         _, metrics = step_fn(state, batch_, rng)
         return metrics["loss"]
 
-    b4 = make(4 * batch)
-    sec_per_item = _time_scaled(run, (b1,), (b4,), 3 * batch)
+    # the scaled variant needs mult*batch rows resident; 4x64=256 rows of
+    # 1000-frame teacher-forced activations OOM the 16 GB HBM, so large
+    # batches fall back to a 2x pair (same methodology, smaller margin)
+    mult = 4 if batch <= 32 else 2
+    b4 = make(mult * batch)
+    sec_per_item = _time_scaled(run, (b1,), (b4,), (mult - 1) * batch)
     flops_per_item = _marginal_flops(step_fn, (state, b1, rng),
-                                     (state, b4, rng), 3 * batch)
+                                     (state, b4, rng), (mult - 1) * batch)
     tflops = flops_per_item / sec_per_item / 1e12
     return {
         "frames_per_sec": t_out / sec_per_item,

@@ -68,6 +68,11 @@ def main():
     parser.add_argument("--texts_file", default=None,
                         help="one text per line; with --serve_slots these "
                              "are the request queue (default: --text)")
+    parser.add_argument("--http_reload_token", default=None,
+                        help="with --http_port: require this X-Reload-Token "
+                             "header on POST /reload (the admin endpoint "
+                             "accepts filesystem paths; set a token when "
+                             "binding beyond localhost)")
     parser.add_argument("--http_port", type=int, default=None,
                         help="with --serve_slots: expose the continuous-"
                              "batching server over HTTP (POST /synthesize "
@@ -124,7 +129,8 @@ def main():
                     # POST /reload {"taco_ckpt_dir": ..., "wg_ckpt_dir":
                     # ...}: zero-recompile live checkpoint swap
                     reload_fn=lambda taco_ckpt_dir=None, wg_ckpt_dir=None:
-                        synth.load_checkpoints(taco_ckpt_dir, wg_ckpt_dir))
+                        synth.load_checkpoints(taco_ckpt_dir, wg_ckpt_dir),
+                    reload_token=args.http_reload_token)
                 print(f"HTTP TTS server on :{httpd.server_address[1]} "
                       f"({args.serve_slots} slots; POST /synthesize)")
                 try:

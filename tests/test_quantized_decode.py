@@ -64,16 +64,17 @@ def test_serve_fp_path_matches_flax_decode_chunk():
         dp, HP, memory, pmem, state, frame, finished, rngs,
         text_lengths=lengths,
     )
-    np.testing.assert_allclose(np.asarray(mel_a), np.asarray(mel_b),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gate_a), np.asarray(gate_b),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(align_a), np.asarray(align_b),
-                               atol=1e-5)
+    # BITWISE: the serving path reproduces flax op-for-op, including the
+    # (x@W_ih + b_ih) + (h@W_hh + b_hh) LSTM bias association (fp addition
+    # is non-associative — a different grouping could flip a gate decision
+    # one ulp from the threshold)
+    np.testing.assert_array_equal(np.asarray(mel_a), np.asarray(mel_b))
+    np.testing.assert_array_equal(np.asarray(gate_a), np.asarray(gate_b))
+    np.testing.assert_array_equal(np.asarray(align_a), np.asarray(align_b))
     np.testing.assert_array_equal(np.asarray(act_a), np.asarray(act_b))
     np.testing.assert_array_equal(np.asarray(fin_a), np.asarray(fin_b))
     for a, b in zip(st_a, st_b):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_serve_int8_path_tracks_fp():

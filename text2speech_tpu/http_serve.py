@@ -20,12 +20,16 @@ a network service with nothing beyond the standard library:
   reaches the client after ~``chunk_steps`` decoder steps, not after the
   full utterance (the whole point of the streaming engine underneath).
 * **Disconnect == cancel.**  A client closing its connection mid-stream
-  frees the session's slot for the next queued request (a broken pipe on
-  write enqueues a cancel to the scheduler thread).
-* **Admission control.**  Invalid texts are rejected with 400 at submit
-  time (``ContinuousBatcher.submit`` validates before queueing); a full
-  queue returns 503 so load sheds at the edge instead of growing an
-  unbounded backlog.
+  frees the session's slot for the next queued request (any OSError on a
+  chunk write enqueues a cancel to the scheduler thread).
+* **Truncation is detectable.**  If the scheduler dies mid-stream, open
+  responses are ABORTED without the chunked terminator (clients see a
+  transfer error, never a "complete" WAV that is silently short);
+  ``/healthz`` flips to 503 and new requests get 503.
+* **Admission control.**  Invalid texts/seeds/sigmas are rejected with
+  400 at submit time (``ContinuousBatcher.submit`` validates before
+  queueing); a full queue returns 503 so load sheds at the edge instead
+  of growing an unbounded backlog.
 
 Endpoints::
 
@@ -35,7 +39,8 @@ Endpoints::
                        reference CLI's quality knob)
     POST /reload       {"taco_ckpt_dir": ...?, "wg_ckpt_dir": ...?}
                        live checkpoint swap via the configured reload_fn
-                       (zero recompiles — params are jit arguments)
+                       (zero recompiles — params are jit arguments);
+                       guarded by X-Reload-Token when a token is set
     GET  /stats        scheduler counters + live queue/slot occupancy
     GET  /healthz      200 when the scheduler thread is alive
 
@@ -54,6 +59,11 @@ import queue
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# stream-queue sentinel: scheduler died / server shut down with the stream
+# open — the handler must ABORT (no chunked terminator), unlike the normal
+# end-of-session None
+_ABORT = object()
 
 
 def wav_stream_header(sample_rate: int, channels: int = 1,
@@ -82,11 +92,13 @@ def float_to_pcm16(wav) -> bytes:
 
 class ServerRunner:
     """Owns a :class:`.server.ContinuousBatcher` on a dedicated scheduler
-    thread; thread-safe ``open_stream`` / ``cancel`` for handler threads.
+    thread; thread-safe ``open_stream`` / ``cancel`` / ``call`` for handler
+    threads.
 
-    ``open_stream(text, seed)`` returns ``(sid, q)`` where ``q`` yields
-    ``np.ndarray`` audio chunks and a final ``None``.  The call blocks only
-    for admission-queue handoff (one scheduler-loop iteration), not for
+    ``open_stream(text, seed, sigma)`` returns ``(sid, q)`` where ``q``
+    yields ``np.ndarray`` audio chunks, then ``None`` on normal completion
+    or the abort sentinel if the scheduler died.  The call blocks only for
+    admission-queue handoff (one scheduler-loop iteration), not for
     synthesis."""
 
     def __init__(self, batcher, *, max_pending: int | None = None):
@@ -105,10 +117,27 @@ class ServerRunner:
 
     # --- handler-thread API -------------------------------------------------
 
-    def open_stream(self, text: str, seed: int | None = None,
-                    sigma: float | None = None):
+    def _rpc(self, kind: str, payload):
+        """Hand a message to the scheduler thread and wait for its reply
+        (polling so a scheduler death can't strand the caller)."""
         if self._stop.is_set():
             raise RuntimeError("server is shut down")
+        reply: queue.Queue = queue.Queue()
+        self._inbox.put((kind, payload, None, reply))
+        self._wake.set()
+        while True:
+            try:
+                k, val = reply.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if self._stop.is_set():     # scheduler died under us
+                    raise RuntimeError("server is shut down") from self.error
+        if k == "error":
+            raise val
+        return val
+
+    def open_stream(self, text: str, seed: int | None = None,
+                    sigma: float | None = None):
         if self.max_pending is not None:
             # count submits still in the inbox too, or a concurrent burst
             # of handler threads bypasses the load shed
@@ -118,20 +147,10 @@ class ServerRunner:
                     raise OverflowError(
                         f"admission queue full ({self.max_pending} pending)")
                 self._pending += 1
-        reply: queue.Queue = queue.Queue()
-        self._inbox.put(("submit", (text, seed, sigma), None, reply))
-        self._wake.set()
-        while True:
-            try:
-                kind, val = reply.get(timeout=1.0)
-                break
-            except queue.Empty:
-                if self._stop.is_set():     # scheduler died under us
-                    raise RuntimeError("server is shut down") from self.error
-        if kind == "error":
-            raise val
-        sid, q = val          # the scheduler sends the queue object itself:
-        return sid, q         # a session may complete before we run again
+        # the scheduler replies with the stream queue object itself — the
+        # session may complete (and be deregistered) before this thread
+        # runs again
+        return self._rpc("submit", (text, seed, sigma))
 
     def cancel(self, sid: int) -> None:
         self._inbox.put(("cancel", sid, None, None))
@@ -141,21 +160,7 @@ class ServerRunner:
         """Run ``fn()`` ON the scheduler thread (between rounds) and return
         its result — the admin path for operations that touch the batcher
         or the synthesizer (e.g. a live checkpoint swap)."""
-        if self._stop.is_set():
-            raise RuntimeError("server is shut down")
-        reply: queue.Queue = queue.Queue()
-        self._inbox.put(("call", fn, None, reply))
-        self._wake.set()
-        while True:
-            try:
-                kind, val = reply.get(timeout=1.0)
-                break
-            except queue.Empty:
-                if self._stop.is_set():
-                    raise RuntimeError("server is shut down") from self.error
-        if kind == "error":
-            raise val
-        return val
+        return self._rpc("call", fn)
 
     def stats(self) -> dict:
         """Monitoring snapshot (counters are ints mutated on the scheduler
@@ -189,16 +194,20 @@ class ServerRunner:
                 return
             kind, a, _b, reply = msg
             if kind == "submit":
-                sid = None
-                try:
-                    sid = self._srv.submit(*a)
-                except Exception as e:          # validation errors -> caller
-                    reply.put(("error", e))
-                finally:
-                    if self.max_pending is not None:
-                        with self._lock:
+                sid = err = None
+                # queue mutation and the _pending decrement happen under
+                # ONE lock acquisition, so open_stream's load-shed check
+                # never sees the same request counted twice
+                with self._lock:
+                    try:
+                        sid = self._srv.submit(*a)
+                    except Exception as e:      # validation -> caller
+                        err = e
+                    finally:
+                        if self.max_pending is not None:
                             self._pending -= 1
-                if sid is None:
+                if err is not None:
+                    reply.put(("error", err))
                     continue
                 q: queue.Queue = queue.Queue()
                 with self._lock:
@@ -243,7 +252,7 @@ class ServerRunner:
             traceback.print_exc()
         finally:
             self._stop.set()
-            # unblock readers and fail any submits still in the inbox
+            # fail any submits/calls still in the inbox
             while True:
                 try:
                     msg = self._inbox.get_nowait()
@@ -252,9 +261,12 @@ class ServerRunner:
                 if msg[0] in ("submit", "call") and msg[3] is not None:
                     msg[3].put(("error",
                                 RuntimeError("server is shut down")))
+            # ABORT (not cleanly end) streams still open: their audio is
+            # incomplete, and a clean chunked terminator would make the
+            # truncation invisible to clients
             with self._lock:
                 for q in self._streams.values():
-                    q.put(None)
+                    q.put(_ABORT)
                 self._streams.clear()
 
 
@@ -264,6 +276,7 @@ class _Handler(BaseHTTPRequestHandler):
     runner: ServerRunner
     sample_rate: int
     reload_fn = None
+    reload_token: str | None = None
     log_requests = False
 
     def log_message(self, fmt, *args):          # quiet by default
@@ -282,6 +295,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _write_chunk(self, data: bytes) -> None:
         self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+    def _read_json_object(self):
+        n = int(self.headers.get("Content-Length", "0"))
+        req = json.loads(self.rfile.read(n) or b"{}")
+        if not isinstance(req, dict):
+            raise ValueError(f"body must be a JSON object, "
+                             f"got {type(req).__name__}")
+        return req
 
     # --- endpoints -----------------------------------------------------------
 
@@ -303,11 +324,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"no route {self.path}"})
             return
         try:
-            n = int(self.headers.get("Content-Length", "0"))
-            req = json.loads(self.rfile.read(n) or b"{}")
-            if not isinstance(req, dict):
-                raise ValueError(f"body must be a JSON object, "
-                                 f"got {type(req).__name__}")
+            req = self._read_json_object()
             text = req["text"]
             seed = req.get("seed")
             sigma = req.get("sigma")
@@ -317,6 +334,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             sid, q = self.runner.open_stream(text, seed, sigma)
         except OverflowError as e:              # queue full
+            self._send_json(503, {"error": str(e)})
+            return
+        except RuntimeError as e:               # scheduler down, not caller
             self._send_json(503, {"error": str(e)})
             return
         except Exception as e:                  # validation (overlong text…)
@@ -332,11 +352,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._write_chunk(wav_stream_header(self.sample_rate))
             while True:
                 chunk = q.get()
-                if chunk is None:
+                if chunk is None:               # clean end of session
                     break
+                if chunk is _ABORT:             # scheduler died: abort the
+                    self.close_connection = True  # transfer, NO terminator —
+                    return                      # truncation stays visible
                 self._write_chunk(float_to_pcm16(chunk))
             self.wfile.write(b"0\r\n\r\n")
-        except (BrokenPipeError, ConnectionResetError):
+        except OSError:                         # any disconnect flavor
             self.runner.cancel(sid)             # free the slot now
             self.close_connection = True
 
@@ -349,16 +372,20 @@ class _Handler(BaseHTTPRequestHandler):
         if self.reload_fn is None:
             self._send_json(404, {"error": "no reload_fn configured"})
             return
+        if (self.reload_token is not None
+                and self.headers.get("X-Reload-Token") != self.reload_token):
+            self._send_json(403, {"error": "bad or missing X-Reload-Token"})
+            return
         try:
-            n = int(self.headers.get("Content-Length", "0"))
-            req = json.loads(self.rfile.read(n) or b"{}")
-            if not isinstance(req, dict):
-                raise ValueError("body must be a JSON object")
+            req = self._read_json_object()
         except (ValueError, TypeError) as e:
             self._send_json(400, {"error": f"bad request: {e!r}"})
             return
         try:
             self.runner.call(lambda: self.reload_fn(**req))
+        except RuntimeError as e:               # scheduler down
+            self._send_json(503, {"error": str(e)})
+            return
         except (TypeError, ValueError, FileNotFoundError) as e:
             self._send_json(400, {"error": str(e)})
             return
@@ -371,7 +398,7 @@ class _Handler(BaseHTTPRequestHandler):
 def make_http_server(batcher, *, host: str = "127.0.0.1", port: int = 0,
                      sample_rate: int = 22050,
                      max_pending: int | None = 128,
-                     reload_fn=None,
+                     reload_fn=None, reload_token: str | None = None,
                      log_requests: bool = False):
     """Wrap a :class:`.server.ContinuousBatcher` (from ``make_server`` /
     ``make_server_tp``) in a threaded HTTP server.  Returns
@@ -380,12 +407,14 @@ def make_http_server(batcher, *, host: str = "127.0.0.1", port: int = 0,
     ephemeral port (``httpd.server_address[1]``).  ``reload_fn(**body)``
     (optional) enables ``POST /reload`` — it runs on the scheduler thread,
     e.g. ``Synthesizer.load_checkpoints`` for a zero-recompile live
-    checkpoint swap."""
+    checkpoint swap; set ``reload_token`` to require the X-Reload-Token
+    header on that (admin) endpoint when binding beyond localhost."""
     runner = ServerRunner(batcher, max_pending=max_pending)
     handler = type("Handler", (_Handler,), {
         "runner": runner,
         "sample_rate": sample_rate,
         "reload_fn": staticmethod(reload_fn) if reload_fn else None,
+        "reload_token": reload_token,
         "log_requests": log_requests,
     })
     httpd = ThreadingHTTPServer((host, port), handler)

@@ -412,9 +412,13 @@ class Synthesizer:
 
             hp = self.hp
             dec_dtype = taco.compute_dtype or jnp.float32
-            self._dp_q = quantize_decoder_params(
-                extract_decoder_params(self.taco_variables, hp)
-            )
+            # under jit (gotcha #5: eager ops over the tunnel are ~seconds
+            # EACH — the quantize pass is ~25 small ops) and CACHED so
+            # load_weights swaps reuse the compiled pass
+            self._quantize_dp = jax.jit(
+                lambda v: quantize_decoder_params(
+                    extract_decoder_params(v, hp)))
+            self._dp_q = self._quantize_dp(self.taco_variables)
             # memory projection: self._pmem_fn (shared endpoint above)
             self._decode_chunk_q = jax.jit(
                 lambda dp, mem, pm, st, fr, fi, sr_, le: decode_chunk_serve(
@@ -442,14 +446,9 @@ class Synthesizer:
         if taco_variables is not None:
             self.taco_variables = taco_variables
             if self.quantized_decode:
-                from .models.tacotron_serve import (
-                    extract_decoder_params,
-                    quantize_decoder_params,
-                )
-
-                self._dp_q = quantize_decoder_params(
-                    extract_decoder_params(taco_variables, self.hp)
-                )
+                # reuse the jit cache from __post_init__: the swap costs
+                # one execution, zero compiles, zero eager tunnel ops
+                self._dp_q = self._quantize_dp(taco_variables)
         if wg_variables is not None:
             self.wg_variables = wg_variables
             if self.int8_vocoder:

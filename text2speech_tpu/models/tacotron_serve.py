@@ -130,11 +130,10 @@ def _qdot(x, dp_entry, eps, dtype):
     weight-derived tensor is loop-invariant (hoisting the int8->bf16
     convert would re-materialize a full-width copy)."""
     if isinstance(dp_entry, dict):
+        from ..ops.pallas.wn_block_int8 import rowquant_f32
+
         q, s = dp_entry["q"], dp_entry["s"]
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
-                       keepdims=True)
-        sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-        qx = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
+        qx, sx = rowquant_f32(x.astype(jnp.float32))
         acc = jax.lax.dot_general(
             qx, q, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -171,14 +170,16 @@ def decode_chunk_serve(
     states then hold whatever per-device shape ``lstm_fn`` returns."""
     if lstm_fn is None:
         def lstm_fn(kind, h, c, x, eps):
-            # fp kernels: association order matches the flax fused-gate
-            # cell exactly, so the fp path stays bitwise the flax decode
+            # fp kernels: the flax cell computes dense(x) + rdense(h),
+            # i.e. (x@W_ih + b_ih) + (h@W_hh + b_hh) — keep EXACTLY that
+            # grouping (fp addition is non-associative; a gate energy one
+            # ulp from the threshold must not flip between the paths)
             pre = {"att": "att_", "dec": "dec_"}[kind]
             gates = (
-                _qdot(x, dp[pre + "ih_w"], eps, dtype)
-                + dp[pre + "ih_b"].astype(dtype)
-                + _qdot(h, dp[pre + "hh_w"], eps, dtype)
-                + dp[pre + "hh_b"].astype(dtype)
+                (_qdot(x, dp[pre + "ih_w"], eps, dtype)
+                 + dp[pre + "ih_b"].astype(dtype))
+                + (_qdot(h, dp[pre + "hh_w"], eps, dtype)
+                   + dp[pre + "hh_b"].astype(dtype))
             )
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)

@@ -48,6 +48,7 @@ from .wn_block import (
     _out_idx,
     _ring_push,
     _ring_window,
+    _taps,
     _ring_zero_init,
     _row_mask_np,
 )
@@ -99,20 +100,26 @@ def _rs_q(qacts, w_rs_ref, sw_rs_ref, b_rs_ref):
     )
 
 
-def _quant_rows(x, eps: float = 1e-12):
-    """Dynamic per-row int8 quantization: [N, C] f32 -> (int8, [N, 1] f32
-    scale).  All-zero rows (masked tile pad) quantize to zeros."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+def rowquant_f32(xf: jnp.ndarray, eps: float = 1e-12):
+    """THE per-row dynamic int8 quantization scheme (one definition for
+    every activation-quant site in the framework: these kernels, the
+    XLA-level input quant, and the int8 decoder's ``_qdot``): [..., C]
+    f32 -> (int8, [..., 1] f32 scale), amax/127 with an eps floor so
+    all-zero rows (masked tile pad) quantize to zeros."""
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     s = jnp.maximum(amax, eps) * (1.0 / 127.0)
-    return jnp.round(x / s).astype(jnp.int8), s
+    return jnp.round(xf / s).astype(jnp.int8), s
+
+
+def _quant_rows(x, eps: float = 1e-12):
+    """In-kernel per-row quantization ([N, C] already f32)."""
+    return rowquant_f32(x, eps)
 
 
 def quantize_rows(x: jnp.ndarray, eps: float = 1e-12):
     """XLA-level per-row quantization for kernel INPUTS ([B, T, C] over the
     channel axis) — used once per call on the grouped conditioning."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, eps) * (1.0 / 127.0)
-    return jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8), s
+    return rowquant_f32(x.astype(jnp.float32), eps)
 
 
 def quantize_cols(w: jnp.ndarray, axes=None, eps: float = 1e-12):
@@ -188,16 +195,9 @@ def _kernel_stream2_first_q(x0_ref, qspect_ref, sspect_ref,
     def _():
         wp = wp_in_ref[...]
         mid, xwin = _ring_window(ring, x0_ref, t, j, n_tiles, d)
-        # bf16 composed taps (from wn_block._taps semantics, inlined so the
-        # f32 accumulate stays in one expression)
-        taps = (
-            jnp.dot(xwin[0:BT], wp[0], preferred_element_type=jnp.float32)
-            + jnp.dot(xwin[d : d + BT], wp[1],
-                      preferred_element_type=jnp.float32)
-            + jnp.dot(xwin[2 * d : 2 * d + BT], wp[2],
-                      preferred_element_type=jnp.float32)
-        )
-        in_act = taps + b_in_ref[...] + _incond_q(
+        # bf16 composed taps — the SHARED tap math (the int8 path only
+        # changes cond/rs; the K<=n_half composed taps stay bf16)
+        in_act = _taps(xwin, wp, d) + b_in_ref[...] + _incond_q(
             qspect_ref, sspect_ref, w_cond_ref, sw_cond_ref, b_cond_ref
         )
         in_act = _edge_bias_suppress(in_act, b_edge_ref[...], j, d, n_valid)
