@@ -248,6 +248,43 @@ def test_http_live_checkpoint_swap(synthesizer):  # noqa: F811
         runner.shutdown()
 
 
+def test_http_over_tp_server(synthesizer):  # noqa: F811
+    """The HTTP layer is batcher-agnostic: serving over make_server_tp
+    (TP decode + TP vocoder on an 8-device mesh) streams the same bytes
+    as the direct TP batcher run."""
+    import jax
+    from jax.sharding import Mesh
+
+    from text2speech_tpu.parallel.serve import TPSynthesizer
+    from text2speech_tpu.server import make_server_tp
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
+    mk_tps = lambda: TPSynthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables,
+        mesh=mesh, data_axis=None, chunk_steps=8,
+    )
+    tps = mk_tps()
+    httpd, runner = make_http_server(
+        make_server_tp(tps, slots=2, chunk_steps=8, max_text_len=80,
+                       sigma=SIGMA),
+        port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        resp, body = _post_synthesize(
+            httpd.server_address[1], TEXTS[0], seed=11)
+        assert resp.status == 200
+        ref = make_server_tp(mk_tps(), slots=1, chunk_steps=8,
+                             max_text_len=80, sigma=SIGMA).run(
+            [TEXTS[0]], seeds=[11])[0]
+        assert body[len(wav_stream_header(22050)):] == float_to_pcm16(ref)
+    finally:
+        httpd.shutdown()
+        runner.shutdown()
+
+
 def test_pcm16_conversion_matches_reference_rule():
     x = np.array([0.0, 1.0, -1.0, 2.0, -2.0, 0.5], np.float32)
     out = np.frombuffer(float_to_pcm16(x), "<i2")
