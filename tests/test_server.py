@@ -500,3 +500,96 @@ def test_toy_server_stats_account_rounds():
     assert st["admitted"] == 2
     assert st["row_steps"] == st["rounds"] * 2 * srv.cs
     assert 0 < st["active_row_steps"] <= st["row_steps"]
+
+
+def test_server_flush_band_sessions_use_exact_pass():
+    """Regression (r3 review): a session that emitted ONE mid-stream
+    window and then gate-stops shorter than a full vocoder window must
+    flush through the exact-length pass (suffix-sliced) — the server
+    mirrors the streaming engine's fix.  Toy decode (controlled lengths)
+    through a REAL perturbed WaveGlow (a linear toy vocoder cannot see
+    the in-tensor zero-tail leak)."""
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.models.chunked import (draw_noise, noise_schedule,
+                                                receptive_overlap_frames)
+    from text2speech_tpu.models.waveglow import WaveGlow
+
+    WGS = WaveGlowConfig(
+        n_mel_channels=8, n_flows=2, n_group=4, n_early_every=4,
+        wn_n_layers=2, wn_n_channels=16, upsample_kernel=64,
+        upsample_stride=16,
+    )
+    ov = receptive_overlap_frames(WGS)
+    cs, prf, requested = 6, 1, 24
+    hop = WGS.upsample_stride
+    gpf = hop // WGS.n_group
+    n_mel = WGS.n_mel_channels
+    assert cs + ov <= 12 < cs + 2 * ov  # stop=12 flushes inside the band
+
+    wg = WaveGlow(WGS)
+    variables = jax.jit(wg.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, n_mel, requested)),
+        jnp.zeros((1, requested * hop)),
+    )
+    leaves, treedef = jax.tree.flatten(variables)
+    kp = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    variables = jax.tree.unflatten(treedef, [
+        l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, kp)
+    ])
+
+    def vocode_fn(mel, noise, sigma):
+        return wg.apply(variables, mel, None, sigma, noise=noise,
+                        method=WaveGlow.infer)
+
+    # toy decode: mel[c, k] = uid + k/10 + c/100; gate at stop_by_uid
+    stop_by_uid = {0: 12, 1: 2, 2: 99}   # band / tiny / full-contract
+
+    def admit_fn(uid, seed):
+        return {"uid": jnp.asarray(float(uid)), "t0": jnp.asarray(0.0),
+                "stop": jnp.asarray(float(stop_by_uid[uid])),
+                "done": jnp.asarray(False)}
+
+    def init_batch_fn():
+        z = jnp.zeros((2,))
+        return {"uid": z, "t0": z, "stop": z + 10_000.0,
+                "done": jnp.zeros((2,), bool)}
+
+    def decode_fn(tree, keys):
+        n = keys.shape[0]
+        steps = tree["t0"][:, None] + jnp.arange(n)[None, :]
+        mel = (tree["uid"][:, None, None] + steps[:, None, :] / 10.0
+               + jnp.arange(n_mel)[None, :, None] / 100.0)
+        active = (steps <= tree["stop"][:, None]) & ~tree["done"][:, None]
+        done = tree["done"] | (steps[:, -1] >= tree["stop"])
+        new = dict(tree, t0=tree["t0"] + n, done=done)
+        return new, mel, active, done
+
+    srv = ContinuousBatcher(
+        slots=2, chunk_steps=cs, requested=requested, prf=prf, ov=ov,
+        n_mel=n_mel, gpf=gpf, hop=hop,
+        noise_widths=tuple(noise_schedule(WGS)), sigma=0.8,
+        admit_fn=admit_fn, init_batch_fn=init_batch_fn,
+        decode_fn=decode_fn, postnet_fn=lambda w: jnp.zeros_like(w),
+        vocode_fn=vocode_fn,
+        key_fn=lambda seed: np.asarray(jax.random.split(
+            jax.random.PRNGKey(seed), requested)),
+        draw_noise_fn=lambda key: tuple(
+            np.asarray(c[0]) for c in draw_noise(WGS, key, 1, cs * gpf)),
+        retain_sessions=True,
+    )
+    wavs = srv.run([0, 1, 2])
+    for sid, uid in enumerate(stop_by_uid):
+        s = srv.sessions[sid]
+        tl = min(s.out_len, requested)
+        assert tl == min(stop_by_uid[uid] + 1, requested), (uid, tl)
+        mel = s.post_cat()[:, :tl]
+        comps = srv._sess_noise(s, tl)
+        nz = tuple(jnp.asarray(c[None, : tl * gpf]) for c in comps)
+        ref = np.asarray(vocode_fn(jnp.asarray(mel[None]), nz, 0.8))[0]
+        assert wavs[sid].shape == ref.shape, (uid, wavs[sid].shape)
+        np.testing.assert_allclose(wavs[sid], ref, atol=1e-5,
+                                   err_msg=f"uid {uid} (tl={tl})")
+    # the band session really took the mid-stream-then-exact route
+    assert srv.sessions[0].E == 13 and srv.stats["vocoder_calls"] >= 3

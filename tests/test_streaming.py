@@ -411,3 +411,88 @@ def test_batch_vocode_engine_staggered_gates_toy():
         assert got.shape == ref.shape, (b, got.shape, ref.shape)
         assert np.abs(got).max() < GARBAGE / 10, b
         np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=f"row {b}")
+
+
+def test_flush_band_rows_use_exact_pass():
+    """Regression (r3 review, execution-confirmed): a row whose true
+    length lands in [cs+ov, cs+2ov) emits ONE mid-stream window and then
+    flushes shorter than a full window.  The flush must run the
+    exact-length pass (suffix-sliced), not a fixed-width window whose
+    in-tensor zero tail corrupts the last ~ov frames — zero mel+noise are
+    real frames to the flows, not conv padding.  Perturbed (trained-like)
+    params; zero-init end convs would make the couplings identity and
+    hide the leak."""
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.infer import incremental_vocode_stream
+    from text2speech_tpu.models.chunked import (draw_noise,
+                                                receptive_overlap_frames)
+    from text2speech_tpu.models.waveglow import WaveGlow
+
+    WGS = WaveGlowConfig(
+        n_mel_channels=8, n_flows=2, n_group=4, n_early_every=4,
+        wn_n_layers=2, wn_n_channels=16, upsample_kernel=64,
+        upsample_stride=16,
+    )
+    ov = receptive_overlap_frames(WGS)
+    cs = 8
+    W = cs + 2 * ov
+    hop = WGS.upsample_stride
+    gpf = hop // WGS.n_group
+
+    wg = WaveGlow(WGS)
+    variables = jax.jit(wg.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, WGS.n_mel_channels, 24)),
+        jnp.zeros((1, 24 * WGS.upsample_stride)),
+    )
+    leaves, treedef = jax.tree.flatten(variables)
+    kp = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    variables = jax.tree.unflatten(treedef, [
+        l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, kp)
+    ])
+
+    def vocode_fn(mel, noise, sigma):
+        return np.asarray(wg.apply(
+            variables, mel, None, sigma, noise=noise,
+            method=WaveGlow.infer))
+
+    def run(true_len, requested=24, seed=5, sigma=0.8):
+        rs = np.random.RandomState(1)
+        mel_true = rs.randn(1, WGS.n_mel_channels, requested).astype(
+            np.float32)
+
+        def mel_stream():
+            total = 0
+            while total < requested:
+                chunk = mel_true[:, :, total : total + cs]
+                total += cs
+                yield (chunk, np.asarray([min(total, true_len)], np.int64),
+                       total >= requested)
+
+        got = np.concatenate(list(incremental_vocode_stream(
+            WGS, mel_stream(), vocode_fn, sigma, seed, cs)), axis=-1)
+
+        # single-pass reference with the engine's own noise stream
+        key = jax.random.PRNGKey(seed + 1)
+        parts, ci, total = None, 0, 0
+        while total < requested:
+            nz = draw_noise(WGS, jax.random.fold_in(key, ci), 1, cs * gpf)
+            ci += 1
+            parts = ([np.asarray(z) for z in nz] if parts is None else
+                     [np.concatenate([a, np.asarray(z)], axis=1)
+                      for a, z in zip(parts, nz)])
+            total += cs
+        ref = vocode_fn(
+            jnp.asarray(mel_true[:, :, :true_len]),
+            tuple(jnp.asarray(p[:, : true_len * gpf]) for p in parts),
+            sigma)[0]
+        assert got.shape == ref.shape, (true_len, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=1e-5,
+                                   err_msg=f"tl={true_len}")
+
+    # the whole suspect band (mid-stream emission + short flush), the
+    # boundary, and the window-path control
+    for tl in range(cs + ov, W + 1):
+        run(tl)
+    run(W + 3)

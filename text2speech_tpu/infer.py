@@ -237,9 +237,17 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
             # (out_len frozen below the emitted frontier) and all its real
             # frames have cleared the postnet (tl = out_len <= F)
             if final or int(out_len[r]) < F:
-                if E[r] == 0 and tl <= W:
-                    if tl > 0:
-                        shorts.append((r, tl))
+                if tl <= W:
+                    # exact-length pass for ANY row shorter than one
+                    # window — even one that already emitted mid-stream:
+                    # a fixed-width window would zero-fill [tl, W)
+                    # IN-TENSOR, and zero mel+noise positions are real
+                    # frames to the flows (not conv padding) whose
+                    # bias-driven hidden values leak back into the last
+                    # ~ov real frames.  Emit only the un-emitted suffix.
+                    if tl > int(E[r]):
+                        shorts.append((r, int(E[r]), tl))
+                        E[r] = tl
                 else:
                     while E[r] < tl:
                         kt = min(int(E[r]) + cs, tl)
@@ -249,8 +257,8 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
                 flushed[r] = True
         if tasks:
             yield from run_windows(tasks)
-        for r, tl in shorts:
-            yield r, vocode_exact(r, tl)
+        for r, e0, tl in shorts:
+            yield r, vocode_exact(r, tl)[e0 * hop :]
 
 
 def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,

@@ -353,10 +353,16 @@ class ContinuousBatcher:
                                   s.E + self.cs, tl))
                 s.E += self.cs
             if s.mel_final:
-                # postnet emitted >= tl by construction of `upto` above
-                if s.E == 0 and tl <= self.Wv:
-                    if tl > 0:
-                        shorts.append((s, tl))
+                # postnet emitted >= tl by construction of `upto` above.
+                # Any session shorter than one window flushes through the
+                # EXACT-length pass, even after mid-stream emissions — a
+                # fixed window would zero-fill [tl, Wv) in-tensor, which
+                # is NOT conv padding for the flows and corrupts the last
+                # ~ov frames (see the engine's derivation in infer.py)
+                if tl <= self.Wv:
+                    if tl > s.E:
+                        shorts.append((s, s.E, tl))
+                        s.E = tl
                 else:
                     while s.E < tl:
                         kt = min(s.E + self.cs, tl)
@@ -368,8 +374,8 @@ class ContinuousBatcher:
         for s, chunk in self._run_vocoder(voc_tasks):
             events.append(StreamEvent(s.sid, chunk))
             self._account_emit(s, chunk)
-        for s, tl in shorts:
-            chunk = self._vocode_short(s, tl)
+        for s, e0, tl in shorts:
+            chunk = self._vocode_short(s, tl)[e0 * self.hop :]
             events.append(StreamEvent(s.sid, chunk))
             self._account_emit(s, chunk)
 
