@@ -137,7 +137,7 @@ def bench_waveglow_train(batch=3, conv_impl="xla_conv", remat=False):
     }
 
 
-def bench_tacotron_train(batch=8, t_in=128, t_out=400):
+def bench_tacotron_train(batch=8, t_in=128, t_out=400, remat=False):
     from text2speech_tpu.config import HParams
     from text2speech_tpu.data.dataset import Batch
     from text2speech_tpu.models.tacotron2 import Tacotron2
@@ -146,7 +146,7 @@ def bench_tacotron_train(batch=8, t_in=128, t_out=400):
     from text2speech_tpu.train.tacotron import make_train_step
 
     hp = HParams()
-    model = Tacotron2(hp, n_vocab=N_SYMBOLS)
+    model = Tacotron2(hp, n_vocab=N_SYMBOLS, decoder_remat=remat)
     rng = jax.random.PRNGKey(0)
 
     def make(b):
@@ -174,8 +174,9 @@ def bench_tacotron_train(batch=8, t_in=128, t_out=400):
 
     # the scaled variant needs mult*batch rows resident; 4x64=256 rows of
     # 1000-frame teacher-forced activations OOM the 16 GB HBM, so large
-    # batches fall back to a 2x pair (same methodology, smaller margin)
-    mult = 4 if batch <= 32 else 2
+    # batches fall back to a 2x pair (same methodology, smaller margin).
+    # remat stores only the scan carry per step, so the 4x pair fits.
+    mult = 4 if (batch <= 32 or remat) else 2
     b4 = make(mult * batch)
     sec_per_item = _time_scaled(run, (b1,), (b4,), (mult - 1) * batch)
     flops_per_item = _marginal_flops(step_fn, (state, b1, rng),
@@ -200,6 +201,10 @@ def main():
                          "throughput — decode is weight-streaming-bound, "
                          "so train frames/s should also ride batch "
                          "near-free until compute binds)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized decoder scan for the tacotron "
+                         "benches (unlocks batches past the b32/b64 "
+                         "activation-HBM ceiling)")
     args = ap.parse_args()
 
     wg = bench_waveglow_train()
@@ -218,7 +223,7 @@ def main():
     for i, b in enumerate(
         int(x) for x in args.tacotron_batches.split(",") if x
     ):
-        taco = bench_tacotron_train(batch=b)
+        taco = bench_tacotron_train(batch=b, remat=args.remat)
         sfx = "" if i == 0 else f"_b{b}"
         out.update({
             f"tacotron_train_frames_per_sec{sfx}": round(

@@ -87,6 +87,27 @@ def test_dp_matches_single_device(model_state):
     assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
+def test_decoder_remat_matches_plain(model_state):
+    """decoder_remat=True (jax.checkpoint around the teacher-forced scan
+    body) must change HBM use only: same loss, same gradients, same updated
+    params as the plain scan for the same dropout rng."""
+    model, state = model_state
+    remat_model = Tacotron2(TINY, n_vocab=N_SYMBOLS, decoder_remat=True)
+    b = Batch(*map(jnp.asarray, _batch()))
+    rng = jax.random.PRNGKey(11)
+
+    state1, metrics1 = jax.jit(make_train_step(model, TINY))(state, b, rng)
+    state2, metrics2 = jax.jit(make_train_step(remat_model, TINY))(state, b, rng)
+
+    assert float(metrics1["loss"]) == pytest.approx(
+        float(metrics2["loss"]), rel=1e-6
+    )
+    diffs = jax.tree.map(
+        lambda a, c: float(jnp.max(jnp.abs(a - c))), state1.params, state2.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+
+
 def test_checkpoint_roundtrip(model_state, tmp_path):
     from text2speech_tpu.train.checkpoint import CheckpointManager
 

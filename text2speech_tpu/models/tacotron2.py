@@ -228,6 +228,12 @@ class Decoder(nn.Module):
 
     hp: HParams
     dtype: Any = None
+    remat: bool = False   # rematerialize each teacher-forced scan step in
+                          # backward: stores only the [B, ~1k] carry per step
+                          # instead of every attention/LSTM intermediate —
+                          # lifts the train-batch HBM ceiling (b32 -> b64+ at
+                          # reference size) on the weight-streaming-bound
+                          # decoder, where batch is near-free
 
     def setup(self):
         hp = self.hp
@@ -332,6 +338,13 @@ class Decoder(nn.Module):
                 state, pre_t, memory, processed_memory, mask, rng_t, train
             )
 
+        if self.remat and not self.is_initializing():
+            # Params/memory are closure captures (differentiated-through by
+            # jax.checkpoint); the body only READS existing params, so no
+            # flax lifting is needed.  prevent_cse=False: the body lives
+            # under lax.scan, where CSE across steps cannot occur.
+            body = jax.checkpoint(body, prevent_cse=False)
+
         if self.is_initializing():
             # Create all step parameters eagerly; the scan body below then only
             # applies existing params (flax cannot create vars inside lax.scan).
@@ -409,6 +422,7 @@ class Tacotron2(nn.Module):
     n_vocab: int = 80
     num_speakers: int = 1
     compute_dtype: Any = None   # e.g. jnp.bfloat16 for MXU-native inference
+    decoder_remat: bool = False  # see Decoder.remat
 
     def setup(self):
         hp = self.hp
@@ -435,7 +449,8 @@ class Tacotron2(nn.Module):
         # functional whenever num_speakers > 1 and speaker_ids are given.
         self.speaker_proj = nn.Dense(hp.enc_conv_channels, name="speaker_proj")
         self.encoder = Encoder(hp, dtype=self.compute_dtype, name="encoder")
-        self.decoder = Decoder(hp, dtype=self.compute_dtype, name="decoder")
+        self.decoder = Decoder(hp, dtype=self.compute_dtype,
+                               remat=self.decoder_remat, name="decoder")
         self.postnet = Postnet(hp, dtype=self.compute_dtype, name="postnet")
 
     def embed(self, text_ids: jnp.ndarray) -> jnp.ndarray:

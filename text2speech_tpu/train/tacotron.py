@@ -96,6 +96,7 @@ class TacotronTrainer:
         num_test_per_speaker: int = 0,
         skip_path_filter: bool = False,
         data_format: str = "auto",
+        remat: bool = False,
     ):
         self.hp = hp
         self.run_dir = run_dir
@@ -144,7 +145,12 @@ class TacotronTrainer:
 
         from ..text import N_SYMBOLS
 
-        self.model = Tacotron2(hp, n_vocab=N_SYMBOLS, num_speakers=len(data_dirs))
+        # remat=True rematerializes each teacher-forced decoder step in
+        # backward — same params and loss, ~T_out x less activation HBM,
+        # lifting the batch ceiling (decode is weight-streaming-bound, so
+        # the recompute is near-free).
+        self.model = Tacotron2(hp, n_vocab=N_SYMBOLS, num_speakers=len(data_dirs),
+                               decoder_remat=remat)
         rng = jax.random.PRNGKey(hp.seed)
         sample = self.dataset.sample_batch()
         variables = jax.jit(self.model.init)(

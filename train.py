@@ -41,6 +41,10 @@ def main():
     parser.add_argument("--num_steps", type=int, default=100000)
     parser.add_argument("--hparams", default=None,
                         help="params.json overriding the defaults")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize decoder scan steps in backward: "
+                             "same loss, ~T_out x less activation HBM — use "
+                             "to raise batch_size past the non-remat ceiling")
     parser.add_argument("--data_format", choices=["auto", "wav", "npz"],
                         default="auto",
                         help="'npz' trains from preprocess.py output "
@@ -82,6 +86,7 @@ def main():
         num_test_per_speaker=args.num_test_per_speaker,
         skip_path_filter=args.skip_path_filter,
         data_format=args.data_format,
+        remat=args.remat,
     )
     trainer.restore(args.checkpoint_file)
     trainer.fit(args.num_steps)
