@@ -108,6 +108,93 @@ def test_decoder_remat_matches_plain(model_state):
     assert max(jax.tree.leaves(diffs)) < 1e-6
 
 
+def test_tacotron_grad_accum_matches_manual(model_state):
+    """grad_accum=2 must equal the hand-rolled reference: per-microbatch
+    grads at the same params averaged, batch stats threaded sequentially,
+    one optimizer update."""
+    from text2speech_tpu.models.losses import tacotron2_loss
+
+    model, state = model_state
+    b = Batch(*map(jnp.asarray, _batch()))
+    rng = jax.random.PRNGKey(3)
+
+    state_acc, metrics_acc = jax.jit(
+        make_train_step(model, TINY, grad_accum=2)
+    )(state, b, rng)
+
+    # manual two-microbatch reference (independent of the implementation)
+    def loss_fn(params, bs, mb, r):
+        (mel_out, mel_post, gate_out, _), mut = model.apply(
+            {"params": params, "batch_stats": bs},
+            mb.text, mb.input_lengths, mb.mel, mb.output_lengths,
+            speaker_ids=mb.speaker_id, train=True,
+            rngs={"dropout": r}, mutable=["batch_stats"],
+        )
+        loss, _ = tacotron2_loss(mel_out, mel_post, gate_out, mb.mel, mb.gate)
+        return loss, mut["batch_stats"]
+
+    B = b.text.shape[0]
+    halves = [jax.tree.map(lambda x: x[: B // 2], b),
+              jax.tree.map(lambda x: x[B // 2:], b)]
+    rngs = jax.random.split(rng, 2)
+    bs = state.batch_stats
+    grads = None
+    for mb, r in zip(halves, rngs):
+        (_, bs), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            state.params, bs, mb, r
+        )
+        grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+    grads = jax.tree.map(lambda g: g / 2, grads)
+    state_ref = state.apply_gradients(grads, new_batch_stats=bs)
+
+    diffs = jax.tree.map(
+        lambda a, c: float(jnp.max(jnp.abs(a - c))),
+        state_acc.params, state_ref.params,
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+
+
+def test_waveglow_grad_accum_matches_full_batch():
+    """For WaveGlow (no batch norm) the accumulated step is mathematically
+    the full-batch step: same loss, same updated params."""
+    import optax
+
+    from text2speech_tpu.config import WaveGlowConfig
+    from text2speech_tpu.data.mel2samp import VocoderBatch
+    from text2speech_tpu.models.waveglow import WaveGlow
+    from text2speech_tpu.train.state import TrainState
+    from text2speech_tpu.train.waveglow import make_wg_train_step
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, n_flows=2, n_group=4, n_early_every=4,
+        wn_n_layers=2, wn_n_channels=16, upsample_kernel=32,
+        upsample_stride=8, segment_length=512, learning_rate=1e-3,
+    )
+    model = WaveGlow(cfg)
+    rng_np = np.random.RandomState(0)
+    frames = cfg.segment_length // cfg.upsample_stride
+    batch = VocoderBatch(
+        mel=jnp.asarray(rng_np.randn(4, cfg.n_mel_channels, frames), jnp.float32),
+        audio=jnp.asarray(0.1 * rng_np.randn(4, cfg.segment_length), jnp.float32),
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch.mel, batch.audio)
+    tx = optax.adam(cfg.learning_rate)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats={}, opt_state=tx.init(variables["params"]), tx=tx,
+    )
+
+    s1, m1 = jax.jit(make_wg_train_step(model, cfg.sigma))(state, batch)
+    s2, m2 = jax.jit(make_wg_train_step(model, cfg.sigma, grad_accum=2))(
+        state, batch
+    )
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    diffs = jax.tree.map(
+        lambda a, c: float(jnp.max(jnp.abs(a - c))), s1.params, s2.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+
+
 def test_checkpoint_roundtrip(model_state, tmp_path):
     from text2speech_tpu.train.checkpoint import CheckpointManager
 

@@ -35,28 +35,62 @@ from .state import TrainState, create_train_state, global_norm, noam_schedule
 log = infolog.log
 
 
-def make_train_step(model: Tacotron2, hp: HParams):
-    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
-        def loss_fn(params):
-            (mel_out, mel_post, gate_out, align), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch.text,
-                batch.input_lengths,
-                batch.mel,
-                batch.output_lengths,
-                speaker_ids=batch.speaker_id,
-                train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"],
-            )
-            loss, metrics = tacotron2_loss(
-                mel_out, mel_post, gate_out, batch.mel, batch.gate
-            )
-            return loss, (metrics, mutated["batch_stats"])
+def make_train_step(model: Tacotron2, hp: HParams, grad_accum: int = 1):
+    """One optimizer step.  ``grad_accum > 1`` splits the batch into that
+    many microbatches scanned sequentially — gradients (computed at the same
+    params) are averaged, BatchNorm batch stats thread through the scan carry
+    (each microbatch normalizes by its own statistics, the standard
+    grad-accumulation semantics), and one optimizer update is applied.
+    Activation memory is one microbatch's; composes with ``decoder_remat``."""
 
-        (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+    def loss_fn(params, batch_stats, mb: Batch, rng):
+        (mel_out, mel_post, gate_out, align), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mb.text,
+            mb.input_lengths,
+            mb.mel,
+            mb.output_lengths,
+            speaker_ids=mb.speaker_id,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
         )
+        loss, metrics = tacotron2_loss(
+            mel_out, mel_post, gate_out, mb.mel, mb.gate
+        )
+        return loss, (metrics, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        if grad_accum == 1:
+            (_, (metrics, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+        else:
+            B = batch.text.shape[0]
+            if B % grad_accum:
+                raise ValueError(
+                    f"batch {B} not divisible by grad_accum {grad_accum}"
+                )
+            mb = B // grad_accum
+            micro = jax.tree.map(
+                lambda x: x.reshape(grad_accum, mb, *x.shape[1:]), batch
+            )
+            rngs = jax.random.split(rng, grad_accum)
+
+            def body(carry, mb_in):
+                g_acc, bs = carry
+                mb_batch, rng_i = mb_in
+                (_, (m, new_bs)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, bs, mb_batch, rng_i)
+                return (jax.tree.map(jnp.add, g_acc, g), new_bs), m
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, new_bs), metrics_seq = jax.lax.scan(
+                body, (g0, state.batch_stats), (micro, rngs)
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            metrics = jax.tree.map(lambda m: m.mean(), metrics_seq)
         metrics = dict(metrics, grad_norm=global_norm(grads))
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return state, metrics
@@ -97,6 +131,7 @@ class TacotronTrainer:
         skip_path_filter: bool = False,
         data_format: str = "auto",
         remat: bool = False,
+        grad_accum: int = 1,
     ):
         self.hp = hp
         self.run_dir = run_dir
@@ -167,7 +202,7 @@ class TacotronTrainer:
         self.state = replicate(state, self.mesh)
 
         self._train_step = jax.jit(
-            make_train_step(self.model, hp),
+            make_train_step(self.model, hp, grad_accum=grad_accum),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(make_eval_step(self.model))

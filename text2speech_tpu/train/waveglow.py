@@ -32,15 +32,42 @@ from .state import TrainState
 log = infolog.log
 
 
-def make_wg_train_step(model: WaveGlow, sigma: float):
-    def train_step(state: TrainState, batch: VocoderBatch):
-        def loss_fn(params):
-            z, log_s, log_det = model.apply(
-                {"params": params}, batch.mel, batch.audio
-            )
-            return waveglow_loss(z.transpose(0, 2, 1), log_s, log_det, sigma)
+def make_wg_train_step(model: WaveGlow, sigma: float, grad_accum: int = 1):
+    """One optimizer step.  ``grad_accum > 1`` splits the incoming batch into
+    that many microbatches and accumulates their gradients under a
+    ``lax.scan`` — activation memory is one microbatch's, and because the
+    loss is a per-element mean over equal-sized microbatches the averaged
+    gradients are mathematically identical to the full-batch step (pinned by
+    ``tests/test_train_infra.py``).  Composes with ``remat=True`` to grow
+    the effective batch arbitrarily past the HBM ceiling."""
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    def loss_fn(params, mel, audio):
+        z, log_s, log_det = model.apply({"params": params}, mel, audio)
+        return waveglow_loss(z.transpose(0, 2, 1), log_s, log_det, sigma)
+
+    def train_step(state: TrainState, batch: VocoderBatch):
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch.mel, batch.audio
+            )
+        else:
+            B = batch.mel.shape[0]
+            if B % grad_accum:
+                raise ValueError(
+                    f"batch {B} not divisible by grad_accum {grad_accum}"
+                )
+            mb = B // grad_accum
+            mels = batch.mel.reshape(grad_accum, mb, *batch.mel.shape[1:])
+            audios = batch.audio.reshape(grad_accum, mb, *batch.audio.shape[1:])
+
+            def body(g_acc, mb_in):
+                l, g = jax.value_and_grad(loss_fn)(state.params, *mb_in)
+                return jax.tree.map(jnp.add, g_acc, g), l
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            g_sum, losses = jax.lax.scan(body, g0, (mels, audios))
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = losses.mean()
         state = state.apply_gradients(grads)
         return state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
@@ -55,6 +82,7 @@ class WaveGlowTrainer:
         output_directory: str,
         mesh=None,
         remat: bool = False,
+        grad_accum: int = 1,
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_data_mesh(cfg.batch_size)
@@ -83,7 +111,8 @@ class WaveGlowTrainer:
         )
         self.state = replicate(state, self.mesh)
         self._train_step = jax.jit(
-            make_wg_train_step(self.model, cfg.sigma), donate_argnums=(0,)
+            make_wg_train_step(self.model, cfg.sigma, grad_accum=grad_accum),
+            donate_argnums=(0,),
         )
         self.ckpt = CheckpointManager(output_directory)
         self.logger = MetricsLogger(f"{output_directory}/tb")

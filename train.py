@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--num_steps", type=int, default=100000)
     parser.add_argument("--hparams", default=None,
                         help="params.json overriding the defaults")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="accumulate gradients over N sequential "
+                             "microbatches per optimizer step (batch_size "
+                             "must divide by N); activation memory is one "
+                             "microbatch's")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize decoder scan steps in backward: "
                              "same loss, ~T_out x less activation HBM — use "
@@ -87,6 +92,7 @@ def main():
         skip_path_filter=args.skip_path_filter,
         data_format=args.data_format,
         remat=args.remat,
+        grad_accum=args.grad_accum,
     )
     trainer.restore(args.checkpoint_file)
     trainer.fit(args.num_steps)

@@ -23,6 +23,11 @@ def main():
                              "gradients, ~12x less activation memory, "
                              "measured zero throughput cost — grows the "
                              "per-chip batch ~2-4x")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="accumulate gradients over N sequential "
+                             "microbatches per optimizer step (batch_size "
+                             "must divide by N); gradients identical to the "
+                             "full-batch step")
     args = parser.parse_args()
 
     cfg = WaveGlowConfig.from_json(args.config) if args.config else WaveGlowConfig()
@@ -36,7 +41,7 @@ def main():
         print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
 
     trainer = WaveGlowTrainer(cfg, training_files, args.output_directory,
-                              remat=args.remat)
+                              remat=args.remat, grad_accum=args.grad_accum)
     trainer.restore()
     trainer.fit(args.num_steps)
 
