@@ -137,7 +137,8 @@ def bench_waveglow_train(batch=3, conv_impl="xla_conv", remat=False):
     }
 
 
-def bench_tacotron_train(batch=8, t_in=128, t_out=400, remat=False):
+def bench_tacotron_train(batch=8, t_in=128, t_out=400, remat=False,
+                         bf16=False):
     from text2speech_tpu.config import HParams
     from text2speech_tpu.data.dataset import Batch
     from text2speech_tpu.models.tacotron2 import Tacotron2
@@ -146,7 +147,8 @@ def bench_tacotron_train(batch=8, t_in=128, t_out=400, remat=False):
     from text2speech_tpu.train.tacotron import make_train_step
 
     hp = HParams()
-    model = Tacotron2(hp, n_vocab=N_SYMBOLS, decoder_remat=remat)
+    model = Tacotron2(hp, n_vocab=N_SYMBOLS, decoder_remat=remat,
+                      compute_dtype=jnp.bfloat16 if bf16 else None)
     rng = jax.random.PRNGKey(0)
 
     def make(b):

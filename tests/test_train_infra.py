@@ -154,6 +154,25 @@ def test_tacotron_grad_accum_matches_manual(model_state):
     assert max(jax.tree.leaves(diffs)) < 1e-6
 
 
+def test_bf16_train_step_tracks_f32(model_state):
+    """bf16 compute (f32 params, f32 loss accumulation) must produce a
+    finite loss close to the f32 step's — the numeric sanity gate for the
+    --bf16 training flag."""
+    model, state = model_state
+    bf16_model = Tacotron2(TINY, n_vocab=N_SYMBOLS,
+                           compute_dtype=jnp.bfloat16)
+    b = Batch(*map(jnp.asarray, _batch()))
+    rng = jax.random.PRNGKey(5)
+    _, m32 = jax.jit(make_train_step(model, TINY))(state, b, rng)
+    s16, m16 = jax.jit(make_train_step(bf16_model, TINY))(state, b, rng)
+    assert np.isfinite(float(m16["loss"]))
+    assert float(m16["loss"]) == pytest.approx(float(m32["loss"]), rel=0.05)
+    # params must stay f32 (bf16 is compute-only)
+    assert all(
+        l.dtype == jnp.float32 for l in jax.tree.leaves(s16.params)
+    )
+
+
 def test_waveglow_grad_accum_matches_full_batch():
     """For WaveGlow (no batch norm) the accumulated step is mathematically
     the full-batch step: same loss, same updated params."""

@@ -33,6 +33,10 @@ def tacotron2_loss(
 ) -> tuple[jnp.ndarray, dict]:
     mel_target = jax.lax.stop_gradient(mel_target)
     gate_target = jax.lax.stop_gradient(gate_target)
+    # f32 accumulation under bf16 training (no-op for f32 inputs)
+    mel_out = mel_out.astype(jnp.float32)
+    mel_post = mel_post.astype(jnp.float32)
+    gate_out = gate_out.astype(jnp.float32)
     mel_loss = jnp.mean((mel_out - mel_target) ** 2) + jnp.mean(
         (mel_post - mel_target) ** 2
     )
@@ -47,6 +51,9 @@ def waveglow_loss(
     log_det_w_total: jnp.ndarray,   # scalar: sum over flows of logdet terms
     sigma: float = 1.0,
 ) -> jnp.ndarray:
+    # f32 accumulation: under bf16 training z arrives bf16, and a bf16
+    # reduce over ~16k elements loses the NLL's low bits (no-op for f32).
+    z = z.astype(jnp.float32)
     loss = (
         jnp.sum(z * z) / (2 * sigma * sigma) - log_s_total - log_det_w_total
     )

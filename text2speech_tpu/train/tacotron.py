@@ -132,6 +132,7 @@ class TacotronTrainer:
         data_format: str = "auto",
         remat: bool = False,
         grad_accum: int = 1,
+        bf16: bool = False,
     ):
         self.hp = hp
         self.run_dir = run_dir
@@ -184,8 +185,14 @@ class TacotronTrainer:
         # backward — same params and loss, ~T_out x less activation HBM,
         # lifting the batch ceiling (decode is weight-streaming-bound, so
         # the recompute is near-free).
-        self.model = Tacotron2(hp, n_vocab=N_SYMBOLS, num_speakers=len(data_dirs),
-                               decoder_remat=remat)
+        # bf16=True: MXU-native matmuls/convs with f32 params and f32 loss
+        # accumulation (decode is weight-streaming-bound, so halving the
+        # streamed bytes is the lever); no loss scaling needed on TPU.
+        self.model = Tacotron2(
+            hp, n_vocab=N_SYMBOLS, num_speakers=len(data_dirs),
+            decoder_remat=remat,
+            compute_dtype=jnp.bfloat16 if bf16 else None,
+        )
         rng = jax.random.PRNGKey(hp.seed)
         sample = self.dataset.sample_batch()
         variables = jax.jit(self.model.init)(

@@ -83,6 +83,7 @@ class WaveGlowTrainer:
         mesh=None,
         remat: bool = False,
         grad_accum: int = 1,
+        bf16: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_data_mesh(cfg.batch_size)
@@ -92,7 +93,16 @@ class WaveGlowTrainer:
         # remat=True rematerializes WN blocks in backward — same params and
         # gradients, ~12x less activation memory, measured zero throughput
         # cost (train_bench): use it to grow the per-chip batch ~2-4x.
-        self.model = WaveGlow(cfg, remat=remat)
+        # bf16=True runs the WN/upsample matmuls and convs MXU-native with
+        # f32 params and f32 loss accumulation — the configuration the
+        # measured 599k samples/s / 59% MFU number uses (train_bench).  The
+        # reference contemplates half-precision training only as warnings in
+        # its all-reduce hooks (/root/reference/waveglow/distributed.py:96-120);
+        # on TPU bf16 needs no loss scaling, so this is a plain dtype knob.
+        self.model = WaveGlow(
+            cfg, remat=remat,
+            compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
 
         rng = jax.random.PRNGKey(cfg.seed)
         frames = cfg.segment_length // cfg.hop_length + 1

@@ -41,6 +41,10 @@ def main():
     parser.add_argument("--num_steps", type=int, default=100000)
     parser.add_argument("--hparams", default=None,
                         help="params.json overriding the defaults")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 matmuls/convs (f32 params + f32 loss "
+                             "accumulation) — halves the decoder's streamed "
+                             "weight bytes per scan step")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="accumulate gradients over N sequential "
                              "microbatches per optimizer step (batch_size "
@@ -93,6 +97,7 @@ def main():
         data_format=args.data_format,
         remat=args.remat,
         grad_accum=args.grad_accum,
+        bf16=args.bf16,
     )
     trainer.restore(args.checkpoint_file)
     trainer.fit(args.num_steps)

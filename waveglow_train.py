@@ -23,6 +23,10 @@ def main():
                              "gradients, ~12x less activation memory, "
                              "measured zero throughput cost — grows the "
                              "per-chip batch ~2-4x")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 matmuls/convs with f32 params and f32 "
+                             "loss accumulation (the measured-fast TPU "
+                             "training configuration)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="accumulate gradients over N sequential "
                              "microbatches per optimizer step (batch_size "
@@ -41,7 +45,8 @@ def main():
         print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
 
     trainer = WaveGlowTrainer(cfg, training_files, args.output_directory,
-                              remat=args.remat, grad_accum=args.grad_accum)
+                              remat=args.remat, grad_accum=args.grad_accum,
+                              bf16=args.bf16)
     trainer.restore()
     trainer.fit(args.num_steps)
 
