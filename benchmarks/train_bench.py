@@ -207,6 +207,10 @@ def main():
                     help="rematerialized decoder scan for the tacotron "
                          "benches (unlocks batches past the b32/b64 "
                          "activation-HBM ceiling)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute for the tacotron train benches "
+                         "(train.py --bf16; halves the streamed decoder "
+                         "weight bytes — the documented 1.4x)")
     args = ap.parse_args()
 
     wg = bench_waveglow_train()
@@ -225,7 +229,8 @@ def main():
     for i, b in enumerate(
         int(x) for x in args.tacotron_batches.split(",") if x
     ):
-        taco = bench_tacotron_train(batch=b, remat=args.remat)
+        taco = bench_tacotron_train(batch=b, remat=args.remat,
+                                    bf16=args.bf16)
         sfx = "" if i == 0 else f"_b{b}"
         out.update({
             f"tacotron_train_frames_per_sec{sfx}": round(

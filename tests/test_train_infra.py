@@ -133,9 +133,10 @@ def test_tacotron_grad_accum_matches_manual(model_state):
         loss, _ = tacotron2_loss(mel_out, mel_post, gate_out, mb.mel, mb.gate)
         return loss, mut["batch_stats"]
 
-    B = b.text.shape[0]
-    halves = [jax.tree.map(lambda x: x[: B // 2], b),
-              jax.tree.map(lambda x: x[B // 2:], b)]
+    # microbatch_split is STRIDED (microbatch i = rows i::grad_accum) so
+    # DP-sharded batches keep every microbatch on every device
+    halves = [jax.tree.map(lambda x: x[0::2], b),
+              jax.tree.map(lambda x: x[1::2], b)]
     rngs = jax.random.split(rng, 2)
     bs = state.batch_stats
     grads = None

@@ -4,14 +4,34 @@ The vocoder's model bias is estimated once by synthesizing from an all-zero
 mel at sigma=0; at synthesis time ``strength * bias_spec`` is subtracted in
 the STFT magnitude domain and the signal re-synthesized with the original
 phases.  Pure-functional: ``make_denoiser`` returns (bias_spec, denoise_fn).
+
+:func:`denoise_windows` is the STREAMING form used by the continuous-batching
+server (``server.py``): one fixed-shape batched program that denoises a
+window of each session's audio such that the emitted interior samples equal
+the full-utterance ``denoise`` output (the reference applies the denoiser to
+whole utterances, ``/root/reference/inference.py:75`` — here the same math is
+windowed so audio can stream).  Exactness argument: the STFT/ISTFT pair is
+frame-local (each output sample depends only on the <=n_overlap frames
+covering it, each frame on ``filter_length`` input samples), so a window that
+(a) starts at a multiple of ``hop_length`` of the full signal, (b) carries
+the frames covering the emitted range plus ``filter_length`` of margin
+frames, and (c) reproduces the reflect padding at true signal edges
+host-side, yields bitwise-identical frames; the masked overlap-add and the
+host-supplied window-sumsquare correction then reproduce the full-signal
+ISTFT at every emitted position.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..dsp.stft import STFTParams, istft, stft_mag_phase
+from ..dsp.filters import window_sumsquare
+from ..dsp.stft import (STFTParams, _forward_basis, _inverse_basis,
+                        frame_signal, istft, stft_mag_phase)
 from .waveglow import WaveGlow
 
 

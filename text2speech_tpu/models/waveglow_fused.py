@@ -37,10 +37,12 @@ from ..config import WaveGlowConfig
 from ..ops.pallas.wn_block import (
     BT,
     wn_layer_stream2,
-    wn_layer_stream2_dcond,
     wn_layer_stream2_final,
-    wn_layer_stream2_final_dcond,
     wn_layer_stream2_first,
+)
+from ..ops.pallas.wn_block_dcond import (
+    wn_layer_stream2_dcond,
+    wn_layer_stream2_final_dcond,
     wn_layer_stream2_first_dcond,
 )
 

@@ -79,3 +79,18 @@ def create_train_state(hp: HParams, variables: dict, schedule=None) -> TrainStat
 
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
+
+
+def microbatch_split(x: jnp.ndarray, grad_accum: int) -> jnp.ndarray:
+    """[B, ...] -> [grad_accum, B//grad_accum, ...] with a STRIDED row split:
+    microbatch i holds rows ``i::grad_accum``.
+
+    The stride matters under data parallelism: the global batch dim is
+    sharded in contiguous row blocks over the 'data' axis, so a contiguous
+    ``reshape(grad_accum, mb, ...)`` would pin each microbatch onto a device
+    subset (resharding or idling every scan step).  The strided split gives
+    every microbatch ``mb / data_axis`` rows on every device as long as
+    ``(B // grad_accum) % data_axis == 0`` — asserted by the trainers."""
+    B = x.shape[0]
+    mb = B // grad_accum
+    return x.reshape(mb, grad_accum, *x.shape[1:]).swapaxes(0, 1)

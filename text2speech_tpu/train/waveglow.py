@@ -27,7 +27,7 @@ from ..parallel.mesh import make_data_mesh, replicate, shard_batch
 from ..utils import infolog
 from ..utils.logger import MetricsLogger
 from .checkpoint import CheckpointManager
-from .state import TrainState
+from .state import TrainState, microbatch_split
 
 log = infolog.log
 
@@ -56,9 +56,8 @@ def make_wg_train_step(model: WaveGlow, sigma: float, grad_accum: int = 1):
                 raise ValueError(
                     f"batch {B} not divisible by grad_accum {grad_accum}"
                 )
-            mb = B // grad_accum
-            mels = batch.mel.reshape(grad_accum, mb, *batch.mel.shape[1:])
-            audios = batch.audio.reshape(grad_accum, mb, *batch.audio.shape[1:])
+            mels = microbatch_split(batch.mel, grad_accum)
+            audios = microbatch_split(batch.audio, grad_accum)
 
             def body(g_acc, mb_in):
                 l, g = jax.value_and_grad(loss_fn)(state.params, *mb_in)
@@ -87,6 +86,9 @@ class WaveGlowTrainer:
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_data_mesh(cfg.batch_size)
+        from .tacotron import _check_grad_accum_mesh
+
+        _check_grad_accum_mesh(cfg.batch_size, grad_accum, self.mesh)
         self.dataset = Mel2Samp(
             files_to_list(training_files), cfg, shuffle_seed=cfg.seed
         )
