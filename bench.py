@@ -293,17 +293,32 @@ def bench_tacotron_int8(batch: int = 16, t_in: int = 128,
     return batch * base_steps / sec
 
 
-def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050):
+def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050,
+                     repeats: int = 3) -> dict:
     """Corpus preprocessing throughput (mel frames/sec) on a synthetic
     KSS-shaped corpus: native wav decode -> trim -> batched device
-    mel+linear -> npz (BASELINE.json metric #1)."""
+    mel+linear -> npz (BASELINE.json metric #1).
+
+    This figure is TRANSFER-bound on this rig (BASELINE.md breakdown), so
+    the record must be self-diagnosing: alongside the median of
+    ``repeats`` timed passes it reports the run spread, the tunnel's
+    H2D/D2H bandwidth measured inline (fresh device arrays — np.asarray
+    caches the host copy), and the transfer bound those bandwidths imply
+    for this corpus's bytes.  A contended run then shows up as
+    measured << derived_bound with depressed link numbers, instead of
+    reading as a mystery regression (r01 7.4k / r02 3.7k / r03 6.0k)."""
     import shutil
+    import sys as _sys
     import tempfile
 
     from scipy.io import wavfile
 
     from text2speech_tpu.config import HParams
     from text2speech_tpu.data.preprocess import preprocess_corpus
+
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    from preprocess_diag import bw_link
 
     hp = HParams(sample_rate=sr)
     root = tempfile.mkdtemp(prefix="bench_pp_")
@@ -324,11 +339,39 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050):
         out = f"{root}/out"
         # warm the device program on a copy-shaped run, then time
         meta = preprocess_corpus(hp, root, out, device_batch=16)
-        t0 = time.perf_counter()
-        meta = preprocess_corpus(hp, root, out, device_batch=16)
-        dt = time.perf_counter() - t0
+        fps_runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            meta = preprocess_corpus(hp, root, out, device_batch=16)
+            fps_runs.append(
+                sum(int(m[4]) for m in meta) / (time.perf_counter() - t0))
         frames = sum(int(m[4]) for m in meta)
-        return frames / dt
+        med = float(np.median(fps_runs))
+
+        # transfer-bound model for THIS corpus (mirrors preprocess_corpus's
+        # upload/drain shapes): the default device trim uploads audio twice
+        # (bounds pass + padded STFT pass, both 16384-sample-bucketed); the
+        # drain ships f32 mel+linear sliced to the 16-frame-bucketed extent
+        h2d_mbs, d2h_mbs = bw_link()
+        pad = hp.filter_length // 2
+        bucket = 16384
+        t_trim = -(-n // bucket) * bucket
+        t_stft = -(-(n + 2 * pad) // bucket) * bucket
+        f_item = -(-(1 + n // hp.hop_length) // 16) * 16
+        n_spec = hp.n_mel_channels + hp.filter_length // 2 + 1
+        bytes_h2d = n_utts * (t_trim + t_stft) * 4
+        bytes_d2h = n_utts * f_item * n_spec * 4
+        bound = frames / (bytes_h2d / (h2d_mbs * 1e6)
+                          + bytes_d2h / (d2h_mbs * 1e6))
+        return {
+            "fps": med,
+            "fps_runs": [round(f, 1) for f in fps_runs],
+            "spread_pct": round(
+                100.0 * (max(fps_runs) - min(fps_runs)) / med, 1),
+            "link_h2d_MBps": round(h2d_mbs, 1),
+            "link_d2h_MBps": round(d2h_mbs, 1),
+            "derived_transfer_bound_fps": round(bound, 1),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -424,9 +467,24 @@ def main():
     taco_fps_64 = bench_tacotron(batch=64)
     taco_fps_int8 = bench_tacotron_int8()
     taco_fps_int8_64 = bench_tacotron_int8(batch=64)
-    pp_fps = bench_preprocess()
+    pp = bench_preprocess()
     pp_dev_fps = bench_preprocess_device()
     pp_cpu_fps = bench_preprocess_cpu_baseline()
+
+    # training-step throughput (VERDICT r3 #2: the driver record must
+    # witness the train claims, not builder-session runs) — the exact
+    # benchmarks/train_bench.py programs at their documented shapes:
+    # WaveGlow at the reference config (599k samples/s, 59% MFU claimed),
+    # Tacotron f32 b8 (182k frames/s) and bf16 b32 (374k, the plateau)
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    import train_bench as _tb
+
+    tr_wg = _tb.bench_waveglow_train()
+    tr_taco = _tb.bench_tacotron_train(batch=8)
+    tr_taco_bf16 = _tb.bench_tacotron_train(batch=32, bf16=True)
 
     # End-to-end: 1 second of audio needs SR/HOP mel frames then SR samples;
     # stages run sequentially.
@@ -496,9 +554,23 @@ def main():
         "first_audio_ms_streaming": round(first_audio_ms, 1),
         "first_audio_ms_full_scan": round(first_audio_ms_batch, 1),
         "first_audio_ms_16_sessions": round(first_audio_ms_16_sessions, 1),
-        "preprocess_mel_frames_per_sec": round(pp_fps, 1),
+        "preprocess_mel_frames_per_sec": round(pp["fps"], 1),
+        "preprocess_e2e_runs": pp["fps_runs"],
+        "preprocess_e2e_spread_pct": pp["spread_pct"],
+        "preprocess_link_h2d_MBps": pp["link_h2d_MBps"],
+        "preprocess_link_d2h_MBps": pp["link_d2h_MBps"],
+        "preprocess_derived_transfer_bound_fps":
+            pp["derived_transfer_bound_fps"],
         "preprocess_device_frames_per_sec": round(pp_dev_fps, 1),
         "preprocess_cpu_baseline_frames_per_sec": pp_cpu_fps,
+        "train_waveglow_samples_per_sec": round(tr_wg["samples_per_sec"], 1),
+        "train_waveglow_mfu": round(tr_wg["mfu"], 3),
+        "train_tacotron_frames_per_sec_f32_b8": round(
+            tr_taco["frames_per_sec"], 1),
+        "train_tacotron_mfu_f32_b8": round(tr_taco["mfu"], 3),
+        "train_tacotron_frames_per_sec_bf16_b32": round(
+            tr_taco_bf16["frames_per_sec"], 1),
+        "train_tacotron_mfu_bf16_b32": round(tr_taco_bf16["mfu"], 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

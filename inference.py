@@ -93,7 +93,9 @@ def main():
     if args.waveglow_checkpoint:
         synth = load_synthesizer(
             hp, args.taco_checkpoint, wg_cfg, args.waveglow_checkpoint,
-            use_denoiser=args.denoiser_strength > 0,
+            # serving mode keeps the denoiser available regardless of the
+            # CLI default: HTTP requests carry per-request strengths
+            use_denoiser=args.denoiser_strength > 0 or args.serve_slots > 0,
         )
         synth.use_fused_vocoder = args.fused_vocoder
         synth.int8_vocoder = args.int8_vocoder

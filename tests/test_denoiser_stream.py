@@ -1,0 +1,134 @@
+"""Streaming (windowed) denoiser — the serving-chain form of the reference's
+bias-subtraction denoiser (``/root/reference/waveglow/denoiser.py:35-40``).
+
+Contract pinned here: the windowed program (``models.denoiser.
+denoise_windows`` driven by ``StreamingDenoiser``'s plan) emits samples
+equal to the offline full-signal denoise (``make_denoiser``'s math:
+centered STFT -> bias subtraction in magnitude -> ISTFT), for any chunking
+of the input — including single-shot (flush-only), uniform, and ragged
+feeds, and signal lengths on/off the hop grid.  The STFT/ISTFT pair is
+frame-local, so windows carrying every frame that covers the emitted range
+reproduce the full computation frame-identically; tolerance is ~1-2 ulp
+(XLA selects different matmul kernels for different batch geometries), not
+bitwise.  See the derivation in ``models/denoiser.py``.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from text2speech_tpu.dsp.stft import STFTParams, istft, stft_mag_phase
+from text2speech_tpu.models.denoiser import StreamingDenoiser, reflect_pad_np
+
+PARAMS = STFTParams(64, 16, 64)          # scaled-down reference config
+
+
+def _offline(audio: np.ndarray, bias: np.ndarray, strength: float):
+    """The CLI denoise body (make_denoiser's jitted fn, arbitrary bias)."""
+    mag, phase = stft_mag_phase(jnp.asarray(audio[None]), PARAMS)
+    mag = jnp.maximum(mag - jnp.asarray(bias) * strength, 0.0)
+    return np.asarray(istft(mag, phase, PARAMS))[0]
+
+
+def _stream(audio: np.ndarray, bias: np.ndarray, strength: float,
+            feed, f_win: int = 9) -> np.ndarray:
+    """Drive the planner exactly the way ``server._run_denoise`` does,
+    feeding ``audio`` in ``feed``-sized chunks; a decoy second row with
+    different content/strength shares every device call (row
+    independence)."""
+    den = StreamingDenoiser(lambda: bias, PARAMS, f_win=f_win)
+    hop, pad = PARAMS.hop_length, den.pad
+    out, bufs, emitted, pos = [], [], 0, 0
+    for n in feed:
+        bufs.append(audio[pos : pos + n])
+        pos += n
+        flushed = pos >= len(audio)
+        specs = den.plan(pos, emitted, flushed)
+        if not specs:
+            continue
+        full = np.concatenate(bufs)
+        padded = (reflect_pad_np(full, pad) if flushed
+                  else np.pad(full, (pad, 0), mode="reflect"))
+        decoy = padded[::-1].copy()
+        for f0, nv, e0, e1 in specs:
+            x = np.zeros((2, den.l_pad), np.float32)
+            corr = np.ones((2, den.l_pad), np.float32)
+            den.fill_row(x[0], corr[0], padded, f0, nv)
+            den.fill_row(x[1], corr[1], decoy, f0, nv)
+            o = den(x, np.asarray([strength, 0.77], np.float32),
+                    np.asarray([nv, nv], np.int32), corr)
+            out.append(o[0, e0 + pad - f0 * hop : e1 + pad - f0 * hop])
+            emitted = e1
+    assert pos == len(audio)
+    return (np.concatenate(out) if out else np.zeros((0,), np.float32))
+
+
+def _case(T: int, feed, strength: float = 0.2, f_win: int = 9):
+    rng = np.random.RandomState(T + len(list(feed)))
+    audio = rng.randn(T).astype(np.float32)
+    bias = (0.1 * np.abs(rng.randn(1, PARAMS.cutoff, 1))).astype(np.float32)
+    ref = _offline(audio, bias, strength)
+    got = _stream(audio, bias, strength, feed, f_win=f_win)
+    assert got.shape == ref.shape, (T, feed, got.shape, ref.shape)
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-5,
+                               err_msg=f"T={T} feed={feed}")
+
+
+def test_single_shot_flush():
+    """Everything arrives at once: flush-only windows, incl. a signal
+    longer than one window (multi-window flush)."""
+    _case(320, [320])
+    _case(1000, [1000], f_win=9)       # 1000 samples ≈ 59 frames >> f_win
+
+
+def test_uniform_chunks():
+    _case(320, [128, 128, 64])
+    _case(512, [128] * 4)
+
+
+def test_ragged_chunks_off_grid_length():
+    """Length not a multiple of hop: the denoised stream ends at
+    hop*(T//hop), the offline output length."""
+    _case(333, [50, 7, 200, 76])
+    _case(97, [96, 1])
+
+
+def test_short_signal_flush_band():
+    """Signals shorter than one window flush through a single exact-edge
+    window (both reflect edges in one program)."""
+    _case(96, [96])
+    _case(80, [48, 32])
+
+
+def test_strength_zero_is_identity_reconstruction():
+    """strength=0 reproduces the STFT->ISTFT round trip (not the raw
+    input — the reference denoiser also returns the resynthesis)."""
+    rng = np.random.RandomState(7)
+    audio = rng.randn(320).astype(np.float32)
+    bias = np.abs(rng.randn(1, PARAMS.cutoff, 1)).astype(np.float32)
+    got = _stream(audio, bias, 0.0, [160, 160])
+    ref = _offline(audio, bias, 0.0)
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-5)
+    np.testing.assert_allclose(got, audio[: got.shape[0]], atol=2e-5)
+
+
+def test_plan_covers_exactly_once():
+    """Window plans partition the emitted range with no gaps/overlaps and
+    never read past the buffered samples mid-stream."""
+    den = StreamingDenoiser(lambda: None, PARAMS, f_win=9)
+    hop, pad, n_fft = PARAMS.hop_length, den.pad, PARAMS.filter_length
+    emitted = 0
+    a = 0
+    for add, flushed in [(100, False), (37, False), (512, False),
+                         (200, True)]:
+        a += add
+        for f0, nv, e0, e1 in den.plan(a, emitted, flushed):
+            assert e0 == emitted and e1 > e0
+            # emitted samples' covering frames live inside the window
+            assert (e0 + pad) // hop >= f0 >= 0
+            assert (e1 - 1 + pad - n_fft) // hop + 1 <= f0 + nv - 1 + 1
+            if not flushed:   # no frame reads past the buffered extent
+                assert (f0 + nv - 1) * hop + n_fft <= a + pad
+            emitted = e1
+        assert emitted == den.emit_bound(a, flushed)
+    assert emitted == hop * (a // hop)

@@ -106,6 +106,57 @@ def test_http_per_request_sigma(synthesizer, http_srv):  # noqa: F811
     assert body[len(wav_stream_header(22050)):] == float_to_pcm16(ref)
 
 
+def test_http_per_request_denoiser(synthesizer):  # noqa: F811
+    """A request's "denoiser_strength" streams bias-subtracted audio
+    byte-equal to the direct batcher run at that strength; a strength on
+    a denoiser-less server is a 400, not a dead scheduler."""
+    from text2speech_tpu.infer import Synthesizer
+
+    dkw = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    synth = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables,
+        use_denoiser=True, denoiser_kwargs=dkw,
+    )
+    batcher = make_server(synth, slots=2, chunk_steps=8, max_text_len=80,
+                          sigma=SIGMA)
+    httpd, runner = make_http_server(batcher, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/synthesize",
+                     body=json.dumps({"text": TEXTS[0], "seed": 9,
+                                      "denoiser_strength": 0.05}))
+        resp = conn.getresponse()
+        body = resp.read()
+        conn.close()
+        assert resp.status == 200
+        ref_srv = make_server(synth, slots=1, chunk_steps=8,
+                              max_text_len=80, sigma=SIGMA)
+        ref = ref_srv.run([TEXTS[0]], seeds=[9],
+                          denoiser_strengths=[0.05])[0]
+        assert body[len(wav_stream_header(22050)):] == float_to_pcm16(ref)
+    finally:
+        httpd.shutdown()
+        runner.shutdown()
+
+
+def test_http_denoiser_on_denoiserless_server_is_400(http_srv):
+    conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=600)
+    conn.request("POST", "/synthesize",
+                 body=json.dumps({"text": TEXTS[2],
+                                  "denoiser_strength": 0.1}))
+    resp = conn.getresponse()
+    err = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 400
+    assert "denoiser" in err["error"]
+
+
 def test_http_overlong_text_is_400(http_srv):
     long_text = "아주 " * 200 + "긴 문장입니다."
     resp, body = _post_synthesize(http_srv, long_text, seed=1)

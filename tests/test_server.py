@@ -225,6 +225,58 @@ def test_server_int8_vocoder_composes(synthesizer):  # noqa: F811
         assert rel < 0.5, rel
 
 
+def test_server_per_request_denoiser(synthesizer):  # noqa: F811
+    """Per-request ``denoiser_strength`` (the reference's ``-d`` knob,
+    ``waveglow/denoiser.py:35-40`` applied at synthesis time) through the
+    continuous-batching server: a denoising session's streamed audio
+    equals the OFFLINE CLI denoiser (``Synthesizer._denoise``) applied to
+    the session's raw audio; strength-0 sessions are untouched; mixed
+    strengths share the batch."""
+    from text2speech_tpu.infer import Synthesizer
+
+    dkw = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    synth = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables,
+        use_denoiser=True, denoiser_kwargs=dkw,
+    )
+    strengths = [0.0, 0.05, 0.1]
+    seeds = [1, 2, 3]
+    srv = make_server(synth, slots=2, chunk_steps=8, max_text_len=80,
+                      retain_sessions=True)
+    wavs = srv.run(TEXTS[:3], seeds=seeds, denoiser_strengths=strengths)
+    assert srv.stats["denoiser_calls"] > 0
+
+    raw = make_server(synth, slots=2, chunk_steps=8, max_text_len=80,
+                      retain_sessions=True).run(TEXTS[:3], seeds=seeds)
+    # strength 0 bypasses the denoiser entirely (raw emission path)
+    np.testing.assert_array_equal(wavs[0], raw[0])
+    hop = synth._denoise_params.hop_length
+    for i in (1, 2):
+        ref = np.asarray(synth._denoise(
+            jnp.asarray(raw[i][None]), strengths[i]))[0]
+        assert wavs[i].shape == (hop * (raw[i].shape[0] // hop),)
+        np.testing.assert_allclose(wavs[i], ref, atol=2e-6, rtol=2e-5,
+                                   err_msg=f"sid {i}")
+        # the knob is live (bias actually subtracted)
+        assert np.abs(wavs[i] - raw[i][: wavs[i].shape[0]]).max() > 1e-4
+
+
+def test_server_denoiser_submit_validation(synthesizer):  # noqa: F811
+    """Bad strengths raise at submit; strength > 0 on a denoiser-less
+    server raises instead of dying inside step()."""
+    srv = make_server(synthesizer, slots=1, chunk_steps=8, max_text_len=80)
+    for bad in (float("nan"), -0.1, "x", True):
+        with pytest.raises(ValueError):
+            srv.submit(TEXTS[0], denoiser_strength=bad)
+    with pytest.raises(ValueError, match="without a denoiser"):
+        srv.submit(TEXTS[0], denoiser_strength=0.1)   # use_denoiser=False
+    assert srv.submit(TEXTS[0], denoiser_strength=0.0) == 0  # 0 is fine
+    srv.cancel(0)
+
+
 def test_server_stats_per_session_accounting(synthesizer):  # noqa: F811
     srv = make_server(synthesizer, slots=2, chunk_steps=8, max_text_len=80,
                       retain_sessions=True)

@@ -33,7 +33,8 @@ a network service with nothing beyond the standard library:
 
 Endpoints::
 
-    POST /synthesize   {"text": "...", "seed": 123?, "sigma": 0.6?}
+    POST /synthesize   {"text": "...", "seed": 123?, "sigma": 0.6?,
+                        "denoiser_strength": 0.01?}
                        -> chunked audio/wav; X-Session-Id response header
                        (sigma = per-request flow temperature, the
                        reference CLI's quality knob)
@@ -137,7 +138,8 @@ class ServerRunner:
         return val
 
     def open_stream(self, text: str, seed: int | None = None,
-                    sigma: float | None = None):
+                    sigma: float | None = None,
+                    denoiser_strength: float | None = None):
         if self.max_pending is not None:
             # count submits still in the inbox too, or a concurrent burst
             # of handler threads bypasses the load shed
@@ -150,7 +152,7 @@ class ServerRunner:
         # the scheduler replies with the stream queue object itself — the
         # session may complete (and be deregistered) before this thread
         # runs again
-        return self._rpc("submit", (text, seed, sigma))
+        return self._rpc("submit", (text, seed, sigma, denoiser_strength))
 
     def cancel(self, sid: int) -> None:
         self._inbox.put(("cancel", sid, None, None))
@@ -328,11 +330,13 @@ class _Handler(BaseHTTPRequestHandler):
             text = req["text"]
             seed = req.get("seed")
             sigma = req.get("sigma")
+            denoiser_strength = req.get("denoiser_strength")
         except (ValueError, KeyError, TypeError) as e:
             self._send_json(400, {"error": f"bad request: {e!r}"})
             return
         try:
-            sid, q = self.runner.open_stream(text, seed, sigma)
+            sid, q = self.runner.open_stream(text, seed, sigma,
+                                             denoiser_strength)
         except OverflowError as e:              # queue full
             self._send_json(503, {"error": str(e)})
             return

@@ -303,6 +303,9 @@ class Synthesizer:
                                       # streaming decode path (decode is
                                       # weight-streaming-bound; measured
                                       # 1.61x decode throughput)
+    denoiser_kwargs: dict | None = None   # make_denoiser overrides (tests
+                                          # shrink the STFT to fit tiny
+                                          # synthetic utterances)
 
     def __post_init__(self):
         # Params are jit ARGUMENTS, never closure captures — captured arrays
@@ -434,9 +437,16 @@ class Synthesizer:
                 )
             )
         if self.use_denoiser:
-            _, self._denoise = make_denoiser(self.waveglow, self.wg_variables)
+            from .models.denoiser import denoiser_stft_params
+
+            kw = self.denoiser_kwargs or {}
+            self._denoise_bias, self._denoise = make_denoiser(
+                self.waveglow, self.wg_variables, **kw)
+            self._denoise_params = denoiser_stft_params(**kw)
         else:
+            self._denoise_bias = None
             self._denoise = None
+            self._denoise_params = None
 
     # --- public API --------------------------------------------------------
 
@@ -467,8 +477,9 @@ class Synthesizer:
             else:
                 self._wg_serve_vars = wg_variables
             if self.use_denoiser:
-                _, self._denoise = make_denoiser(
-                    self.waveglow, wg_variables)
+                self._denoise_bias, self._denoise = make_denoiser(
+                    self.waveglow, wg_variables,
+                    **(self.denoiser_kwargs or {}))
 
     def load_checkpoints(self, taco_ckpt_dir: str | None = None,
                          wg_ckpt_dir: str | None = None):

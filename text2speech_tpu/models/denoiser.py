@@ -16,9 +16,11 @@ covering it, each frame on ``filter_length`` input samples), so a window that
 (a) starts at a multiple of ``hop_length`` of the full signal, (b) carries
 the frames covering the emitted range plus ``filter_length`` of margin
 frames, and (c) reproduces the reflect padding at true signal edges
-host-side, yields bitwise-identical frames; the masked overlap-add and the
+host-side, yields frame-identical math; the masked overlap-add and the
 host-supplied window-sumsquare correction then reproduce the full-signal
-ISTFT at every emitted position.
+ISTFT at every emitted position (to ~1-2 ulp — XLA selects different
+matmul kernels for different batch geometries, so not bitwise;
+``tests/test_denoiser_stream.py`` pins 2e-6).
 """
 
 from __future__ import annotations
@@ -35,6 +37,18 @@ from ..dsp.stft import (STFTParams, _forward_basis, _inverse_basis,
 from .waveglow import WaveGlow
 
 
+def denoiser_stft_params(filter_length: int = 1024, n_overlap: int = 4,
+                         win_length: int = 1024, **_ignored) -> STFTParams:
+    """The STFT configuration :func:`make_denoiser` builds for the given
+    kwargs (defaults = the reference's, ``denoiser.py:14-17``); the single
+    source of truth shared with the serving-chain :class:`StreamingDenoiser`
+    so the streamed output equals the offline path."""
+    return STFTParams(filter_length, filter_length // n_overlap, win_length)
+
+
+DEFAULT_STFT_PARAMS = denoiser_stft_params()
+
+
 def make_denoiser(
     model: WaveGlow,
     variables: dict,
@@ -44,7 +58,7 @@ def make_denoiser(
     mode: str = "zeros",
     n_frames: int = 88,
 ):
-    params = STFTParams(filter_length, filter_length // n_overlap, win_length)
+    params = denoiser_stft_params(filter_length, n_overlap, win_length)
     if mode == "zeros":
         mel = jnp.zeros((1, model.cfg.n_mel_channels, n_frames))
     elif mode == "normal":
@@ -68,3 +82,185 @@ def make_denoiser(
         return istft(mag, phase, params)
 
     return bias_spec, denoise
+
+
+# ---------------------------------------------------------------------------
+# Streaming (windowed) denoiser — the serving-chain form.
+# ---------------------------------------------------------------------------
+
+
+def denoise_windows(
+    x_pad: jnp.ndarray,        # [B, L_pad] — window of the reflect-PADDED
+                               # full signal starting at a frame boundary,
+                               # zero-filled past its valid extent
+    bias_spec: jnp.ndarray,    # [1, cutoff, 1]
+    strengths: jnp.ndarray,    # [B] per-row denoiser strength (traced —
+                               # mixed strengths batch into ONE call)
+    n_valid: jnp.ndarray,      # [B] int32 count of REAL frames in the window
+    correction: jnp.ndarray,   # [B, L_pad] host-computed 1/window_sumsquare
+                               # for the row's n_valid (edge decay included)
+    params: STFTParams,
+) -> jnp.ndarray:
+    """Fixed-shape batched windowed denoise: returns the ISTFT overlap-add of
+    the denoised frames over window-local positions [0, L_pad).
+
+    Frames ``i >= n_valid[b]`` are masked to exact zeros (they straddle or
+    live in the zero fill and do not exist in the full-signal computation);
+    the host's ``correction`` row is ``window_sumsquare`` over exactly the
+    ``n_valid`` real frames, so every sample whose covering frames are all
+    real reproduces the full-signal ISTFT (frame-identical math; ~1-2 ulp
+    from XLA kernel selection).  The caller slices out the emitted range; see
+    ``server.ContinuousBatcher`` for the window/margin bookkeeping."""
+    n_fft, hop = params.filter_length, params.hop_length
+    assert n_fft % hop == 0, "vectorized overlap-add needs hop | n_fft"
+    B, L_pad = x_pad.shape
+    assert (L_pad - n_fft) % hop == 0
+    F = 1 + (L_pad - n_fft) // hop
+
+    basis = jnp.asarray(_forward_basis(n_fft, params.win_length))
+    frames = frame_signal(x_pad, n_fft, hop, center=False)      # [B, F, n_fft]
+    spec = jnp.einsum("btn,nk->bkt", frames, basis,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    cutoff = params.cutoff
+    re, im = spec[:, :cutoff, :], spec[:, cutoff:, :]
+    mag = jnp.sqrt(re * re + im * im)
+    phase = jnp.arctan2(im, re)
+    mag = jnp.maximum(mag - bias_spec * strengths[:, None, None], 0.0)
+
+    re_im = jnp.concatenate(
+        [mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=1)
+    inv_basis = jnp.asarray(_inverse_basis(n_fft, params.win_length, hop))
+    out_frames = jnp.einsum("bkt,kn->btn", re_im, inv_basis,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    mask = (jnp.arange(F)[None, :] < n_valid[:, None]).astype(out_frames.dtype)
+    out_frames = out_frames * mask[:, :, None]
+
+    # same vectorized overlap-add as dsp.stft.istft (hop | n_fft)
+    r = n_fft // hop
+    chunks = out_frames.reshape(B, F, r, hop)
+    signal = jnp.zeros((B, F + r - 1, hop), out_frames.dtype)
+    for j in range(r):
+        signal = signal.at[:, j : j + F].add(chunks[:, :, j])
+    signal = signal.reshape(B, L_pad)
+    return signal * correction * (float(n_fft) / hop)
+
+
+@functools.lru_cache(maxsize=256)
+def _window_correction(n_valid: int, params: STFTParams,
+                       l_pad: int) -> np.ndarray:
+    """1/window_sumsquare over ``n_valid`` frames, padded to ``l_pad`` with
+    1.0 — the exact correction ``dsp.stft.istft`` would apply to a signal
+    with that frame count (same f64 accumulation, same tiny-guard)."""
+    wss = window_sumsquare(n_valid, params.hop_length, params.win_length,
+                           params.filter_length)
+    tiny = np.finfo(np.float32).tiny
+    corr = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0)
+    out = np.ones((l_pad,), np.float32)
+    out[: corr.shape[0]] = corr[:l_pad]
+    return out
+
+
+def reflect_pad_np(audio: np.ndarray, pad: int) -> np.ndarray:
+    """np reflect pad (handles signals shorter than ``pad`` by repeated
+    reflection, unlike jnp — only reachable for sub-0.03 s utterances where
+    the jitted full-signal path would error)."""
+    return np.pad(audio, pad, mode="reflect")
+
+
+class StreamingDenoiser:
+    """Window planner + fixed-shape device program for serving-chain denoise.
+
+    One instance serves every session of a :class:`..server.ContinuousBatcher`
+    (the scheduler batches all sessions' pending windows into shared
+    ``denoise_windows`` calls).  ``bias_fn`` is read at every call so a live
+    checkpoint swap (``POST /reload`` -> ``Synthesizer.load_weights``) takes
+    effect with zero recompiles — the bias spectrum is a jit *argument*.
+
+    Frame bookkeeping (all positions in SAMPLES of the raw vocoded signal;
+    ``pad = n_fft // 2`` is the centered-STFT reflect padding):
+
+    * frame ``f`` of the padded signal reads padded samples
+      ``[f*hop, f*hop + n_fft)`` = raw samples ``[f*hop - pad, ...)``;
+    * mid-stream (right reflect edge unknown) frame ``f`` is computable iff
+      ``f*hop + n_fft <= A + pad`` for ``A`` raw samples buffered;
+    * denoised sample ``P`` is emittable once all frames covering padded
+      position ``P + pad`` are computable — the scheduler therefore holds
+      back ``< n_fft`` samples until the session flushes;
+    * the denoised stream ends at ``hop * (T // hop)`` samples, exactly the
+      full-signal :func:`make_denoiser` output length (the reference's
+      denoiser also returns the ISTFT-shortened signal,
+      ``/root/reference/waveglow/denoiser.py:35-40``).
+    """
+
+    def __init__(self, bias_fn, params: STFTParams = None,
+                 f_win: int = 72):
+        self.params = params or DEFAULT_STFT_PARAMS
+        n_fft, hop = self.params.filter_length, self.params.hop_length
+        assert n_fft % hop == 0
+        self.r = n_fft // hop
+        assert f_win >= self.r + 1, "window must out-span the frame overlap"
+        self.f_win = f_win
+        self.l_pad = n_fft + hop * (f_win - 1)
+        self.pad = n_fft // 2
+        self._bias_fn = bias_fn
+        self._jit = jax.jit(functools.partial(
+            denoise_windows, params=self.params))
+        self.calls = 0
+
+    # --- host planning -------------------------------------------------------
+
+    def emit_bound(self, a: int, flushed: bool) -> int:
+        """Largest denoised-sample frontier reachable with ``a`` raw samples
+        buffered (the full output length once ``flushed``)."""
+        n_fft, hop, pad = (self.params.filter_length, self.params.hop_length,
+                           self.pad)
+        if flushed:
+            return hop * (a // hop)
+        f_max = (a + pad - n_fft) // hop
+        return max(0, (f_max + 1) * hop - pad)
+
+    def plan(self, a: int, emitted: int, flushed: bool):
+        """Window specs ``(f0, n_valid, e0, e1)`` advancing the denoised
+        frontier from ``emitted`` to :meth:`emit_bound`: window frames
+        ``[f0, f0 + n_valid)`` of the padded signal, emitting denoised
+        samples ``[e0, e1)``.  Every emitted sample's covering frames are
+        inside the window (the exactness condition of
+        :func:`denoise_windows`); the final flush window ends at the
+        signal's true last frame so the right window-sumsquare decay is the
+        full-signal one."""
+        n_fft, hop, pad = (self.params.filter_length, self.params.hop_length,
+                           self.pad)
+        bound = self.emit_bound(a, flushed)
+        f_last = a // hop if flushed else (a + pad - n_fft) // hop
+        specs = []
+        d = emitted
+        while d < bound:
+            f0 = max(0, (d + pad - n_fft) // hop + 1)
+            f_hi = min(f0 + self.f_win - 1, f_last)
+            e1 = bound if (flushed and f_hi == f_last) else min(
+                (f_hi + 1) * hop - pad, bound)
+            assert e1 > d, "window does not advance (f_win too small?)"
+            specs.append((f0, f_hi - f0 + 1, d, e1))
+            d = e1
+        return specs
+
+    def fill_row(self, x_pad_row: np.ndarray, corr_row: np.ndarray,
+                 padded: np.ndarray, f0: int, n_valid: int) -> None:
+        """Write one window's samples + correction into pre-zeroed batch
+        rows (``padded`` = reflect-padded raw signal, host-side)."""
+        hop, n_fft = self.params.hop_length, self.params.filter_length
+        need = n_fft + hop * (n_valid - 1)
+        x_pad_row[:need] = padded[f0 * hop : f0 * hop + need]
+        corr_row[:] = _window_correction(n_valid, self.params, self.l_pad)
+
+    # --- device call ---------------------------------------------------------
+
+    def __call__(self, x_pad: np.ndarray, strengths: np.ndarray,
+                 n_valid: np.ndarray, correction: np.ndarray) -> np.ndarray:
+        self.calls += 1
+        return np.asarray(self._jit(
+            jnp.asarray(x_pad), jnp.asarray(self._bias_fn()),
+            jnp.asarray(strengths, jnp.float32),
+            jnp.asarray(n_valid, jnp.int32), jnp.asarray(correction)))

@@ -83,6 +83,7 @@ class _Session:
     noise_key: np.ndarray       # [2] uint32 (host copy: batched prefetch
                                 # stacks keys without per-session dispatch)
     sigma: float = 0.666        # per-session flow temperature
+    den_strength: float = 0.0   # per-session denoiser strength (0 = off)
     # decode-side frontiers
     t: int = 0                  # decoded frames
     out_len: int = 0            # active frames within the contract
@@ -98,6 +99,11 @@ class _Session:
     flushed: bool = False
     noise_blocks: list = field(default_factory=list)  # per-comp np arrays
     noise_frames: int = 0
+    # denoiser-side (active only when den_strength > 0: raw vocoder audio
+    # buffers here and the denoise stage emits with < n_fft hold-back)
+    raw_parts: list = field(default_factory=list)
+    raw_len: int = 0
+    den_emitted: int = 0
     # accounting
     admit_round: int = 0        # stats["rounds"] value when admitted
     first_emit_round: int | None = None
@@ -153,7 +159,8 @@ class ContinuousBatcher:
                  admit_fn, init_batch_fn, decode_fn, postnet_fn, vocode_fn,
                  key_fn, draw_noise_fn, vocode_exact_fn=None,
                  draw_noise_batch_fn=None,
-                 validate_fn=None, retain_sessions: bool = False):
+                 validate_fn=None, retain_sessions: bool = False,
+                 denoiser=None):
         assert chunk_steps >= prf, (
             "chunk_steps must cover the postnet receptive field "
             f"({chunk_steps} < {prf}) so emission frontiers advance "
@@ -181,6 +188,10 @@ class ContinuousBatcher:
         self._draw_noise_fn = draw_noise_fn
         self._draw_noise_batch_fn = draw_noise_batch_fn
         self._validate_fn = validate_fn
+        # optional ..models.denoiser.StreamingDenoiser: sessions submitted
+        # with denoiser_strength > 0 stream bias-subtracted audio (the
+        # reference's per-synthesis denoiser, inference.py:75, served)
+        self._denoiser = denoiser
 
         # slot index is a TRACED argument: admissions into any slot hit one
         # compile (CLAUDE.md gotcha: compiles on this rig take minutes)
@@ -202,19 +213,24 @@ class ContinuousBatcher:
         self.sessions: dict[int, _Session] = {}
         self.stats = {"rounds": 0, "row_steps": 0, "active_row_steps": 0,
                       "postnet_calls": 0, "vocoder_calls": 0,
+                      "denoiser_calls": 0,
                       "admitted": 0, "completed": 0, "cancelled": 0,
                       "first_audio_rounds_sum": 0, "emitted_samples": 0}
 
     # --- public API --------------------------------------------------------
 
     def submit(self, request, seed: int | None = None,
-               sigma: float | None = None) -> int:
+               sigma: float | None = None,
+               denoiser_strength: float | None = None) -> int:
         """Queue a synthesis request; returns its session id.  ``seed``
         defaults to the session id; ``sigma`` (flow sampling temperature,
         the reference CLI's quality knob, ``inference.py:75``) defaults to
-        the server's — a session's output is a function of
-        ``(request, seed, sigma)`` only.  EVERY invalid input (overlong
-        text, malformed seed/sigma) raises HERE, at submission — never
+        the server's; ``denoiser_strength`` > 0 streams bias-subtracted
+        audio (the reference's ``-d`` knob, ``waveglow/denoiser.py:35-40``)
+        equal to the offline denoiser over the session's raw audio — a
+        session's output is a function of ``(request, seed, sigma,
+        denoiser_strength)`` only.  EVERY invalid input (overlong text,
+        malformed seed/sigma/strength) raises HERE, at submission — never
         inside :meth:`step`, which must stay up for other sessions.  If
         ``validate_fn`` returns non-None, that canonical form (e.g. the
         encoded text) is what ``admit_fn`` later receives — validation
@@ -233,6 +249,20 @@ class ContinuousBatcher:
             sigma = float(sigma)
             if not np.isfinite(sigma) or sigma < 0:
                 raise ValueError(f"sigma must be finite and >= 0: {sigma}")
+        if denoiser_strength is not None:
+            if isinstance(denoiser_strength, bool) or not isinstance(
+                    denoiser_strength, (int, float, np.floating, np.integer)):
+                raise ValueError("denoiser_strength must be a number, got "
+                                 f"{type(denoiser_strength)}")
+            denoiser_strength = float(denoiser_strength)
+            if not np.isfinite(denoiser_strength) or denoiser_strength < 0:
+                raise ValueError("denoiser_strength must be finite and "
+                                 f">= 0: {denoiser_strength}")
+            if denoiser_strength > 0 and self._denoiser is None:
+                raise ValueError(
+                    "denoiser_strength > 0 but the server was built without "
+                    "a denoiser (make_server over a Synthesizer with "
+                    "use_denoiser=False)")
         if self._validate_fn is not None:
             canonical = self._validate_fn(request)
             if canonical is not None:
@@ -240,7 +270,8 @@ class ContinuousBatcher:
         sid = self._next_sid
         self._next_sid += 1
         self._queue.append((sid, request, sid if seed is None else seed,
-                            self.sigma if sigma is None else sigma))
+                            self.sigma if sigma is None else sigma,
+                            denoiser_strength or 0.0))
         return sid
 
     def cancel(self, sid: int) -> bool:
@@ -372,12 +403,13 @@ class ContinuousBatcher:
                 s.flushed = True
 
         for s, chunk in self._run_vocoder(voc_tasks):
-            events.append(StreamEvent(s.sid, chunk))
-            self._account_emit(s, chunk)
+            self._emit(events, s, chunk)
         for s, e0, tl in shorts:
             chunk = self._vocode_short(s, tl)[e0 * self.hop :]
-            events.append(StreamEvent(s.sid, chunk))
-            self._account_emit(s, chunk)
+            self._emit(events, s, chunk)
+
+        # --- windowed denoise over buffered raw audio ----------------------
+        self._run_denoise(live, events)
 
         # --- free completed slots ------------------------------------------
         for s in live:
@@ -392,12 +424,15 @@ class ContinuousBatcher:
                     self.sessions.pop(s.sid, None)
         return events
 
-    def run(self, requests, seeds=None, sigmas=None) -> dict[int, np.ndarray]:
+    def run(self, requests, seeds=None, sigmas=None,
+            denoiser_strengths=None) -> dict[int, np.ndarray]:
         """Convenience driver: submit everything, step until idle, return
         ``{sid: concatenated audio}`` (streaming callers use :meth:`step`
         directly)."""
         sids = [self.submit(r, None if seeds is None else seeds[i],
-                            None if sigmas is None else sigmas[i])
+                            None if sigmas is None else sigmas[i],
+                            None if denoiser_strengths is None
+                            else denoiser_strengths[i])
                 for i, r in enumerate(requests)]
         parts: dict[int, list] = {sid: [] for sid in sids}
         while not self.idle:
@@ -411,6 +446,68 @@ class ContinuousBatcher:
         }
 
     # --- internals ----------------------------------------------------------
+
+    def _emit(self, events, s: _Session, chunk):
+        """Emit a raw vocoder chunk — or, for a denoising session, buffer
+        it for the windowed denoise stage (which emits with < n_fft
+        samples of hold-back, everything on flush)."""
+        if s.den_strength > 0.0:
+            s.raw_parts.append(np.asarray(chunk, np.float32))
+            s.raw_len += int(np.size(chunk))
+            return
+        events.append(StreamEvent(s.sid, chunk))
+        self._account_emit(s, chunk)
+
+    def _run_denoise(self, live, events):
+        """Batched windowed denoise (``models.denoiser.denoise_windows``)
+        advancing every denoising session's emit frontier as far as its
+        buffered raw audio allows; per-row traced strengths keep
+        mixed-strength rounds in ONE device call.  Emitted samples equal
+        the offline ``make_denoiser`` denoise of the session's full raw
+        audio to ~1-2 ulp (frame-local STFT/ISTFT — see the module
+        docstring of ``models/denoiser.py``)."""
+        den = self._denoiser
+        if den is None:
+            return
+        from .models.denoiser import reflect_pad_np
+
+        tasks: list = []   # (session, padded, f0, n_valid, e0, e1)
+        for s in live:
+            if s.den_strength <= 0.0 or not s.raw_parts:
+                continue
+            specs = den.plan(s.raw_len, s.den_emitted, s.flushed)
+            if not specs:
+                continue
+            full = (np.concatenate(s.raw_parts) if len(s.raw_parts) > 1
+                    else s.raw_parts[0])
+            # the right reflect edge exists only once the signal is final;
+            # mid-stream windows never read past the buffered samples
+            padded = (reflect_pad_np(full, den.pad) if s.flushed
+                      else np.pad(full, (den.pad, 0), mode="reflect"))
+            for f0, nv, e0, e1 in specs:
+                tasks.append((s, padded, f0, nv, e0, e1))
+        if not tasks:
+            return
+        B = self.slots
+        pad, dhop = den.pad, den.params.hop_length
+        for g0 in range(0, len(tasks), B):
+            group = tasks[g0 : g0 + B]
+            rows = group + [group[0]] * (B - len(group))
+            x = np.zeros((B, den.l_pad), np.float32)
+            corr = np.ones((B, den.l_pad), np.float32)
+            nval = np.zeros((B,), np.int32)
+            stren = np.zeros((B,), np.float32)
+            for j, (s, padded, f0, nv, _e0, _e1) in enumerate(rows):
+                den.fill_row(x[j], corr[j], padded, f0, nv)
+                nval[j] = nv
+                stren[j] = s.den_strength
+            out = den(x, stren, nval, corr)
+            self.stats["denoiser_calls"] += 1
+            for j, (s, _padded, f0, _nv, e0, e1) in enumerate(group):
+                chunk = out[j, e0 + pad - f0 * dhop : e1 + pad - f0 * dhop]
+                s.den_emitted = e1
+                events.append(StreamEvent(s.sid, chunk.copy()))
+                self._account_emit(s, chunk)
 
     def _account_emit(self, s: _Session, chunk):
         n = int(np.size(chunk))
@@ -426,14 +523,14 @@ class ContinuousBatcher:
         for slot in range(self.slots):
             if self._slots[slot] is not None or not self._queue:
                 continue
-            sid, request, seed, sigma = self._queue.popleft()
+            sid, request, seed, sigma, den_strength = self._queue.popleft()
             row = self._admit_fn(request, seed)
             self._batch = self._place(self._batch, row, slot)
             s = _Session(
                 sid=sid, slot=slot, keys=np.asarray(self._key_fn(seed)),
                 noise_key=np.asarray(jax.random.fold_in(
                     jax.random.PRNGKey(seed + 1), 0x5EED)),
-                sigma=sigma,
+                sigma=sigma, den_strength=den_strength,
                 admit_round=self.stats["rounds"],
             )
             self._slots[slot] = s
@@ -645,6 +742,20 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
                                  jax.random.PRNGKey(seed))
         return np.asarray(jax.random.split(base, limit))
 
+    denoiser = None
+    if getattr(synth, "_denoise_bias", None) is not None:
+        from .models.denoiser import StreamingDenoiser
+
+        # window spans one round's audio intake plus both frame margins;
+        # the bias is read through the synthesizer per call, so /reload
+        # (load_weights) swaps it with zero recompiles
+        dp = synth._denoise_params
+        r = dp.filter_length // dp.hop_length
+        f_win = max(r + 2, -(-chunk_steps * cfg.upsample_stride
+                             // dp.hop_length) + 2 * r)
+        denoiser = StreamingDenoiser(
+            lambda: synth._denoise_bias, dp, f_win=f_win)
+
     def draw_noise_fn(key):
         block = draw_noise(cfg, key, 1, chunk_steps * gpf)
         return tuple(np.asarray(c[0]) for c in block)
@@ -673,13 +784,16 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
         draw_noise_batch_fn=draw_noise_batch_fn,
         validate_fn=validate_fn, retain_sessions=retain_sessions,
+        denoiser=denoiser,
     )
 
 
 def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
                    max_text_len: int = 256, max_steps: int | None = None,
                    sigma: float = 0.666,
-                   retain_sessions: bool = False) -> ContinuousBatcher:
+                   retain_sessions: bool = False,
+                   use_denoiser: bool = False,
+                   denoiser_kwargs: dict | None = None) -> ContinuousBatcher:
     """Continuous batching over a ``parallel.serve.TPSynthesizer``: the same
     scheduler, with every per-round device call mesh-split — the decode
     chunk through the column-sharded ``TPTacotronDecoder`` (per-row step
@@ -754,6 +868,19 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
         base = tps._derive_rng(tps._taco_vars, jax.random.PRNGKey(seed))
         return np.asarray(jax.random.split(base, limit))
 
+    denoiser = None
+    if use_denoiser:
+        from .models.denoiser import (StreamingDenoiser,
+                                      denoiser_stft_params, make_denoiser)
+
+        kw = denoiser_kwargs or {}
+        bias, _ = make_denoiser(tps.waveglow, tps.wg_variables, **kw)
+        dp = denoiser_stft_params(**kw)
+        r = dp.filter_length // dp.hop_length
+        f_win = max(r + 2, -(-chunk_steps * cfg.upsample_stride
+                             // dp.hop_length) + 2 * r)
+        denoiser = StreamingDenoiser(lambda: bias, dp, f_win=f_win)
+
     def draw_noise_fn(key):
         block = draw_noise(cfg, key, 1, chunk_steps * gpf)
         return tuple(np.asarray(c[0]) for c in block)
@@ -779,4 +906,5 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
         draw_noise_batch_fn=draw_noise_batch_fn,
         validate_fn=validate_fn, retain_sessions=retain_sessions,
+        denoiser=denoiser,
     )
