@@ -228,6 +228,116 @@ def test_http_rejects_malformed_seed_and_sigma(http_srv):
     conn.close()
 
 
+def test_http_soak_concurrent_disconnects_reload_under_load(synthesizer):  # noqa: F811
+    """HTTP-level soak (randomized load against the REAL server): eight
+    concurrent clients with mixed seeds/sigmas/denoiser strengths, three
+    of them hanging up mid-stream, and a /reload (same weights, so byte
+    expectations survive) landing while sessions are in flight.  Asserts
+    no session cross-talk — every completed stream byte-matches a solo
+    direct-batcher run of its own (text, seed, sigma, strength) — and
+    clean terminator semantics: ``http.client`` raises IncompleteRead on
+    a stream that dies without the chunked terminator, so an exception-
+    free full read IS the terminator check."""
+    from text2speech_tpu.infer import Synthesizer
+
+    dkw = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    synth = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables,
+        use_denoiser=True, denoiser_kwargs=dkw,
+    )
+    batcher = make_server(synth, slots=2, chunk_steps=8, max_text_len=80,
+                          sigma=SIGMA)
+    httpd, runner = make_http_server(
+        batcher, port=0,
+        reload_fn=lambda: synth.load_weights(
+            synthesizer.taco_variables, synthesizer.wg_variables))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+
+    sigmas = [0.5, 0.8, 1.0]
+    strengths = [None, 0.0, 0.05]
+    jobs = []
+    for i in range(8):
+        jobs.append({
+            "text": TEXTS[i % len(TEXTS)], "seed": 1000 + 13 * i,
+            "sigma": sigmas[i % 3], "strength": strengths[i % 3],
+            "disconnect": i % 3 == 2,     # clients 2, 5 hang up mid-stream
+        })
+    results: dict[int, object] = {}
+
+    def client(i, job):
+        req = {"text": job["text"], "seed": job["seed"],
+               "sigma": job["sigma"]}
+        if job["strength"] is not None:
+            req["denoiser_strength"] = job["strength"]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        try:
+            conn.request("POST", "/synthesize", body=json.dumps(req))
+            resp = conn.getresponse()
+            if resp.status != 200:
+                results[i] = ("status", resp.status, resp.read())
+                return
+            if job["disconnect"]:
+                resp.read(len(wav_stream_header(22050)) + 4)
+                results[i] = ("disconnected", None)
+                return            # conn.close() in finally = mid-stream RST
+            results[i] = ("ok", resp.read())   # raises on truncation
+        except Exception as e:    # noqa: BLE001 — recorded, asserted below
+            results[i] = ("error", repr(e))
+        finally:
+            conn.close()
+
+    threads = [threading.Thread(target=client, args=(i, j))
+               for i, j in enumerate(jobs)]
+    for t in threads[:5]:
+        t.start()
+    # /reload lands while those sessions stream
+    rconn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    rconn.request("POST", "/reload", body=b"{}")
+    assert rconn.getresponse().status == 200
+    rconn.close()
+    for t in threads[5:]:
+        t.start()
+    for t in threads:
+        t.join()
+
+    try:
+        solo_cache: dict[tuple, bytes] = {}
+
+        def solo(job) -> bytes:
+            key = (job["text"], job["seed"], job["sigma"], job["strength"])
+            if key not in solo_cache:
+                srv = make_server(synth, slots=1, chunk_steps=8,
+                                  max_text_len=80, sigma=SIGMA)
+                wav = srv.run([job["text"]], seeds=[job["seed"]],
+                              sigmas=[job["sigma"]],
+                              denoiser_strengths=[job["strength"]])[0]
+                solo_cache[key] = float_to_pcm16(wav)
+            return solo_cache[key]
+
+        hdr = len(wav_stream_header(22050))
+        for i, job in enumerate(jobs):
+            kind = results[i][0]
+            if job["disconnect"]:
+                assert kind == "disconnected", (i, results[i])
+            else:
+                assert kind == "ok", (i, results[i])
+                assert results[i][1][hdr:] == solo(job), f"client {i}"
+        # scheduler survived everything; slots all freed
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        conn.close()
+        assert stats["open_streams"] == 0
+        assert stats["completed"] >= 5
+    finally:
+        httpd.shutdown()
+        runner.shutdown()
+
+
 def test_http_reload_not_configured_is_404(http_srv):
     conn = http.client.HTTPConnection("127.0.0.1", http_srv, timeout=60)
     conn.request("POST", "/reload", body=b"{}")
