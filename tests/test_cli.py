@@ -220,3 +220,54 @@ def test_train_cli_multi_speaker(corpus, tmp_path):
     tree = mgr.restore(mgr.latest_step())
     keys = str(sorted(tree["params"].keys()))
     assert "speaker_embedding" in keys and "speaker_proj" in keys, keys
+
+
+def test_corpus_drill_end_to_end(corpus, tmp_path):
+    """VERDICT r4 #6: the one-command corpus-to-audio drill
+    (``examples/corpus_drill.py``) runs the reference's whole workflow —
+    preprocess -> train both models -> synthesize with plots — on a
+    reference-format corpus dir, producing every advertised artifact.
+    This is the recipe the first user with real KSS data runs."""
+    wd = tmp_path / "drill"
+    wg_cfg = {
+        "train_config": {"learning_rate": 1e-4, "sigma": 1.0,
+                         "iters_per_checkpoint": 2, "batch_size": 2,
+                         "seed": 1},
+        "data_config": {"segment_length": 2048, "sampling_rate": 22050,
+                        "filter_length": 256, "hop_length": 64,
+                        "win_length": 256, "mel_fmin": 0.0,
+                        "mel_fmax": 8000.0},
+        "waveglow_config": {"n_mel_channels": 8, "n_flows": 2, "n_group": 4,
+                            "n_early_every": 4, "n_early_size": 2,
+                            "upsample_kernel": 64, "upsample_stride": 64,
+                            "WN_config": {"n_layers": 2, "n_channels": 16,
+                                          "kernel_size": 3}},
+    }
+    cfg_path = tmp_path / "drill_wg.json"
+    cfg_path.write_text(json.dumps(wg_cfg))
+    # utterance frame counts (~32-40) must fit the npz feeder's cap
+    from text2speech_tpu.config import HParams
+
+    hp_path = tmp_path / "drill_hp.json"
+    HParams(**{**TINY_HP, "max_decoder_steps": 64}).save(str(hp_path))
+    r = run_cli(
+        "examples/corpus_drill.py",
+        ["--in_dir", str(corpus), "--work_dir", str(wd),
+         "--taco_steps", "2", "--wg_steps", "2",
+         "--hparams", str(hp_path),
+         "--waveglow_config", str(cfg_path),
+         "--text", "안녕하세요."],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert (wd / "preprocessed" / "train.txt").exists()
+    taco_runs = list((wd / "tacotron").iterdir())
+    assert any((d / "checkpoints").exists() for d in taco_runs)
+    assert list((wd / "waveglow").iterdir())
+    assert (wd / "synth" / "out.wav").exists()
+    plots = list((wd / "synth" / "plots").glob("*.png"))
+    assert len(plots) >= 2, plots        # alignment + mel
+    # the recipe is visible: every stage printed its standalone command
+    for stage in ("preprocess.py", "train.py", "waveglow_train.py",
+                  "inference.py"):
+        assert f"python {stage}" in r.stdout, stage
