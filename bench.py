@@ -215,8 +215,12 @@ def bench_tacotron_int8(batch: int = 16, t_in: int = 128,
     (models/tacotron_serve.py): decode is weight-streaming-bound, so int8
     storage halves the per-step HBM traffic — via TRUE int8 MXU dots
     (row-quantized activations, `_qdot`); an LSTM-only scan measures
-    1.96x vs bf16.  At b16 XLA VMEM-pins the bf16 baseline's hh kernels,
-    so the full-step win shows at larger batch (1.20x @b64).  Same
+    1.96x vs bf16.  The FULL decode does not realize it: interleaved
+    repeats read ~1.0x @b16 (wash, +-13% session noise) and ~1.03x @b64
+    (XLA VMEM-pins the bf16 hh kernels at b16; the non-LSTM step work is
+    identical in both programs).  A one-session 1.72M/1.20x @b64 reading
+    was retracted as non-reproducible (docs/KERNELS.md appendix) —
+    serving auto-selects bf16 below INT8_DECODE_MIN_BATCH.  Same
     scan-length-scaling methodology as :func:`bench_tacotron`."""
     import numpy as np
 
@@ -526,11 +530,16 @@ def main():
     )
     # 16 CONCURRENT streaming sessions (synthesize_incremental_batch): the
     # decode term is unchanged — _step_s already IS the b16 lockstep rate —
-    # and the emission round's batched window vocode covers 16 windows
-    first_audio_ms_16_sessions = 1000.0 * (
-        _steps_first * _step_s
-        + 16 * (_chunk + 2 * _ov) * HOP / wg_sps
-    )
+    # and the emission round's batched window vocode covers 16 windows.
+    # The 13x gap vs the single-stream figure is the vocode term: 16
+    # simultaneous starts emit 16 first windows in ONE batched call, so
+    # the first byte waits for 16 windows of vocoder work (simultaneous-
+    # start physics, not scheduler serialization — the continuous-batching
+    # server staggers admissions into freed slots, paying ~1 window).
+    # Both terms are emitted so the record decomposes itself.
+    _fa16_decode_ms = 1000.0 * _steps_first * _step_s
+    _fa16_vocode_ms = 1000.0 * 16 * (_chunk + 2 * _ov) * HOP / wg_sps
+    first_audio_ms_16_sessions = _fa16_decode_ms + _fa16_vocode_ms
     # fully int8-quantized serving chain (int8 decoder weights + int8 WN
     # kernels)
     e2e_rtf_int8 = 1.0 / ((SR / HOP) / taco_fps_int8 + SR / wg_sps_int8)
@@ -554,6 +563,8 @@ def main():
         "first_audio_ms_streaming": round(first_audio_ms, 1),
         "first_audio_ms_full_scan": round(first_audio_ms_batch, 1),
         "first_audio_ms_16_sessions": round(first_audio_ms_16_sessions, 1),
+        "first_audio_ms_16_sessions_decode_term": round(_fa16_decode_ms, 1),
+        "first_audio_ms_16_sessions_vocode_term": round(_fa16_vocode_ms, 1),
         "preprocess_mel_frames_per_sec": round(pp["fps"], 1),
         "preprocess_e2e_runs": pp["fps_runs"],
         "preprocess_e2e_spread_pct": pp["spread_pct"],

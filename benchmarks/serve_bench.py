@@ -102,10 +102,15 @@ def main():
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--chunk_steps", type=int, default=64)
     ap.add_argument("--n_requests", type=int, default=32)
-    ap.add_argument("--max_steps", type=int, default=192,
+    ap.add_argument("--max_steps", type=int, default=448,
                     help="per-session decode contract (the builder biases "
                          "the stop gate shut, so every session runs the "
-                         "full contract — deterministic round count)")
+                         "full contract — deterministic round count). "
+                         "Must exceed the vocoder window (chunk + 2*ov = "
+                         "262 frames at the full config) by a few chunks "
+                         "or every session flushes in ONE emission and the "
+                         "inter-chunk stats are degenerate (the r3 default "
+                         "192 had exactly that problem)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 vocoder kernels (+ pair with "
                          "--quantized_decode for the full int8 chain)")
@@ -133,18 +138,75 @@ def main():
         srv.step()
     warm_stats = dict(srv.stats)
 
-    # timed run
+    # timed run — per-event timestamps give the latency DISTRIBUTIONS a
+    # deployment plans against, not just aggregate throughput: per-session
+    # first-audio (submit -> first chunk, queue wait included), per-session
+    # inter-chunk gaps (stream smoothness), and queue depth per round
+    t_submit = {}
     for i in range(args.n_requests):
-        srv.submit(TEXTS[i % len(TEXTS)], seed=i)
+        sid = srv.submit(TEXTS[i % len(TEXTS)], seed=i)
+        t_submit[sid] = time.perf_counter()
     round_s = []
+    queue_depth = []
+    ev_times: dict[int, list] = {}
     t_all0 = time.perf_counter()
     while not srv.idle:
         t0 = time.perf_counter()
-        srv.step()
-        round_s.append(time.perf_counter() - t0)
+        events = srv.step()
+        now = time.perf_counter()
+        round_s.append(now - t0)
+        queue_depth.append(len(srv._queue))
+        for ev in events:
+            if ev.audio is not None and np.size(ev.audio):
+                ev_times.setdefault(ev.sid, []).append(now)
     wall = time.perf_counter() - t_all0
 
-    st = srv.stats
+    st = dict(srv.stats)      # snapshot BEFORE the overload phase below
+
+    first_audio = [ts[0] - t_submit[sid] for sid, ts in ev_times.items()]
+    first_wave = sorted(first_audio)[: args.slots]   # admitted round 1
+    gaps = [g for ts in ev_times.values()
+            for g in np.diff(ts)] or [0.0]
+
+    def pct(xs, q):
+        return round(1000 * float(np.percentile(xs, q)), 1)
+
+    # overload: the HTTP front door (ServerRunner) sheds with 503s once
+    # max_pending is exceeded.  A serial burst can never shed — each
+    # open_stream RPC waits a scheduler round, which admits slots' worth —
+    # so fire the burst from concurrent handler threads the way real
+    # traffic arrives (the runner owns the batcher from here; shutdown
+    # aborts the burst's sessions)
+    import threading
+
+    from text2speech_tpu.http_serve import ServerRunner
+
+    runner = ServerRunner(srv, max_pending=args.slots)
+    outcomes = []
+    lock = threading.Lock()
+
+    def burst_client(i):
+        try:
+            runner.open_stream(TEXTS[i % len(TEXTS)], seed=10_000 + i)
+            ok = True
+        except OverflowError:
+            ok = False
+        with lock:
+            outcomes.append(ok)
+
+    t_burst0 = time.perf_counter()
+    threads = [threading.Thread(target=burst_client, args=(i,))
+               for i in range(4 * args.slots)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    burst_s = time.perf_counter() - t_burst0
+    runner.shutdown()
+    shed = outcomes.count(False)
+    overload = {"burst": 4 * args.slots, "burst_s": round(burst_s, 3),
+                "accepted": outcomes.count(True), "shed": shed,
+                "shed_rate": round(shed / (4 * args.slots), 3)}
     rounds = st["rounds"] - warm_stats["rounds"]
     emitted = st["emitted_samples"] - warm_stats["emitted_samples"]
     completed = st["completed"] - warm_stats["completed"]
@@ -174,6 +236,17 @@ def main():
         "aggregate_rtf": round(emitted / wall / SR, 2),
         "slot_occupancy": round(occ, 3),
         "mean_first_audio_rounds": round(far, 2),
+        # latency distributions (wall, tunnel tax included — divide by
+        # tunnel_tax_factor for the TPU-local-host expectation)
+        "first_audio_ms_p50": pct(first_audio, 50),
+        "first_audio_ms_p95": pct(first_audio, 95),
+        "first_audio_first_wave_ms_p50": pct(first_wave, 50),
+        "first_audio_first_wave_ms_p95": pct(first_wave, 95),
+        "inter_chunk_gap_ms_p50": pct(gaps, 50),
+        "inter_chunk_gap_ms_p95": pct(gaps, 95),
+        "queue_depth_p50": float(np.percentile(queue_depth, 50)),
+        "queue_depth_max": int(max(queue_depth)),
+        "overload": overload,
         "derived_device_bound_s": round(dev_bound_s, 2),
         "derived_device_samples_per_sec": round(emitted / dev_bound_s, 1),
         "tunnel_tax_factor": round(wall / dev_bound_s, 2),
