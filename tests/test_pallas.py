@@ -285,3 +285,30 @@ def test_fused_infer_composed_cond_matches_kernel_cond():
                       compute_dtype=jnp.float32, composed_cond=cc)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_wn_backward_probe_matches_conv_vjp():
+    """The backward-probe kernel (VERDICT r3 #8: measure, don't estimate)
+    reproduces jax.vjp of the shipping lax.conv training lowering: dx via
+    transposed taps, dW via VMEM-accumulated per-tile outer products —
+    across dilations incl. the d=128 top of the WN ladder."""
+    from text2speech_tpu.ops.pallas.wn_backward import (
+        conv_k3_bwd_pallas, conv_k3_fwd_xla)
+    from text2speech_tpu.ops.pallas.wn_block import BT
+    from text2speech_tpu.ops.pallas.wn_block_padded import pad_tiles
+
+    rng = np.random.RandomState(3)
+    B, T, C = 2, 2 * BT, 16
+    for d in (1, 4, 128, BT):
+        x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+        w = jnp.asarray(0.3 * rng.randn(3, C, 2 * C).astype(np.float32))
+        g = jnp.asarray(rng.randn(B, T, 2 * C).astype(np.float32))
+
+        _, vjp = jax.vjp(lambda x_, w_: conv_k3_fwd_xla(x_, w_, d), x, w)
+        dx_ref, dw_ref = vjp(g)
+
+        dx, dw = conv_k3_bwd_pallas(pad_tiles(x), pad_tiles(g), w, d)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   atol=2e-4, rtol=1e-4, err_msg=f"dx d={d}")
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                                   atol=2e-3, rtol=1e-4, err_msg=f"dw d={d}")

@@ -85,10 +85,15 @@ def test_server_join_independence(synthesizer):  # noqa: F811
                                    err_msg=f"text {i}")
 
 
-def test_server_quantized_decode(synthesizer):  # noqa: F811
+def test_server_quantized_decode(synthesizer, monkeypatch):  # noqa: F811
     """The int8-decoder serving path drives the same scheduler; sessions
-    complete with finite audio of gate-or-contract length."""
+    complete with finite audio of gate-or-contract length.  (Precision
+    policy would route 2 slots to bf16; force the crossover down so the
+    int8 scheduler path stays exercised.)"""
     from text2speech_tpu.infer import Synthesizer
+
+    monkeypatch.setattr(
+        "text2speech_tpu.models.tacotron_serve.INT8_DECODE_MIN_BATCH", 1)
 
     q = Synthesizer(
         hp=synthesizer.hp, taco=synthesizer.taco,
@@ -106,6 +111,53 @@ def test_server_quantized_decode(synthesizer):  # noqa: F811
         tl = min(s.out_len, srv.requested)
         assert wav.shape == (tl * hop,)
         assert np.isfinite(wav).all()
+
+
+def test_server_int8_decode_precision_selection(synthesizer, monkeypatch):  # noqa: F811
+    """Measured-benefit precision selection (VERDICT r3 #1): below the
+    int8-decode crossover batch, a quantized server serves the bf16
+    decode path — BITWISE the plain server (the fp serve path is bitwise
+    the flax decode) — so ``int8=True`` never makes decode slower or
+    noisier at small batch.  Forcing the crossover down flips the same
+    server construction to the int8 kernels (outputs change)."""
+    from text2speech_tpu.infer import Synthesizer
+
+    q = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables, use_denoiser=False,
+        quantized_decode=True,
+    )
+    seeds = [1, 2]
+    # 2 slots < INT8_DECODE_MIN_BATCH -> the bf16 path serves
+    wq = make_server(q, slots=2, chunk_steps=8, max_text_len=80).run(
+        TEXTS[:2], seeds=seeds)
+    wf = make_server(synthesizer, slots=2, chunk_steps=8,
+                     max_text_len=80).run(TEXTS[:2], seeds=seeds)
+    for sid in wf:
+        np.testing.assert_array_equal(wq[sid], wf[sid], err_msg=f"sid {sid}")
+
+    monkeypatch.setattr(
+        "text2speech_tpu.models.tacotron_serve.INT8_DECODE_MIN_BATCH", 1)
+    # also force REAL quantization (tiny test kernels sit under the size
+    # floor, where "int8" params are identity) — rebuilt synth so the
+    # cached _dp_q requantizes
+    monkeypatch.setattr(
+        "text2speech_tpu.models.tacotron_serve.QUANT_MIN_ELEMS", 1)
+    q2 = Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=synthesizer.wg_variables, use_denoiser=False,
+        quantized_decode=True,
+    )
+    wq2 = make_server(q2, slots=2, chunk_steps=8, max_text_len=80).run(
+        TEXTS[:2], seeds=seeds)
+    assert any(
+        wq2[sid].shape != wf[sid].shape or not np.array_equal(wq2[sid], wf[sid])
+        for sid in wf
+    ), "int8 kernels did not engage with the crossover forced down"
 
 
 def test_server_per_session_sigma(synthesizer):  # noqa: F811

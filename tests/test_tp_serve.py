@@ -87,7 +87,11 @@ def test_tp_synthesize_matches_single_device(single, tp):
         np.testing.assert_allclose(a, b, atol=2e-3)
 
 
-def test_tp_synthesize_int8_tracks_fp(models, tp):
+def test_tp_synthesize_int8_tracks_fp(models, tp, monkeypatch):
+    # keep the int8 DECODER engaged at this tiny batch (the measured-
+    # benefit policy would otherwise serve bf16 decode below the crossover)
+    monkeypatch.setattr(
+        "text2speech_tpu.models.tacotron_serve.INT8_DECODE_MIN_BATCH", 1)
     taco, tvars, wg, wvars = models
     mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
     tp_q = TPSynthesizer(

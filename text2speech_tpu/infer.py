@@ -661,13 +661,20 @@ class Synthesizer:
         cut at ``out_lengths``)."""
         from .models.tacotron2 import DecoderState
 
+        from .models.tacotron_serve import int8_decode_worthwhile
+
         texts = [texts] if isinstance(texts, str) else texts
         ids_np, lengths_np = encode_batch(texts)
         ids, lengths = jnp.asarray(ids_np), jnp.asarray(lengths_np)
         memory = self._encode_mem(self.taco_variables, ids, lengths)
+        B = memory.shape[0]
+        # measured-benefit precision selection: int8 decode only wins once
+        # the batch is big enough that weight streaming dominates (below
+        # the threshold XLA VMEM-pins the bf16 kernels and int8 is a
+        # wash-to-loss, r3 driver record) — int8 must never decode slower
+        use_q = self.quantized_decode and int8_decode_worthwhile(B)
         pmem = (
-            self._pmem_fn(self.taco_variables, memory)
-            if self.quantized_decode else None
+            self._pmem_fn(self.taco_variables, memory) if use_q else None
         )
         B, T_in, _ = memory.shape
         hp = self.hp
@@ -695,7 +702,7 @@ class Synthesizer:
         base = self._derive_rng(self.taco_variables, jax.random.PRNGKey(seed))
         all_rngs = jax.random.split(base, limit)
 
-        if self.quantized_decode:
+        if use_q:
             def decode_fn(carry, sr):
                 carry, mel_c, _, _, active = self._decode_chunk_q(
                     self._dp_q, memory, pmem, *carry, sr, lengths

@@ -37,6 +37,22 @@ from .tacotron2 import DecoderState
 # pairs at full size; small projections stay exact)
 QUANT_MIN_ELEMS = 1 << 20
 
+# Measured int8-decode crossover (bench.py bench_tacotron_int8,
+# docs/KERNELS.md appendix): at small serving batches XLA VMEM-pins the
+# bf16 baseline's loop-invariant LSTM kernels, so int8's activation-quant
+# overhead makes it a wash-to-loss (driver record r3: 0.94x @ b16), while
+# the halved weight-streaming bytes win from ~b32 up.  Serving paths call
+# :func:`int8_decode_worthwhile` so a user flipping int8 on NEVER gets a
+# slower decode — below the threshold the (bitwise-flax) bf16 path serves.
+INT8_DECODE_MIN_BATCH = 32
+
+
+def int8_decode_worthwhile(batch: int) -> bool:
+    """Whether int8 decoder weights beat bf16 at this decode batch size
+    (the activation quantization also adds recurrent-path noise, so int8
+    must pay measurable throughput to be worth serving)."""
+    return batch >= INT8_DECODE_MIN_BATCH
+
 
 def replicated_endpoints(taco):
     """The four tiny replicated jits every serving path needs around the
@@ -100,10 +116,13 @@ def quantize_kernel_int8(w: jnp.ndarray) -> dict:
     return {"q": q, "s": s.astype(jnp.float32)}
 
 
-def quantize_decoder_params(dp: dict,
-                            min_elems: int = QUANT_MIN_ELEMS) -> dict:
+def quantize_decoder_params(dp: dict, min_elems: int | None = None) -> dict:
     """Per-output-channel symmetric int8 for large 2-D kernels
-    (:func:`quantize_kernel_int8`); small projections stay exact."""
+    (:func:`quantize_kernel_int8`); small projections stay exact.
+    ``min_elems`` defaults to the module's ``QUANT_MIN_ELEMS`` at call
+    time (tests shrink it to force quantization on tiny models)."""
+    if min_elems is None:
+        min_elems = QUANT_MIN_ELEMS
     return {
         k: (quantize_kernel_int8(w) if w.ndim == 2 and w.size >= min_elems
             else w)

@@ -73,20 +73,12 @@ class TPSynthesizer:
         self._taco_vars = jax.device_put(self.taco_variables, rep)
 
         self._dp = extract_decoder_params(self.taco_variables, hp)
-        self._decoder = TPTacotronDecoder(
-            self._dp, hp, mesh,
-            data_axis=self.data_axis, model_axis=self.model_axis,
-            int8=self.int8, dtype=self.compute_dtype,
-        )
-        self._vocoder = TPWaveGlowServer(
-            self.waveglow, self.wg_variables, mesh,
-            data_axis=self.data_axis, model_axis=self.model_axis,
-            fused=True, int8=self.int8, compute_dtype=self.compute_dtype,
-        )
-        # model-only endpoints, built lazily for batches the data axis
-        # can't split (B=1 streaming on a data x model mesh would otherwise
-        # fail to shard [1, ...] arrays p_data ways)
-        self._nodata: tuple | None = None
+        # endpoint instances are keyed by (data axis used, int8 decode)
+        # and built lazily: batches the data axis can't split (B=1
+        # streaming on a data x model mesh) get model-only variants, and
+        # int8 decode engages per batch size by measured benefit
+        self._decoders: dict = {}
+        self._vocoders: dict = {}
 
         from ..models.tacotron_serve import replicated_endpoints
 
@@ -94,28 +86,34 @@ class TPSynthesizer:
          self._postnet) = replicated_endpoints(taco)
 
     def _endpoints(self, B: int):
-        """(decoder, vocoder) able to shard a batch of ``B``: the
-        construction-time pair when the data axis divides ``B``, else a
-        lazily built model-only pair (weights sharded over 'model' only —
-        the B=1 streaming case on a data x model mesh)."""
+        """(decoder, vocoder) able to shard a batch of ``B``: data-sharded
+        when the data axis divides ``B``, else model-only (weights sharded
+        over 'model' only — the B=1 streaming case on a data x model
+        mesh).  With ``int8=True`` the vocoder is always int8 (a win at
+        every size) but the DECODER follows measured benefit: below the
+        crossover batch the bf16 kernels serve (int8 decode is a
+        wash-to-loss there and adds recurrent-path quantization noise —
+        driver record r3; ``models.tacotron_serve.int8_decode_worthwhile``)."""
+        from ..models.tacotron_serve import int8_decode_worthwhile
+
         nd = self.mesh.shape[self.data_axis] if self.data_axis else 1
-        if nd <= 1 or B % nd == 0:
-            return self._decoder, self._vocoder
-        if self._nodata is None:
-            self._nodata = (
-                TPTacotronDecoder(
-                    self._dp, self.hp, self.mesh, data_axis=None,
-                    model_axis=self.model_axis, int8=self.int8,
-                    dtype=self.compute_dtype,
-                ),
-                TPWaveGlowServer(
-                    self.waveglow, self.wg_variables, self.mesh,
-                    data_axis=None, model_axis=self.model_axis,
-                    fused=True, int8=self.int8,
-                    compute_dtype=self.compute_dtype,
-                ),
+        da = self.data_axis if (nd <= 1 or B % nd == 0) else None
+        int8_dec = self.int8 and int8_decode_worthwhile(B)
+        dkey = (da, int8_dec)
+        if dkey not in self._decoders:
+            self._decoders[dkey] = TPTacotronDecoder(
+                self._dp, self.hp, self.mesh, data_axis=da,
+                model_axis=self.model_axis, int8=int8_dec,
+                dtype=self.compute_dtype,
             )
-        return self._nodata
+        if da not in self._vocoders:
+            self._vocoders[da] = TPWaveGlowServer(
+                self.waveglow, self.wg_variables, self.mesh,
+                data_axis=da, model_axis=self.model_axis,
+                fused=True, int8=self.int8,
+                compute_dtype=self.compute_dtype,
+            )
+        return self._decoders[dkey], self._vocoders[da]
 
     def _mel_stream(self, texts, seed: int, max_steps: int | None,
                     chunk_steps: int | None = None):

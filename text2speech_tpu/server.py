@@ -657,7 +657,13 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
     gpf = cfg.upsample_stride // cfg.n_group
     limit = -(-requested // chunk_steps) * chunk_steps
 
-    quantized = synth.quantized_decode
+    from .models.tacotron_serve import int8_decode_worthwhile
+
+    # measured-benefit precision selection: the server's decode batch IS
+    # the slot count, so int8 decoder weights engage only when the batch is
+    # big enough for the halved weight streaming to win (below it, the
+    # bitwise-flax bf16 path serves — int8=True must never decode slower)
+    quantized = synth.quantized_decode and int8_decode_worthwhile(slots)
     # weights are read from `synth` at CALL time (params are jit arguments
     # throughout, so a checkpoint swap — Synthesizer.load_weights — takes
     # effect on the next round with ZERO recompiles; in-flight sessions see
