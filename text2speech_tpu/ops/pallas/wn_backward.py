@@ -130,5 +130,4 @@ def conv_k3_fwd_xla(x: jnp.ndarray, w: jnp.ndarray, dilation: int):
         x, w, window_strides=(1,), padding=[(dilation, dilation)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NTC", "TIO", "NTC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
