@@ -142,7 +142,10 @@ def main():
                 finally:
                     runner.shutdown()
                 return
-            sids = [srv.submit(t) for t in texts]
+            # the CLI's -d strength applies to every session (HTTP clients
+            # set it per request instead)
+            ds = args.denoiser_strength if args.denoiser_strength > 0 else None
+            sids = [srv.submit(t, denoiser_strength=ds) for t in texts]
             base, ext = os.path.splitext(args.out)
             parts: dict = {sid: [] for sid in sids}
             t0 = time.perf_counter()

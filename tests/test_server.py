@@ -377,6 +377,30 @@ def test_server_tp_matches_single_device(synthesizer):  # noqa: F811
                                    err_msg=f"sid {sid}")
 
 
+def test_server_tp_per_request_denoiser(synthesizer):  # noqa: F811
+    """make_server_tp(use_denoiser=True) serves per-request strengths like
+    the single-device server: the denoised TP session equals the offline
+    denoiser over the TP raw audio."""
+    from jax.sharding import Mesh
+
+    from text2speech_tpu.models.denoiser import make_denoiser
+    from text2speech_tpu.server import make_server_tp
+
+    dkw = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
+    tps = _tp_synth(synthesizer, mesh, data_axis=None)
+    mk = lambda: make_server_tp(tps, slots=2, chunk_steps=8,
+                                max_text_len=80, sigma=0.8,
+                                use_denoiser=True, denoiser_kwargs=dkw)
+    seeds = [7, 8]
+    wavs = mk().run(TEXTS[:2], seeds=seeds, denoiser_strengths=[0.0, 0.08])
+    raw = mk().run(TEXTS[:2], seeds=seeds)
+    np.testing.assert_array_equal(wavs[0], raw[0])
+    _, denoise = make_denoiser(tps.waveglow, tps.wg_variables, **dkw)
+    ref = np.asarray(denoise(jnp.asarray(raw[1][None]), 0.08))[0]
+    np.testing.assert_allclose(wavs[1], ref, atol=2e-6, rtol=2e-5)
+
+
 def test_server_tp_data_model_mesh(synthesizer):  # noqa: F811
     """On a 2-D data x model mesh the per-row step keys are sharded
     P(None, 'data'), so each data shard's rows still draw from their own

@@ -168,7 +168,11 @@ def test_inference_cli_serve(ckpts, tmp_path):
          "--texts_file", str(texts),
          "--out", str(out),
          "--serve_slots", "2", "--stream_chunk_steps", "8",
-         "--serve_max_text_len", "64"],
+         "--serve_max_text_len", "64",
+         # per-session denoiser through the scheduler (the CLI's -d knob
+         # applied to every queued session; sub-window tiny sessions take
+         # the flush path with np multi-reflect edges)
+         "--denoiser_strength", "0.01"],
         cwd=str(tmp_path),
     )
     assert r.returncode == 0, r.stderr[-3000:]
