@@ -177,6 +177,7 @@ def main():
             for i, chunk in enumerate(synth.synthesize_incremental(
                 args.text, sigma=args.sigma,
                 chunk_steps=args.stream_chunk_steps,
+                denoiser_strength=args.denoiser_strength,
             )):
                 chunks.append(chunk)
                 print(f"chunk {i}: +{len(chunk)} samples "

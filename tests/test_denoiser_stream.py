@@ -132,3 +132,43 @@ def test_plan_covers_exactly_once():
             emitted = e1
         assert emitted == den.emit_bound(a, flushed)
     assert emitted == hop * (a // hop)
+
+
+def test_synthesize_incremental_denoised():
+    """Synthesizer.synthesize_incremental(denoiser_strength=s) streams
+    audio equal to the offline CLI denoiser over the raw incremental
+    stream (the reference applies -d to the finished waveform; here the
+    same output streams with < n_fft extra latency)."""
+    import pytest
+
+    from text2speech_tpu.infer import Synthesizer
+    from tests.test_synthesizer import synthesizer  # noqa: F401
+
+    fixture = synthesizer.__wrapped__()
+    dkw = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    synth = Synthesizer(
+        hp=fixture.hp, taco=fixture.taco,
+        taco_variables=fixture.taco_variables,
+        wg_cfg=fixture.wg_cfg, waveglow=fixture.waveglow,
+        wg_variables=fixture.wg_variables,
+        use_denoiser=True, denoiser_kwargs=dkw,
+    )
+    kw = dict(sigma=0.8, seed=3, chunk_steps=8)
+    raw = np.concatenate(list(synth.synthesize_incremental("안녕하세요.", **kw)))
+    den = np.concatenate(list(synth.synthesize_incremental(
+        "안녕하세요.", denoiser_strength=0.07, **kw)))
+    ref = np.asarray(synth._denoise(jnp.asarray(raw[None]), 0.07))[0]
+    assert den.shape == ref.shape
+    np.testing.assert_allclose(den, ref, atol=2e-6, rtol=2e-5)
+    assert np.abs(den - raw[: den.shape[0]]).max() > 1e-4   # knob is live
+
+    no_den = Synthesizer(
+        hp=fixture.hp, taco=fixture.taco,
+        taco_variables=fixture.taco_variables,
+        wg_cfg=fixture.wg_cfg, waveglow=fixture.waveglow,
+        wg_variables=fixture.wg_variables, use_denoiser=False,
+    )
+    with pytest.raises(ValueError, match="use_denoiser"):
+        next(iter(no_den.synthesize_incremental(
+            "안녕.", denoiser_strength=0.1, **{k: v for k, v in kw.items()
+                                             if k != "seed"})))

@@ -143,7 +143,10 @@ def test_inference_cli_stream(ckpts, tmp_path):
          "--waveglow_config", ckpts["wg_cfg"],
          "--text", "안녕하세요.",
          "--out", str(out),
-         "--stream", "--stream_chunk_steps", "8"],
+         "--stream", "--stream_chunk_steps", "8",
+         # streaming denoise (-d through the incremental path; tiny
+         # sessions take the flush path with np multi-reflect edges)
+         "--denoiser_strength", "0.01"],
         cwd=str(tmp_path),
     )
     assert r.returncode == 0, r.stderr[-3000:]

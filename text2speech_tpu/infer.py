@@ -728,6 +728,7 @@ class Synthesizer:
         seed: int = 0,
         chunk_steps: int = 64,
         max_steps: int | None = None,
+        denoiser_strength: float = 0.0,
     ):
         """Stream ONE utterance's audio: yields float32 waveform chunks as
         soon as the decoded mel clears the vocoder's receptive field —
@@ -743,17 +744,41 @@ class Synthesizer:
         final window is pinned to the utterance end like
         :func:`.models.chunked.infer_long`.  Window/noise bookkeeping
         lives in :func:`incremental_vocode_stream` (shared with the
-        tensor-parallel synthesizer)."""
+        tensor-parallel synthesizer).
+
+        ``denoiser_strength > 0`` streams bias-subtracted audio (the
+        reference's ``-d`` knob, applied offline there): the windowed
+        denoiser adds ``< n_fft`` samples (~46 ms) of latency and emits
+        the offline-equal denoised stream
+        (``models.denoiser.denoise_stream``)."""
         stream = self.text_to_mel_stream(
             text, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps
         )
-        yield from incremental_vocode_stream(
+        audio = incremental_vocode_stream(
             self.wg_cfg, stream,
             lambda mel, nz, sg: np.asarray(
                 self._vocode_window(self._wg_serve_vars, mel, nz, sg)
             ),
             sigma, seed, chunk_steps,
         )
+        if denoiser_strength > 0:
+            if self._denoise_bias is None:
+                raise ValueError(
+                    "denoiser_strength > 0 needs use_denoiser=True")
+            from .models.denoiser import StreamingDenoiser, denoise_stream
+
+            dp = self._denoise_params
+            r = dp.filter_length // dp.hop_length
+            f_win = max(r + 2, -(-chunk_steps * self.wg_cfg.upsample_stride
+                                 // dp.hop_length) + 2 * r)
+            key = (dp, f_win)
+            if getattr(self, "_stream_denoiser_key", None) != key:
+                self._stream_denoiser = StreamingDenoiser(
+                    lambda: self._denoise_bias, dp, f_win=f_win)
+                self._stream_denoiser_key = key
+            audio = denoise_stream(audio, self._stream_denoiser,
+                                   denoiser_strength)
+        yield from audio
 
     def synthesize_incremental_batch(
         self,

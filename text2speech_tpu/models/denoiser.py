@@ -264,3 +264,49 @@ class StreamingDenoiser:
             jnp.asarray(x_pad), jnp.asarray(self._bias_fn()),
             jnp.asarray(strengths, jnp.float32),
             jnp.asarray(n_valid, jnp.int32), jnp.asarray(correction)))
+
+
+def denoise_stream(chunks, den: StreamingDenoiser, strength: float):
+    """Wrap an audio-chunk iterator with windowed denoising: yields
+    bias-subtracted chunks whose concatenation equals the offline denoise
+    of the concatenated input stream (``< n_fft`` samples of added
+    latency mid-stream; the output ends at ``hop·⌊T/hop⌋`` like the
+    offline ISTFT).  The single-session form of the scheduler's
+    ``_run_denoise`` (``server.py``); used by
+    ``Synthesizer.synthesize_incremental(denoiser_strength=...)``."""
+    hop, pad = den.params.hop_length, den.pad
+    bufs: list = []
+    a = 0
+    emitted = 0
+
+    def _emit(flushed):
+        nonlocal emitted
+        specs = den.plan(a, emitted, flushed)
+        if not specs:
+            return None
+        full = np.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+        padded = (reflect_pad_np(full, pad) if flushed
+                  else np.pad(full, (pad, 0), mode="reflect"))
+        outs = []
+        for f0, nv, e0, e1 in specs:
+            x = np.zeros((1, den.l_pad), np.float32)
+            corr = np.ones((1, den.l_pad), np.float32)
+            den.fill_row(x[0], corr[0], padded, f0, nv)
+            o = den(x, np.asarray([strength], np.float32),
+                    np.asarray([nv], np.int32), corr)
+            outs.append(o[0, e0 + pad - f0 * hop : e1 + pad - f0 * hop])
+            emitted = e1
+        return np.concatenate(outs)
+
+    for c in chunks:
+        c = np.asarray(c, np.float32)
+        if c.size:
+            bufs.append(c)
+            a += c.size
+        out = _emit(False)
+        if out is not None and out.size:
+            yield out
+    if a:
+        out = _emit(True)
+        if out is not None and out.size:
+            yield out
