@@ -217,6 +217,26 @@ def test_tp_synthesize_incremental_matches_single_device(models, tp):
     assert len(got_chunks) >= 1
 
 
+def test_tp_synthesize_incremental_denoised(models, tp):
+    """TP streaming synthesis with a denoiser strength == the offline
+    denoiser over the TP raw stream (the -d knob through the mesh-split
+    first-audio path)."""
+    import jax.numpy as jnp
+
+    from text2speech_tpu.models.denoiser import make_denoiser
+
+    taco, tvars, wg, wvars = models
+    dkw = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    kw = dict(sigma=0.8, seed=0, chunk_steps=8)
+    raw = np.concatenate(list(tp.synthesize_incremental(TEXTS[0], **kw)))
+    den = np.concatenate(list(tp.synthesize_incremental(
+        TEXTS[0], denoiser_strength=0.07, denoiser_kwargs=dkw, **kw)))
+    _, denoise = make_denoiser(wg, wvars, **dkw)
+    ref = np.asarray(denoise(jnp.asarray(raw[None]), 0.07))[0]
+    assert den.shape == ref.shape
+    np.testing.assert_allclose(den, ref, atol=2e-6, rtol=2e-5)
+
+
 def test_tp_synthesize_incremental_batch_matches_single_device(models, tp):
     """N concurrent TP streams == the single-device batched streaming
     engine row for row (same seeds -> same lockstep decode, same batch

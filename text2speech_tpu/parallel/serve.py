@@ -164,7 +164,9 @@ class TPSynthesizer:
 
     def synthesize_incremental(self, text: str, sigma: float = 0.666,
                                seed: int = 0, chunk_steps: int | None = None,
-                               max_steps: int | None = None):
+                               max_steps: int | None = None,
+                               denoiser_strength: float = 0.0,
+                               denoiser_kwargs: dict | None = None):
         """Stream ONE utterance's audio through the TP chain: TP chunked
         decode feeding receptive-field TP vocoder windows over
         position-consistent noise (:func:`~..infer.
@@ -172,17 +174,42 @@ class TPSynthesizer:
         with BOTH stages' per-step work divided over the 'model' axis.
         This is the latency configuration TP decode exists for: the
         36 MB/step weight stream and the WN stacks are each split p ways
-        on the critical path to first audio."""
+        on the critical path to first audio.
+
+        ``denoiser_strength > 0`` streams bias-subtracted audio like the
+        single-device twin (windowed denoise over the emitted stream,
+        ``< n_fft`` added latency; bias precomputed lazily once per
+        ``denoiser_kwargs`` and reused)."""
         from ..infer import incremental_vocode_stream
 
         cs = chunk_steps or self.chunk_steps
         gen, _, _ = self._mel_stream(text, seed, max_steps, cs)
         _, vocoder = self._endpoints(1)         # B=1 windows
-        yield from incremental_vocode_stream(
+        audio = incremental_vocode_stream(
             self.wg_cfg, gen,
             lambda mel, nz, sg: np.asarray(vocoder(mel, None, sg, noise=nz)),
             sigma, seed, cs,
         )
+        if denoiser_strength > 0:
+            from ..models.denoiser import (StreamingDenoiser, denoise_stream,
+                                           denoiser_stft_params,
+                                           make_denoiser)
+
+            kw = denoiser_kwargs or {}
+            key = tuple(sorted(kw.items()))
+            if getattr(self, "_stream_den_key", None) != key:
+                bias, _ = make_denoiser(self.waveglow, self.wg_variables,
+                                        **kw)
+                dp = denoiser_stft_params(**kw)
+                r = dp.filter_length // dp.hop_length
+                f_win = max(r + 2, -(-cs * self.wg_cfg.upsample_stride
+                                     // dp.hop_length) + 2 * r)
+                self._stream_den = StreamingDenoiser(
+                    lambda: bias, dp, f_win=f_win)
+                self._stream_den_key = key
+            audio = denoise_stream(audio, self._stream_den,
+                                   denoiser_strength)
+        yield from audio
 
     def synthesize_incremental_batch(self, texts, sigma: float = 0.666,
                                      seed: int = 0,
