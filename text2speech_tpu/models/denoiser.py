@@ -207,7 +207,6 @@ class StreamingDenoiser:
         self._bias_fn = bias_fn
         self._jit = jax.jit(functools.partial(
             denoise_windows, params=self.params))
-        self.calls = 0
 
     # --- host planning -------------------------------------------------------
 
@@ -259,7 +258,6 @@ class StreamingDenoiser:
 
     def __call__(self, x_pad: np.ndarray, strengths: np.ndarray,
                  n_valid: np.ndarray, correction: np.ndarray) -> np.ndarray:
-        self.calls += 1
         return np.asarray(self._jit(
             jnp.asarray(x_pad), jnp.asarray(self._bias_fn()),
             jnp.asarray(strengths, jnp.float32),
