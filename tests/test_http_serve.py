@@ -228,6 +228,7 @@ def test_http_rejects_malformed_seed_and_sigma(http_srv):
     conn.close()
 
 
+@pytest.mark.slow
 def test_http_soak_concurrent_disconnects_reload_under_load(synthesizer):  # noqa: F811
     """HTTP-level soak (randomized load against the REAL server): eight
     concurrent clients with mixed seeds/sigmas/denoiser strengths, three
