@@ -45,6 +45,8 @@ import shlex
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:      # runnable from any cwd without PYTHONPATH
+    sys.path.insert(0, REPO)
 
 
 def run_stage(script: str, argv: list) -> None:
