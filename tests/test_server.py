@@ -316,6 +316,43 @@ def test_server_per_request_denoiser(synthesizer):  # noqa: F811
         assert np.abs(wavs[i] - raw[i][: wavs[i].shape[0]]).max() > 1e-4
 
 
+def test_server_denoiser_bias_swaps_on_reload(synthesizer):  # noqa: F811
+    """load_weights under a running server swaps the denoiser bias too
+    (it's a jit ARGUMENT read per call): the same request after the swap
+    equals the offline denoiser with the NEW bias over the NEW raw audio,
+    and the windowed-denoise program never recompiles."""
+    from text2speech_tpu.infer import Synthesizer
+
+    dkw = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    mk_synth = lambda wv: Synthesizer(
+        hp=synthesizer.hp, taco=synthesizer.taco,
+        taco_variables=synthesizer.taco_variables,
+        wg_cfg=synthesizer.wg_cfg, waveglow=synthesizer.waveglow,
+        wg_variables=wv, use_denoiser=True, denoiser_kwargs=dkw,
+    )
+    synth = mk_synth(synthesizer.wg_variables)
+    srv = make_server(synth, slots=1, chunk_steps=8, max_text_len=80)
+    w1 = srv.run([TEXTS[0]], seeds=[5], denoiser_strengths=[0.1])[0]
+    compiles_before = srv._denoiser._jit._cache_size()
+
+    prng = np.random.RandomState(11)
+    new_wv = jax.tree.map(
+        lambda x: x + (0.02 * prng.randn(*x.shape)).astype(x.dtype),
+        synthesizer.wg_variables)
+    synth.load_weights(wg_variables=new_wv)
+
+    w2 = srv.run([TEXTS[0]], seeds=[5], denoiser_strengths=[0.1])[1]
+    assert not np.array_equal(w1, w2)           # swap is live
+    assert srv._denoiser._jit._cache_size() == compiles_before
+
+    # offline reference over the new weights' raw audio with the NEW bias
+    ref_synth = mk_synth(new_wv)
+    raw = make_server(ref_synth, slots=1, chunk_steps=8,
+                      max_text_len=80).run([TEXTS[0]], seeds=[5])[0]
+    ref = np.asarray(ref_synth._denoise(jnp.asarray(raw[None]), 0.1))[0]
+    np.testing.assert_allclose(w2, ref, atol=2e-6, rtol=2e-5)
+
+
 def test_server_denoiser_submit_validation(synthesizer):  # noqa: F811
     """Bad strengths raise at submit; strength > 0 on a denoiser-less
     server raises instead of dying inside step()."""
