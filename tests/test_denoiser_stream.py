@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from text2speech_tpu.dsp.stft import STFTParams, istft, stft_mag_phase
-from text2speech_tpu.models.denoiser import StreamingDenoiser, reflect_pad_np
+from text2speech_tpu.models.denoiser import DenoiseBuffer, StreamingDenoiser
 
 PARAMS = STFTParams(64, 16, 64)          # scaled-down reference config
 
@@ -32,33 +32,29 @@ def _offline(audio: np.ndarray, bias: np.ndarray, strength: float):
 
 def _stream(audio: np.ndarray, bias: np.ndarray, strength: float,
             feed, f_win: int = 9) -> np.ndarray:
-    """Drive the planner exactly the way ``server._run_denoise`` does,
-    feeding ``audio`` in ``feed``-sized chunks; a decoy second row with
-    different content/strength shares every device call (row
-    independence)."""
+    """Drive the planner exactly the way ``server._run_denoise`` does
+    (DenoiseBuffer incl. its prefix trimming), feeding ``audio`` in
+    ``feed``-sized chunks; a decoy second row with different
+    content/strength shares every device call (row independence)."""
     den = StreamingDenoiser(lambda: bias, PARAMS, f_win=f_win)
     hop, pad = PARAMS.hop_length, den.pad
-    out, bufs, emitted, pos = [], [], 0, 0
+    buf = DenoiseBuffer(den)
+    out, emitted, pos = [], 0, 0
     for n in feed:
-        bufs.append(audio[pos : pos + n])
+        buf.append(audio[pos : pos + n])
         pos += n
         flushed = pos >= len(audio)
-        specs = den.plan(pos, emitted, flushed)
-        if not specs:
-            continue
-        full = np.concatenate(bufs)
-        padded = (reflect_pad_np(full, pad) if flushed
-                  else np.pad(full, (pad, 0), mode="reflect"))
-        decoy = padded[::-1].copy()
-        for f0, nv, e0, e1 in specs:
+        for f0, nv, e0, e1 in den.plan(buf.total, emitted, flushed):
+            win = buf.window(f0, nv, flushed)
             x = np.zeros((2, den.l_pad), np.float32)
             corr = np.ones((2, den.l_pad), np.float32)
-            den.fill_row(x[0], corr[0], padded, f0, nv)
-            den.fill_row(x[1], corr[1], decoy, f0, nv)
+            den.fill_row(x[0], corr[0], win, nv)
+            den.fill_row(x[1], corr[1], win[::-1].copy(), nv)   # decoy
             o = den(x, np.asarray([strength, 0.77], np.float32),
                     np.asarray([nv, nv], np.int32), corr)
             out.append(o[0, e0 + pad - f0 * hop : e1 + pad - f0 * hop])
             emitted = e1
+            buf.trim(emitted)
     assert pos == len(audio)
     return (np.concatenate(out) if out else np.zeros((0,), np.float32))
 
@@ -84,6 +80,14 @@ def test_single_shot_flush():
 def test_uniform_chunks():
     _case(320, [128, 128, 64])
     _case(512, [128] * 4)
+
+
+def test_long_stream_trims_emitted_prefix():
+    """A long stream stays exact across DenoiseBuffer's prefix trimming
+    (the buffer must drop emitted samples — O(S) total host work — while
+    every window still reads its full margin)."""
+    _case(4000, [250] * 16)
+    _case(4000, [4000])          # flush-only long signal: trims mid-plan
 
 
 def test_ragged_chunks_off_grid_length():

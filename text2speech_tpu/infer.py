@@ -20,7 +20,6 @@ import numpy as np
 from .config import HParams, WaveGlowConfig
 from .data.dataset import Batch  # noqa: F401  (re-export convenience)
 from .dsp.audio import save_wav
-from .models.denoiser import make_denoiser
 from .models.tacotron2 import Tacotron2
 from .models.waveglow import WaveGlow
 from .text import N_SYMBOLS, encode_batch
@@ -437,12 +436,21 @@ class Synthesizer:
                 )
             )
         if self.use_denoiser:
-            from .models.denoiser import denoiser_stft_params
+            from .models.denoiser import make_denoiser_programs
 
             kw = self.denoiser_kwargs or {}
-            self._denoise_bias, self._denoise = make_denoiser(
-                self.waveglow, self.wg_variables, **kw)
-            self._denoise_params = denoiser_stft_params(**kw)
+            # programs built ONCE and cached (like _quantize_wg/_quantize_dp):
+            # load_weights swaps checkpoints with one compute_bias execution,
+            # zero retraces — /reload runs on the scheduler thread, where a
+            # retrace+compile (minutes on this rig) would stall live sessions
+            (self._denoise_bias_fn, self._denoise_raw,
+             self._denoise_params) = make_denoiser_programs(
+                self.waveglow, **kw)
+            self._denoise_bias = self._denoise_bias_fn(self.wg_variables)
+            # reads the CURRENT bias at call time, so a swap is live
+            # everywhere this handle is held (CLIs, tests)
+            self._denoise = lambda audio, strength=0.1: self._denoise_raw(
+                audio, self._denoise_bias, strength)
         else:
             self._denoise_bias = None
             self._denoise = None
@@ -477,9 +485,9 @@ class Synthesizer:
             else:
                 self._wg_serve_vars = wg_variables
             if self.use_denoiser:
-                self._denoise_bias, self._denoise = make_denoiser(
-                    self.waveglow, wg_variables,
-                    **(self.denoiser_kwargs or {}))
+                # cached program from __post_init__: one execution, zero
+                # retraces (same pattern as the int8 quantize passes)
+                self._denoise_bias = self._denoise_bias_fn(wg_variables)
 
     def load_checkpoints(self, taco_ckpt_dir: str | None = None,
                          wg_ckpt_dir: str | None = None):
@@ -765,16 +773,13 @@ class Synthesizer:
             if self._denoise_bias is None:
                 raise ValueError(
                     "denoiser_strength > 0 needs use_denoiser=True")
-            from .models.denoiser import StreamingDenoiser, denoise_stream
+            from .models.denoiser import denoise_stream, serving_denoiser
 
-            dp = self._denoise_params
-            r = dp.filter_length // dp.hop_length
-            f_win = max(r + 2, -(-chunk_steps * self.wg_cfg.upsample_stride
-                                 // dp.hop_length) + 2 * r)
-            key = (dp, f_win)
+            key = (self._denoise_params, chunk_steps)
             if getattr(self, "_stream_denoiser_key", None) != key:
-                self._stream_denoiser = StreamingDenoiser(
-                    lambda: self._denoise_bias, dp, f_win=f_win)
+                self._stream_denoiser = serving_denoiser(
+                    lambda: self._denoise_bias, self._denoise_params,
+                    chunk_steps, self.wg_cfg.upsample_stride)
                 self._stream_denoiser_key = key
             audio = denoise_stream(audio, self._stream_denoiser,
                                    denoiser_strength)

@@ -49,15 +49,23 @@ def denoiser_stft_params(filter_length: int = 1024, n_overlap: int = 4,
 DEFAULT_STFT_PARAMS = denoiser_stft_params()
 
 
-def make_denoiser(
+def make_denoiser_programs(
     model: WaveGlow,
-    variables: dict,
     filter_length: int = 1024,
     n_overlap: int = 4,
     win_length: int = 1024,
     mode: str = "zeros",
     n_frames: int = 88,
 ):
+    """Build the denoiser's jitted programs ONCE, independent of any
+    checkpoint: ``(compute_bias(variables) -> bias_spec,
+    denoise(audio, bias, strength) -> denoised, params)``.
+
+    ``Synthesizer`` caches this pair so a live checkpoint swap
+    (``load_weights`` under ``POST /reload``, which runs ON the
+    scheduler thread) costs one execution of ``compute_bias`` — zero
+    retraces, zero compiles.  :func:`make_denoiser` composes them into
+    the one-shot convenience API."""
     params = denoiser_stft_params(filter_length, n_overlap, win_length)
     if mode == "zeros":
         mel = jnp.zeros((1, model.cfg.n_mel_channels, n_frames))
@@ -68,18 +76,39 @@ def make_denoiser(
     else:
         raise ValueError(f"unsupported denoiser mode {mode!r}")
 
-    bias_audio = jax.jit(
-        lambda v, m, k: model.apply(v, m, k, 0.0, method=WaveGlow.infer)
-    )(variables, mel, jax.random.PRNGKey(0))
-    bias_spec, _ = stft_mag_phase(bias_audio, params)
-    bias_spec = bias_spec[:, :, 0:1]          # first frame, like denoiser.py:33
+    @jax.jit
+    def compute_bias(variables: dict, m: jnp.ndarray) -> jnp.ndarray:
+        bias_audio = model.apply(
+            variables, m, jax.random.PRNGKey(0), 0.0, method=WaveGlow.infer)
+        bias_spec, _ = stft_mag_phase(bias_audio, params)
+        return bias_spec[:, :, 0:1]     # first frame, like denoiser.py:33
 
     @jax.jit
-    def denoise(audio: jnp.ndarray, strength: float = 0.1) -> jnp.ndarray:
+    def denoise(audio: jnp.ndarray, bias_spec: jnp.ndarray,
+                strength) -> jnp.ndarray:
         """audio [B, T] -> denoised [B, T'] (T' loses the STFT center pad)."""
         mag, phase = stft_mag_phase(audio, params)
         mag = jnp.maximum(mag - bias_spec * strength, 0.0)
         return istft(mag, phase, params)
+
+    return (lambda variables: compute_bias(variables, mel)), denoise, params
+
+
+def make_denoiser(
+    model: WaveGlow,
+    variables: dict,
+    filter_length: int = 1024,
+    n_overlap: int = 4,
+    win_length: int = 1024,
+    mode: str = "zeros",
+    n_frames: int = 88,
+):
+    compute_bias, denoise2, _ = make_denoiser_programs(
+        model, filter_length, n_overlap, win_length, mode, n_frames)
+    bias_spec = compute_bias(variables)
+
+    def denoise(audio: jnp.ndarray, strength: float = 0.1) -> jnp.ndarray:
+        return denoise2(audio, bias_spec, strength)
 
     return bias_spec, denoise
 
@@ -162,13 +191,6 @@ def _window_correction(n_valid: int, params: STFTParams,
     return out
 
 
-def reflect_pad_np(audio: np.ndarray, pad: int) -> np.ndarray:
-    """np reflect pad (handles signals shorter than ``pad`` by repeated
-    reflection, unlike jnp — only reachable for sub-0.03 s utterances where
-    the jitted full-signal path would error)."""
-    return np.pad(audio, pad, mode="reflect")
-
-
 class StreamingDenoiser:
     """Window planner + fixed-shape device program for serving-chain denoise.
 
@@ -246,12 +268,14 @@ class StreamingDenoiser:
         return specs
 
     def fill_row(self, x_pad_row: np.ndarray, corr_row: np.ndarray,
-                 padded: np.ndarray, f0: int, n_valid: int) -> None:
+                 window: np.ndarray, n_valid: int) -> None:
         """Write one window's samples + correction into pre-zeroed batch
-        rows (``padded`` = reflect-padded raw signal, host-side)."""
+        rows (``window`` = the ``n_fft + hop·(n_valid-1)`` padded-signal
+        samples the plan's ``f0`` selects — ``DenoiseBuffer.window``)."""
         hop, n_fft = self.params.hop_length, self.params.filter_length
         need = n_fft + hop * (n_valid - 1)
-        x_pad_row[:need] = padded[f0 * hop : f0 * hop + need]
+        assert window.shape == (need,), (window.shape, need)
+        x_pad_row[:need] = window
         corr_row[:] = _window_correction(n_valid, self.params, self.l_pad)
 
     # --- device call ---------------------------------------------------------
@@ -264,6 +288,87 @@ class StreamingDenoiser:
             jnp.asarray(n_valid, jnp.int32), jnp.asarray(correction)))
 
 
+def serving_denoiser(bias_fn, params: STFTParams, chunk_steps: int,
+                     upsample_stride: int) -> StreamingDenoiser:
+    """The ONE window-sizing rule for every serving surface (the
+    continuous-batching server, its TP twin, and both synthesizers'
+    incremental paths): the window spans one scheduling round's audio
+    intake plus both frame margins."""
+    r = params.filter_length // params.hop_length
+    f_win = max(r + 2, -(-chunk_steps * upsample_stride
+                         // params.hop_length) + 2 * r)
+    return StreamingDenoiser(bias_fn, params, f_win=f_win)
+
+
+class DenoiseBuffer:
+    """Bounded raw-audio buffer for ONE denoising session.
+
+    Holds the raw vocoder samples a session has produced but not yet
+    denoise-emitted, plus the window margin.  After the emit frontier
+    reaches ``D``, no future window reads raw positions below
+    ``D - n_fft`` (``plan``'s ``f0`` is non-decreasing), so the emitted
+    prefix is dropped — total host work stays O(S) per session instead of
+    the O(S · rounds) a re-concatenate-everything-per-round approach
+    costs, and a long session never pins its whole waveform.  Reflect
+    edges are materialized only for windows that actually touch a true
+    signal edge (the left edge exists only before any trim; the right
+    only on flush)."""
+
+    def __init__(self, den: StreamingDenoiser):
+        self.den = den
+        self._parts: list = []
+        self.start = 0          # absolute raw index of the buffer head
+        self.total = 0          # absolute raw samples appended so far
+
+    def append(self, chunk) -> None:
+        c = np.asarray(chunk, np.float32)
+        if c.size:
+            self._parts.append(c)
+            self.total += c.size
+
+    def _buf(self) -> np.ndarray:
+        if len(self._parts) != 1:
+            self._parts = [
+                np.concatenate(self._parts) if self._parts
+                else np.zeros((0,), np.float32)
+            ]
+        return self._parts[0]
+
+    def window(self, f0: int, n_valid: int, flushed: bool) -> np.ndarray:
+        """Padded-signal samples ``[f0·hop, f0·hop + n_fft + hop·(n_valid
+        - 1))`` — the :meth:`StreamingDenoiser.fill_row` source."""
+        p = self.den.params
+        hop, pad, n_fft = p.hop_length, self.den.pad, p.filter_length
+        need = n_fft + hop * (n_valid - 1)
+        lo = f0 * hop - pad                 # absolute raw coords
+        hi = lo + need
+        buf = self._buf()
+        lpad = pad if lo < 0 else 0
+        rpad = pad if (flushed and hi > self.total) else 0
+        if lpad or rpad:
+            # true-edge reflect; trimming guarantees the buffer still
+            # holds the signal head (left) / >= pad+1 tail samples (right)
+            assert lpad == 0 or self.start == 0
+            ext = np.pad(buf, (lpad, rpad), mode="reflect")
+            off = self.start - lpad
+        else:
+            ext, off = buf, self.start
+        a = lo - off
+        assert 0 <= a and a + need <= ext.shape[0], (lo, hi, self.start)
+        return ext[a : a + need]
+
+    def trim(self, emitted: int) -> None:
+        """Drop samples no future window can read (hysteresis of a few
+        windows so the copy amortizes to O(1) per appended sample)."""
+        p = self.den.params
+        keep_from = emitted - p.filter_length - p.hop_length
+        if keep_from - self.start < 4 * self.den.l_pad:
+            return
+        buf = self._buf()
+        self._parts = [buf[keep_from - self.start :].copy()]
+        self.start = keep_from
+
+
 def denoise_stream(chunks, den: StreamingDenoiser, strength: float):
     """Wrap an audio-chunk iterator with windowed denoising: yields
     bias-subtracted chunks whose concatenation equals the offline denoise
@@ -273,38 +378,32 @@ def denoise_stream(chunks, den: StreamingDenoiser, strength: float):
     ``_run_denoise`` (``server.py``); used by
     ``Synthesizer.synthesize_incremental(denoiser_strength=...)``."""
     hop, pad = den.params.hop_length, den.pad
-    bufs: list = []
-    a = 0
+    buf = DenoiseBuffer(den)
     emitted = 0
 
     def _emit(flushed):
         nonlocal emitted
-        specs = den.plan(a, emitted, flushed)
+        specs = den.plan(buf.total, emitted, flushed)
         if not specs:
             return None
-        full = np.concatenate(bufs) if len(bufs) > 1 else bufs[0]
-        padded = (reflect_pad_np(full, pad) if flushed
-                  else np.pad(full, (pad, 0), mode="reflect"))
         outs = []
         for f0, nv, e0, e1 in specs:
             x = np.zeros((1, den.l_pad), np.float32)
             corr = np.ones((1, den.l_pad), np.float32)
-            den.fill_row(x[0], corr[0], padded, f0, nv)
+            den.fill_row(x[0], corr[0], buf.window(f0, nv, flushed), nv)
             o = den(x, np.asarray([strength], np.float32),
                     np.asarray([nv], np.int32), corr)
             outs.append(o[0, e0 + pad - f0 * hop : e1 + pad - f0 * hop])
             emitted = e1
+        buf.trim(emitted)
         return np.concatenate(outs)
 
     for c in chunks:
-        c = np.asarray(c, np.float32)
-        if c.size:
-            bufs.append(c)
-            a += c.size
+        buf.append(c)
         out = _emit(False)
         if out is not None and out.size:
             yield out
-    if a:
+    if buf.total:
         out = _emit(True)
         if out is not None and out.size:
             yield out

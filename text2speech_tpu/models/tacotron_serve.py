@@ -50,7 +50,17 @@ INT8_DECODE_MIN_BATCH = 32
 def int8_decode_worthwhile(batch: int) -> bool:
     """Whether int8 decoder weights beat bf16 at this decode batch size
     (the activation quantization also adds recurrent-path noise, so int8
-    must pay measurable throughput to be worth serving)."""
+    must pay measurable throughput to be worth serving).
+
+    Documented consequence: with ``quantized_decode=True`` /
+    ``int8=True``, the same (text, seed) decodes in bf16 below the
+    crossover and int8 at/above it, so outputs differ NUMERICALLY across
+    batch sizes (e.g. a solo stream vs a 32-row batch).  Within one
+    server this never varies — the decode batch is the fixed slot count —
+    so the per-session reproducibility contract (output is a function of
+    the request tuple) holds; it is only cross-entry-point determinism
+    that quantized synthesizers trade for the policy.  Callers that need
+    batch-size-independent numerics should leave quantization off."""
     return batch >= INT8_DECODE_MIN_BATCH
 
 

@@ -191,21 +191,18 @@ class TPSynthesizer:
             sigma, seed, cs,
         )
         if denoiser_strength > 0:
-            from ..models.denoiser import (StreamingDenoiser, denoise_stream,
+            from ..models.denoiser import (denoise_stream,
                                            denoiser_stft_params,
-                                           make_denoiser)
+                                           make_denoiser, serving_denoiser)
 
             kw = denoiser_kwargs or {}
-            key = tuple(sorted(kw.items()))
+            key = (tuple(sorted(kw.items())), cs)
             if getattr(self, "_stream_den_key", None) != key:
-                bias, _ = make_denoiser(self.waveglow, self.wg_variables,
-                                        **kw)
-                dp = denoiser_stft_params(**kw)
-                r = dp.filter_length // dp.hop_length
-                f_win = max(r + 2, -(-cs * self.wg_cfg.upsample_stride
-                                     // dp.hop_length) + 2 * r)
-                self._stream_den = StreamingDenoiser(
-                    lambda: bias, dp, f_win=f_win)
+                self._denoise_bias, _ = make_denoiser(
+                    self.waveglow, self.wg_variables, **kw)
+                self._stream_den = serving_denoiser(
+                    lambda: self._denoise_bias, denoiser_stft_params(**kw),
+                    cs, self.wg_cfg.upsample_stride)
                 self._stream_den_key = key
             audio = denoise_stream(audio, self._stream_den,
                                    denoiser_strength)

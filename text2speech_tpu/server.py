@@ -100,9 +100,9 @@ class _Session:
     noise_blocks: list = field(default_factory=list)  # per-comp np arrays
     noise_frames: int = 0
     # denoiser-side (active only when den_strength > 0: raw vocoder audio
-    # buffers here and the denoise stage emits with < n_fft hold-back)
-    raw_parts: list = field(default_factory=list)
-    raw_len: int = 0
+    # buffers in a bounded DenoiseBuffer — emitted prefixes are trimmed —
+    # and the denoise stage emits with < n_fft hold-back)
+    den_buf: object = None
     den_emitted: int = 0
     # accounting
     admit_round: int = 0        # stats["rounds"] value when admitted
@@ -452,8 +452,11 @@ class ContinuousBatcher:
         it for the windowed denoise stage (which emits with < n_fft
         samples of hold-back, everything on flush)."""
         if s.den_strength > 0.0:
-            s.raw_parts.append(np.asarray(chunk, np.float32))
-            s.raw_len += int(np.size(chunk))
+            if s.den_buf is None:
+                from .models.denoiser import DenoiseBuffer
+
+                s.den_buf = DenoiseBuffer(self._denoiser)
+            s.den_buf.append(chunk)
             return
         events.append(StreamEvent(s.sid, chunk))
         self._account_emit(s, chunk)
@@ -469,23 +472,14 @@ class ContinuousBatcher:
         den = self._denoiser
         if den is None:
             return
-        from .models.denoiser import reflect_pad_np
-
-        tasks: list = []   # (session, padded, f0, n_valid, e0, e1)
+        tasks: list = []   # (session, window_samples, n_valid, e0, e1, f0)
         for s in live:
-            if s.den_strength <= 0.0 or not s.raw_parts:
+            if s.den_strength <= 0.0 or s.den_buf is None:
                 continue
-            specs = den.plan(s.raw_len, s.den_emitted, s.flushed)
-            if not specs:
-                continue
-            full = (np.concatenate(s.raw_parts) if len(s.raw_parts) > 1
-                    else s.raw_parts[0])
-            # the right reflect edge exists only once the signal is final;
-            # mid-stream windows never read past the buffered samples
-            padded = (reflect_pad_np(full, den.pad) if s.flushed
-                      else np.pad(full, (den.pad, 0), mode="reflect"))
-            for f0, nv, e0, e1 in specs:
-                tasks.append((s, padded, f0, nv, e0, e1))
+            for f0, nv, e0, e1 in den.plan(
+                    s.den_buf.total, s.den_emitted, s.flushed):
+                tasks.append(
+                    (s, s.den_buf.window(f0, nv, s.flushed), nv, e0, e1, f0))
         if not tasks:
             return
         B = self.slots
@@ -497,15 +491,16 @@ class ContinuousBatcher:
             corr = np.ones((B, den.l_pad), np.float32)
             nval = np.zeros((B,), np.int32)
             stren = np.zeros((B,), np.float32)
-            for j, (s, padded, f0, nv, _e0, _e1) in enumerate(rows):
-                den.fill_row(x[j], corr[j], padded, f0, nv)
+            for j, (s, win, nv, _e0, _e1, _f0) in enumerate(rows):
+                den.fill_row(x[j], corr[j], win, nv)
                 nval[j] = nv
                 stren[j] = s.den_strength
             out = den(x, stren, nval, corr)
             self.stats["denoiser_calls"] += 1
-            for j, (s, _padded, f0, _nv, e0, e1) in enumerate(group):
+            for j, (s, _win, _nv, e0, e1, f0) in enumerate(group):
                 chunk = out[j, e0 + pad - f0 * dhop : e1 + pad - f0 * dhop]
                 s.den_emitted = e1
+                s.den_buf.trim(e1)
                 events.append(StreamEvent(s.sid, chunk.copy()))
                 self._account_emit(s, chunk)
 
@@ -750,17 +745,13 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
 
     denoiser = None
     if getattr(synth, "_denoise_bias", None) is not None:
-        from .models.denoiser import StreamingDenoiser
+        from .models.denoiser import serving_denoiser
 
-        # window spans one round's audio intake plus both frame margins;
         # the bias is read through the synthesizer per call, so /reload
         # (load_weights) swaps it with zero recompiles
-        dp = synth._denoise_params
-        r = dp.filter_length // dp.hop_length
-        f_win = max(r + 2, -(-chunk_steps * cfg.upsample_stride
-                             // dp.hop_length) + 2 * r)
-        denoiser = StreamingDenoiser(
-            lambda: synth._denoise_bias, dp, f_win=f_win)
+        denoiser = serving_denoiser(
+            lambda: synth._denoise_bias, synth._denoise_params,
+            chunk_steps, cfg.upsample_stride)
 
     def draw_noise_fn(key):
         block = draw_noise(cfg, key, 1, chunk_steps * gpf)
@@ -876,16 +867,18 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
 
     denoiser = None
     if use_denoiser:
-        from .models.denoiser import (StreamingDenoiser,
-                                      denoiser_stft_params, make_denoiser)
+        from .models.denoiser import (denoiser_stft_params, make_denoiser,
+                                      serving_denoiser)
 
         kw = denoiser_kwargs or {}
-        bias, _ = make_denoiser(tps.waveglow, tps.wg_variables, **kw)
-        dp = denoiser_stft_params(**kw)
-        r = dp.filter_length // dp.hop_length
-        f_win = max(r + 2, -(-chunk_steps * cfg.upsample_stride
-                             // dp.hop_length) + 2 * r)
-        denoiser = StreamingDenoiser(lambda: bias, dp, f_win=f_win)
+        # the bias rides on the TPSynthesizer so a future live-swap path
+        # only has to update the attribute (make_server reads through the
+        # Synthesizer the same way)
+        tps._denoise_bias, _ = make_denoiser(
+            tps.waveglow, tps.wg_variables, **kw)
+        denoiser = serving_denoiser(
+            lambda: tps._denoise_bias, denoiser_stft_params(**kw),
+            chunk_steps, cfg.upsample_stride)
 
     def draw_noise_fn(key):
         block = draw_noise(cfg, key, 1, chunk_steps * gpf)

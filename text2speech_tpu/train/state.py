@@ -94,3 +94,20 @@ def microbatch_split(x: jnp.ndarray, grad_accum: int) -> jnp.ndarray:
     B = x.shape[0]
     mb = B // grad_accum
     return x.reshape(mb, grad_accum, *x.shape[1:]).swapaxes(0, 1)
+
+
+def check_grad_accum_mesh(batch_size: int, grad_accum: int, mesh) -> None:
+    """Microbatches are a strided row split (:func:`microbatch_split`), so
+    each spans every 'data'-axis device — but only when the microbatch size
+    is itself divisible by the data-axis size.  Fail loudly at build time
+    instead of silently resharding every scan step.  Shared by both
+    trainers."""
+    if grad_accum <= 1 or mesh is None:
+        return
+    data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    mb = batch_size // grad_accum
+    if batch_size % grad_accum or mb % data:
+        raise ValueError(
+            f"batch {batch_size} / grad_accum {grad_accum} = microbatch "
+            f"{mb} must be divisible by the data-axis size {data}"
+        )

@@ -31,25 +31,10 @@ from ..utils.logger import MetricsLogger
 from ..utils.run_dirs import ValueWindow
 from .checkpoint import CheckpointManager
 from .state import (TrainState, create_train_state, global_norm,
-                    microbatch_split, noam_schedule)
+                    check_grad_accum_mesh, microbatch_split,
+                    noam_schedule)
 
 log = infolog.log
-
-
-def _check_grad_accum_mesh(batch_size: int, grad_accum: int, mesh) -> None:
-    """Microbatches are a strided row split (``microbatch_split``), so each
-    spans every 'data'-axis device — but only when the microbatch size is
-    itself divisible by the data-axis size.  Fail loudly at build time
-    instead of silently resharding every scan step."""
-    if grad_accum <= 1 or mesh is None:
-        return
-    data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
-    mb = batch_size // grad_accum
-    if batch_size % grad_accum or mb % data:
-        raise ValueError(
-            f"batch {batch_size} / grad_accum {grad_accum} = microbatch {mb} "
-            f"must be divisible by the data-axis size {data}"
-        )
 
 
 def make_train_step(model: Tacotron2, hp: HParams, grad_accum: int = 1):
@@ -153,7 +138,7 @@ class TacotronTrainer:
         self.hp = hp
         self.run_dir = run_dir
         self.mesh = mesh if mesh is not None else make_data_mesh(hp.batch_size)
-        _check_grad_accum_mesh(hp.batch_size, grad_accum, self.mesh)
+        check_grad_accum_mesh(hp.batch_size, grad_accum, self.mesh)
         # auto-detect preprocessed corpora: dirs of preprocess.py output
         # (*.npz) train through the npz feeder — the reference's
         # preprocess -> datafeeder_tacotron path; raw transcript corpora

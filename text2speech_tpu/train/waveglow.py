@@ -27,7 +27,7 @@ from ..parallel.mesh import make_data_mesh, replicate, shard_batch
 from ..utils import infolog
 from ..utils.logger import MetricsLogger
 from .checkpoint import CheckpointManager
-from .state import TrainState, microbatch_split
+from .state import TrainState, check_grad_accum_mesh, microbatch_split
 
 log = infolog.log
 
@@ -86,9 +86,7 @@ class WaveGlowTrainer:
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_data_mesh(cfg.batch_size)
-        from .tacotron import _check_grad_accum_mesh
-
-        _check_grad_accum_mesh(cfg.batch_size, grad_accum, self.mesh)
+        check_grad_accum_mesh(cfg.batch_size, grad_accum, self.mesh)
         self.dataset = Mel2Samp(
             files_to_list(training_files), cfg, shuffle_seed=cfg.seed
         )
