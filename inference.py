@@ -42,6 +42,14 @@ def main():
     parser.add_argument("--text", default="이 것은 제작되고 있는 중입니다.")
     parser.add_argument("--out", default="tone_440.wav")
     parser.add_argument("--sigma", type=float, default=0.666)
+    parser.add_argument("--speaker_id", type=int, default=None,
+                        help="voice selection on a multi-speaker model "
+                             "(reference inference.py:51-87; requires "
+                             "--num_speakers > 1)")
+    parser.add_argument("--num_speakers", type=int, default=1,
+                        help="speaker count the checkpoint was trained "
+                             "with (train.py with N --data_paths trains "
+                             "num_speakers=N)")
     parser.add_argument("--denoiser_strength", type=float, default=0.0)
     parser.add_argument("--fused_vocoder", action="store_true",
                         help="use the fused-Pallas WaveGlow serving path")
@@ -96,6 +104,7 @@ def main():
             # serving mode keeps the denoiser available regardless of the
             # CLI default: HTTP requests carry per-request strengths
             use_denoiser=args.denoiser_strength > 0 or args.serve_slots > 0,
+            num_speakers=args.num_speakers,
         )
         synth.use_fused_vocoder = args.fused_vocoder
         synth.int8_vocoder = args.int8_vocoder
@@ -178,6 +187,7 @@ def main():
                 args.text, sigma=args.sigma,
                 chunk_steps=args.stream_chunk_steps,
                 denoiser_strength=args.denoiser_strength,
+                speaker_id=args.speaker_id,
             )):
                 chunks.append(chunk)
                 print(f"chunk {i}: +{len(chunk)} samples "
@@ -187,7 +197,7 @@ def main():
             return
 
         mel_post, out_lengths, align = synth.text_to_mel(
-            [args.text], with_align=True
+            [args.text], with_align=True, speaker_id=args.speaker_id
         )
         T = int(out_lengths[0])
         audio = np.asarray(
@@ -220,9 +230,9 @@ def main():
         from text2speech_tpu.infer import load_synthesizer as _ls
 
         synth = _ls(hp, args.taco_checkpoint, wg_cfg, None,
-                    use_denoiser=False)
+                    use_denoiser=False, num_speakers=args.num_speakers)
         mel_post, out_lengths, align = synth.text_to_mel(
-            [args.text], with_align=True
+            [args.text], with_align=True, speaker_id=args.speaker_id
         )
         T = int(out_lengths[0])
         if args.plot_dir:

@@ -34,7 +34,7 @@ a network service with nothing beyond the standard library:
 Endpoints::
 
     POST /synthesize   {"text": "...", "seed": 123?, "sigma": 0.6?,
-                        "denoiser_strength": 0.01?}
+                        "denoiser_strength": 0.01?, "speaker_id": 0?}
                        -> chunked audio/wav; X-Session-Id response header
                        (sigma = per-request flow temperature, the
                        reference CLI's quality knob)
@@ -331,6 +331,11 @@ class _Handler(BaseHTTPRequestHandler):
             seed = req.get("seed")
             sigma = req.get("sigma")
             denoiser_strength = req.get("denoiser_strength")
+            speaker = req.get("speaker_id")
+            if speaker is not None:
+                # multi-speaker voice selection rides inside the request
+                # (validated at submit; bad ids are 400s)
+                text = (text, speaker)
         except (ValueError, KeyError, TypeError) as e:
             self._send_json(400, {"error": f"bad request: {e!r}"})
             return

@@ -313,10 +313,12 @@ class Synthesizer:
         # and forcing a recompile per checkpoint.
         taco, wg = self.taco, self.waveglow
 
-        def mel_fn(variables, text_ids, text_lengths, rng, max_steps):
+        def mel_fn(variables, text_ids, text_lengths, rng, max_steps,
+                   speaker_ids=None):
             return taco.apply(
                 variables,
                 text_ids,
+                speaker_ids=speaker_ids,
                 text_lengths=text_lengths,
                 max_steps=max_steps,
                 method=Tacotron2.inference,
@@ -516,18 +518,42 @@ class Synthesizer:
             wv = {"params": wstate.params}
         self.load_weights(tv, wv)
 
+    def _speaker_array(self, speaker_id, B: int):
+        """Normalize the speaker knob: None (single-speaker / unconditioned),
+        an int (every row), or a length-B sequence -> [B] int32 or None.
+        Validates range against the model's embedding table (the reference
+        conditions its 2-speaker demo this way, ``inference.py:51-87``)."""
+        if speaker_id is None:
+            return None
+        ids = np.full((B,), speaker_id, np.int32) if np.isscalar(
+            speaker_id) else np.asarray(speaker_id, np.int32)
+        if ids.shape != (B,):
+            raise ValueError(f"speaker_id must be an int or length-{B} "
+                             f"sequence, got shape {ids.shape}")
+        n = self.taco.num_speakers
+        if n <= 1:
+            raise ValueError(
+                "speaker_id given but the model is single-speaker "
+                "(build/load with num_speakers > 1)")
+        if ids.min() < 0 or ids.max() >= n:
+            raise ValueError(f"speaker_id out of range [0, {n}): {ids}")
+        return jnp.asarray(ids)
+
     def text_to_mel(self, texts, seed: int = 0, max_steps: int | None = None,
-                    with_align: bool = False):
+                    with_align: bool = False, speaker_id=None):
         """list[str] -> (mel_post [B, n_mel, T], out_lengths [B]).
 
         ``with_align=True`` additionally returns the attention alignment
         [B, T_dec, T_enc] for synthesis-time diagnostics (the reference
-        renders it per utterance, ``inference.py:88-90``)."""
+        renders it per utterance, ``inference.py:88-90``).  ``speaker_id``
+        (int or per-text sequence) selects the voice on a multi-speaker
+        model (reference ``inference.py:83-87``)."""
         ids, lengths = encode_batch(texts)
         rng = jax.random.PRNGKey(seed)
         _, mel_post, _, align, out_lengths = self._infer_mel(
             self.taco_variables, jnp.asarray(ids), jnp.asarray(lengths), rng,
             max_steps=max_steps,
+            speaker_ids=self._speaker_array(speaker_id, ids.shape[0]),
         )
         if with_align:
             return mel_post, out_lengths, align
@@ -580,11 +606,13 @@ class Synthesizer:
         max_steps: int | None = None,
         chunk_frames: int = 256,
         overlap_frames: int | None = None,
+        speaker_id=None,
     ):
         """Like :meth:`synthesize` but vocodes through the chunked long-form
         path — use for utterances whose mels exceed comfortable single-pass
         activation memory."""
-        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps)
+        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps,
+                                                 speaker_id=speaker_id)
         T = int(np.max(np.asarray(out_lengths)))
         audio = self.mel_to_audio_long(
             mel_post[:, :, :T], sigma, seed, denoiser_strength,
@@ -604,9 +632,12 @@ class Synthesizer:
         seed: int = 0,
         denoiser_strength: float = 0.0,
         max_steps: int | None = None,
+        speaker_id=None,
     ):
-        """list[str] -> list of float32 waveforms (trimmed to true lengths)."""
-        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps)
+        """list[str] -> list of float32 waveforms (trimmed to true lengths);
+        ``speaker_id`` selects the voice on multi-speaker models."""
+        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps,
+                                                 speaker_id=speaker_id)
         # trim batch to the longest real utterance to bound vocoder work
         T = int(np.max(np.asarray(out_lengths)))
         audio = self.mel_to_audio(
@@ -630,6 +661,7 @@ class Synthesizer:
         denoiser_strength: float = 0.0,
         max_batch: int = 8,
         max_steps: int | None = None,
+        speaker_id: int | None = None,
     ):
         """Incremental synthesis of long-form text: split into sentences
         (the normalizer's punkt-equivalent splitter), synthesize
@@ -645,6 +677,7 @@ class Synthesizer:
             wavs = self.synthesize(
                 chunk, sigma=sigma, seed=seed,
                 denoiser_strength=denoiser_strength, max_steps=max_steps,
+                speaker_id=speaker_id,
             )
             for sent, wav in zip(chunk, wavs):
                 yield sent, wav
@@ -655,6 +688,7 @@ class Synthesizer:
         chunk_steps: int = 64,
         seed: int = 0,
         max_steps: int | None = None,
+        speaker_id=None,
     ):
         """Incremental text -> mel: yields ``(mel_post_chunk [B, n_mel, n],
         out_lengths_so_far [B], final)`` as the decoder advances, instead of
@@ -674,7 +708,9 @@ class Synthesizer:
         texts = [texts] if isinstance(texts, str) else texts
         ids_np, lengths_np = encode_batch(texts)
         ids, lengths = jnp.asarray(ids_np), jnp.asarray(lengths_np)
-        memory = self._encode_mem(self.taco_variables, ids, lengths)
+        memory = self._encode_mem(
+            self.taco_variables, ids, lengths,
+            self._speaker_array(speaker_id, ids.shape[0]))
         B = memory.shape[0]
         # measured-benefit precision selection: int8 decode only wins once
         # the batch is big enough that weight streaming dominates (below
@@ -737,6 +773,7 @@ class Synthesizer:
         chunk_steps: int = 64,
         max_steps: int | None = None,
         denoiser_strength: float = 0.0,
+        speaker_id: int | None = None,
     ):
         """Stream ONE utterance's audio: yields float32 waveform chunks as
         soon as the decoded mel clears the vocoder's receptive field —
@@ -760,7 +797,8 @@ class Synthesizer:
         the offline-equal denoised stream
         (``models.denoiser.denoise_stream``)."""
         stream = self.text_to_mel_stream(
-            text, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps
+            text, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps,
+            speaker_id=speaker_id,
         )
         audio = incremental_vocode_stream(
             self.wg_cfg, stream,
@@ -792,6 +830,7 @@ class Synthesizer:
         seed: int = 0,
         chunk_steps: int = 64,
         max_steps: int | None = None,
+        speaker_id=None,
     ):
         """Stream N utterances CONCURRENTLY: yields ``(row, chunk)`` pairs
         as each stream's decoded mel clears the vocoder's receptive field.
@@ -805,7 +844,8 @@ class Synthesizer:
         vocode of that row's final mel with its slice of the batch noise
         stream (:func:`incremental_vocode_stream_batch`)."""
         stream = self.text_to_mel_stream(
-            texts, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps
+            texts, chunk_steps=chunk_steps, seed=seed, max_steps=max_steps,
+            speaker_id=speaker_id,
         )
         yield from incremental_vocode_stream_batch(
             self.wg_cfg, stream,
@@ -827,6 +867,7 @@ def load_synthesizer(
     wg_cfg: WaveGlowConfig,
     wg_ckpt_dir: str | None,
     use_denoiser: bool = True,
+    num_speakers: int = 1,
 ) -> Synthesizer:
     """Restore both models from Orbax checkpoints and build a Synthesizer.
 
@@ -837,7 +878,9 @@ def load_synthesizer(
     from .train.checkpoint import CheckpointManager
     from .train.state import TrainState, create_train_state
 
-    taco = Tacotron2(hp, n_vocab=N_SYMBOLS)
+    # multi-speaker checkpoints (train.py with N data_paths builds
+    # num_speakers=N) need the same table in the restore template
+    taco = Tacotron2(hp, n_vocab=N_SYMBOLS, num_speakers=num_speakers)
     rng = jax.random.PRNGKey(0)
     tvars = jax.jit(taco.init)(
         {"params": rng, "dropout": rng},
@@ -845,6 +888,10 @@ def load_synthesizer(
         jnp.asarray([8]),
         jnp.zeros((1, hp.n_mel_channels, 8)),
         jnp.asarray([8]),
+        # materialize the speaker table in the restore template (flax
+        # creates params on use; the trainer always passes speaker ids)
+        speaker_ids=(jnp.zeros((1,), jnp.int32)
+                     if num_speakers > 1 else None),
     )
     tstate = create_train_state(hp, tvars)
     tstate, _ = CheckpointManager(taco_ckpt_dir).restore(tstate)

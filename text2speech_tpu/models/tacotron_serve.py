@@ -73,8 +73,11 @@ def replicated_endpoints(taco):
     ``(encode, pmem, derive_rng, postnet)``."""
     from .tacotron2 import Tacotron2
 
-    encode = jax.jit(lambda v, ids, le: taco.apply(
-        v, ids, text_lengths=le, method=Tacotron2.encode))
+    # speaker_ids=None compiles the single-speaker program; passing [B]
+    # ids compiles the conditioned one (conditioning happens HERE, on the
+    # encoder memory, so every downstream decode path inherits it)
+    encode = jax.jit(lambda v, ids, le, sid=None: taco.apply(
+        v, ids, speaker_ids=sid, text_lengths=le, method=Tacotron2.encode))
     pmem = jax.jit(lambda v, mem: taco.apply(
         v, mem,
         method=lambda m, mm: m.decoder.attention.process_memory(mm)))

@@ -115,8 +115,25 @@ class TPSynthesizer:
             )
         return self._decoders[dkey], self._vocoders[da]
 
+    def _speaker_array(self, speaker_id, B: int):
+        """Same normalization/validation as the single-device twin."""
+        if speaker_id is None:
+            return None
+        ids = np.full((B,), speaker_id, np.int32) if np.isscalar(
+            speaker_id) else np.asarray(speaker_id, np.int32)
+        if ids.shape != (B,):
+            raise ValueError(f"speaker_id must be an int or length-{B} "
+                             f"sequence, got shape {ids.shape}")
+        n = self.taco.num_speakers
+        if n <= 1:
+            raise ValueError("speaker_id given but the model is "
+                             "single-speaker (num_speakers > 1 required)")
+        if ids.min() < 0 or ids.max() >= n:
+            raise ValueError(f"speaker_id out of range [0, {n}): {ids}")
+        return jnp.asarray(ids)
+
     def _mel_stream(self, texts, seed: int, max_steps: int | None,
-                    chunk_steps: int | None = None):
+                    chunk_steps: int | None = None, speaker_id=None):
         """Build the chunked-decode generator for ``texts`` through the TP
         decoder (shared engine :func:`~..infer.chunked_mel_stream`).
         Returns ``(generator, requested, B)``."""
@@ -126,7 +143,9 @@ class TPSynthesizer:
         texts = [texts] if isinstance(texts, str) else texts
         ids_np, lengths_np = encode_batch(texts)
         ids, lengths = jnp.asarray(ids_np), jnp.asarray(lengths_np)
-        memory = self._encode(self._taco_vars, ids, lengths)
+        memory = self._encode(
+            self._taco_vars, ids, lengths,
+            self._speaker_array(speaker_id, ids.shape[0]))
         pmem = self._pmem(self._taco_vars, memory)
         B = memory.shape[0]
         decoder, _ = self._endpoints(B)
@@ -155,18 +174,21 @@ class TPSynthesizer:
         return gen, requested, B
 
     def text_to_mel_stream(self, texts, chunk_steps: int | None = None,
-                           seed: int = 0, max_steps: int | None = None):
+                           seed: int = 0, max_steps: int | None = None,
+                           speaker_id=None):
         """Incremental TP text -> mel: yields ``(mel_post_chunk,
         out_lengths_so_far, final)`` as the sharded decoder advances —
         the TP analog of ``Synthesizer.text_to_mel_stream``."""
-        gen, _, _ = self._mel_stream(texts, seed, max_steps, chunk_steps)
+        gen, _, _ = self._mel_stream(texts, seed, max_steps, chunk_steps,
+                                     speaker_id)
         yield from gen
 
     def synthesize_incremental(self, text: str, sigma: float = 0.666,
                                seed: int = 0, chunk_steps: int | None = None,
                                max_steps: int | None = None,
                                denoiser_strength: float = 0.0,
-                               denoiser_kwargs: dict | None = None):
+                               denoiser_kwargs: dict | None = None,
+                               speaker_id: int | None = None):
         """Stream ONE utterance's audio through the TP chain: TP chunked
         decode feeding receptive-field TP vocoder windows over
         position-consistent noise (:func:`~..infer.
@@ -183,7 +205,7 @@ class TPSynthesizer:
         from ..infer import incremental_vocode_stream
 
         cs = chunk_steps or self.chunk_steps
-        gen, _, _ = self._mel_stream(text, seed, max_steps, cs)
+        gen, _, _ = self._mel_stream(text, seed, max_steps, cs, speaker_id)
         _, vocoder = self._endpoints(1)         # B=1 windows
         audio = incremental_vocode_stream(
             self.wg_cfg, gen,
@@ -211,7 +233,8 @@ class TPSynthesizer:
     def synthesize_incremental_batch(self, texts, sigma: float = 0.666,
                                      seed: int = 0,
                                      chunk_steps: int | None = None,
-                                     max_steps: int | None = None):
+                                     max_steps: int | None = None,
+                                     speaker_id=None):
         """N concurrent streams through the TP chain, yielding
         ``(row, chunk)`` pairs (:func:`~..infer.
         incremental_vocode_stream_batch`): one lockstep TP decode drives
@@ -222,7 +245,7 @@ class TPSynthesizer:
         from ..infer import incremental_vocode_stream_batch
 
         cs = chunk_steps or self.chunk_steps
-        gen, _, B = self._mel_stream(texts, seed, max_steps, cs)
+        gen, _, B = self._mel_stream(texts, seed, max_steps, cs, speaker_id)
         _, vocoder = self._endpoints(B)
         # the engine's vocode_exact path (a row shorter than one window)
         # issues BATCH-1 calls, which a data-sharded vocoder can't split —
@@ -239,7 +262,7 @@ class TPSynthesizer:
         )
 
     def text_to_mel(self, texts, seed: int = 0,
-                    max_steps: int | None = None):
+                    max_steps: int | None = None, speaker_id=None):
         """list[str] -> (mel_post [B, n_mel, requested], out_lengths [B]).
 
         Drives the shared chunked-decode engine
@@ -249,7 +272,8 @@ class TPSynthesizer:
         ``requested`` frames, exactly reproducing the batch path's
         ``mask_outputs`` contract: the result equals single-device
         ``Synthesizer.text_to_mel`` element-for-element."""
-        gen, requested, B = self._mel_stream(texts, seed, max_steps)
+        gen, requested, B = self._mel_stream(texts, seed, max_steps,
+                                             speaker_id=speaker_id)
         chunks: list = []
         out_len = np.zeros((B,), np.int64)
         for post_c, out_len, _final in gen:
@@ -272,10 +296,11 @@ class TPSynthesizer:
         return vocoder(mel, jax.random.PRNGKey(seed + 1), sigma)
 
     def synthesize(self, texts, sigma: float = 0.666, seed: int = 0,
-                   max_steps: int | None = None):
+                   max_steps: int | None = None, speaker_id=None):
         """list[str] -> list of float32 waveforms trimmed to true lengths
         (= ``Synthesizer.synthesize`` semantics, pod-sharded)."""
-        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps)
+        mel_post, out_lengths = self.text_to_mel(texts, seed, max_steps,
+                                                 speaker_id=speaker_id)
         T = int(np.max(np.asarray(out_lengths))) or 1
         audio = np.asarray(
             self.mel_to_audio(mel_post[:, :, :T], sigma, seed)

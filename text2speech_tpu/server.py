@@ -65,6 +65,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def _speaker_row(speaker_id, num_speakers: int):
+    """Validate a per-request speaker id against the model's table and
+    return the [1] int32 row for the encode endpoint (None = the
+    unconditioned single-speaker program)."""
+    if speaker_id is None:
+        return None
+    if isinstance(speaker_id, bool) or not isinstance(
+            speaker_id, (int, np.integer)):
+        raise ValueError(f"speaker_id must be an int, got {type(speaker_id)}")
+    if num_speakers <= 1:
+        raise ValueError("speaker_id given but the model is single-speaker "
+                         "(train/load with num_speakers > 1)")
+    if not 0 <= speaker_id < num_speakers:
+        raise ValueError(
+            f"speaker_id out of range [0, {num_speakers}): {speaker_id}")
+    return np.asarray([int(speaker_id)], np.int32)
+
+
 @dataclass
 class StreamEvent:
     """One server emission: an audio chunk for session ``sid``, or (with
@@ -694,20 +713,26 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
             tree["pmem"] = pm
         return tree
 
-    def validate_fn(text):
+    def validate_fn(request):
+        # a request is a text, or (text, speaker_id) on multi-speaker
+        # models (the reference's inference.py:51-87 voice selection)
+        text, speaker = (request if isinstance(request, tuple)
+                         else (request, None))
         ids_np, lens_np = encode_batch([text])
         if ids_np.shape[1] > max_text_len:
             raise ValueError(
                 f"text encodes to {ids_np.shape[1]} symbols > server "
                 f"max_text_len={max_text_len}")
-        return ids_np, lens_np    # canonical request: encode once at submit
+        sid = _speaker_row(speaker, synth.taco.num_speakers)
+        return ids_np, lens_np, sid   # canonical: encode once at submit
 
     def admit_fn(request, seed):
-        ids_np, lens_np = request
+        ids_np, lens_np, sid = request
         ids = np.zeros((1, max_text_len), np.int32)
         ids[:, : ids_np.shape[1]] = ids_np
         mem = synth._encode_mem(
-            synth.taco_variables, jnp.asarray(ids), jnp.asarray(lens_np))
+            synth.taco_variables, jnp.asarray(ids), jnp.asarray(lens_np),
+            None if sid is None else jnp.asarray(sid))
         row = {
             "memory": mem[0],
             "lengths": jnp.asarray(int(lens_np[0]), jnp.int32),
@@ -830,20 +855,24 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
             "finished": jnp.zeros((slots,), bool),
         }
 
-    def validate_fn(text):
+    def validate_fn(request):
+        text, speaker = (request if isinstance(request, tuple)
+                         else (request, None))
         ids_np, lens_np = encode_batch([text])
         if ids_np.shape[1] > max_text_len:
             raise ValueError(
                 f"text encodes to {ids_np.shape[1]} symbols > server "
                 f"max_text_len={max_text_len}")
-        return ids_np, lens_np    # canonical request: encode once at submit
+        sid = _speaker_row(speaker, tps.taco.num_speakers)
+        return ids_np, lens_np, sid   # canonical: encode once at submit
 
     def admit_fn(request, seed):
-        ids_np, lens_np = request
+        ids_np, lens_np, sid = request
         ids = np.zeros((1, max_text_len), np.int32)
         ids[:, : ids_np.shape[1]] = ids_np
         mem = tps._encode(
-            tps._taco_vars, jnp.asarray(ids), jnp.asarray(lens_np))
+            tps._taco_vars, jnp.asarray(ids), jnp.asarray(lens_np),
+            None if sid is None else jnp.asarray(sid))
         return {
             "memory": mem[0],
             "pmem": tps._pmem(tps._taco_vars, mem)[0],
