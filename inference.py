@@ -151,10 +151,12 @@ def main():
                 finally:
                     runner.shutdown()
                 return
-            # the CLI's -d strength applies to every session (HTTP clients
-            # set it per request instead)
+            # the CLI's -d strength / --speaker_id apply to every session
+            # (HTTP clients set them per request instead)
             ds = args.denoiser_strength if args.denoiser_strength > 0 else None
-            sids = [srv.submit(t, denoiser_strength=ds) for t in texts]
+            sids = [srv.submit(
+                t if args.speaker_id is None else (t, args.speaker_id),
+                denoiser_strength=ds) for t in texts]
             base, ext = os.path.splitext(args.out)
             parts: dict = {sid: [] for sid in sids}
             t0 = time.perf_counter()

@@ -438,6 +438,39 @@ def test_server_tp_per_request_denoiser(synthesizer):  # noqa: F811
     np.testing.assert_allclose(wavs[1], ref, atol=2e-6, rtol=2e-5)
 
 
+def test_server_tp_denoiser_configs_coexist(synthesizer):  # noqa: F811
+    """A TP server's denoiser and the SAME TPSynthesizer's streaming
+    denoiser may use different STFT configs concurrently: biases are
+    cached per config (a shared attribute would let the stream path
+    clobber the server's bias — different cutoff => broadcast error
+    inside step(); r4 code-review finding)."""
+    from jax.sharding import Mesh
+
+    from text2speech_tpu.models.denoiser import make_denoiser
+    from text2speech_tpu.server import make_server_tp
+
+    dkw_srv = dict(filter_length=64, n_overlap=4, win_length=64, n_frames=16)
+    dkw_stream = dict(filter_length=32, n_overlap=4, win_length=32,
+                      n_frames=8)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("model",))
+    tps = _tp_synth(synthesizer, mesh, data_axis=None)
+    srv = make_server_tp(tps, slots=2, chunk_steps=8, max_text_len=80,
+                         sigma=0.8, use_denoiser=True,
+                         denoiser_kwargs=dkw_srv)
+    # a streaming denoise with a DIFFERENT config in between
+    stream = np.concatenate(list(tps.synthesize_incremental(
+        TEXTS[0], sigma=0.8, seed=3, chunk_steps=8,
+        denoiser_strength=0.05, denoiser_kwargs=dkw_stream)))
+    assert stream.size > 0 and np.isfinite(stream).all()
+    # the server still denoises with ITS config, matching the offline ref
+    wavs = srv.run([TEXTS[0]], seeds=[7], denoiser_strengths=[0.05])
+    raw = make_server_tp(tps, slots=1, chunk_steps=8, max_text_len=80,
+                         sigma=0.8).run([TEXTS[0]], seeds=[7])
+    _, denoise = make_denoiser(tps.waveglow, tps.wg_variables, **dkw_srv)
+    ref = np.asarray(denoise(jnp.asarray(raw[0][None]), 0.05))[0]
+    np.testing.assert_allclose(wavs[0], ref, atol=2e-6, rtol=2e-5)
+
+
 def test_server_tp_data_model_mesh(synthesizer):  # noqa: F811
     """On a 2-D data x model mesh the per-row step keys are sharded
     P(None, 'data'), so each data shard's rows still draw from their own

@@ -519,25 +519,13 @@ class Synthesizer:
         self.load_weights(tv, wv)
 
     def _speaker_array(self, speaker_id, B: int):
-        """Normalize the speaker knob: None (single-speaker / unconditioned),
-        an int (every row), or a length-B sequence -> [B] int32 or None.
-        Validates range against the model's embedding table (the reference
+        """Voice-selection knob -> [B] int32 device array or None (shared
+        validation: ``tacotron_serve.speaker_ids_array``; the reference
         conditions its 2-speaker demo this way, ``inference.py:51-87``)."""
-        if speaker_id is None:
-            return None
-        ids = np.full((B,), speaker_id, np.int32) if np.isscalar(
-            speaker_id) else np.asarray(speaker_id, np.int32)
-        if ids.shape != (B,):
-            raise ValueError(f"speaker_id must be an int or length-{B} "
-                             f"sequence, got shape {ids.shape}")
-        n = self.taco.num_speakers
-        if n <= 1:
-            raise ValueError(
-                "speaker_id given but the model is single-speaker "
-                "(build/load with num_speakers > 1)")
-        if ids.min() < 0 or ids.max() >= n:
-            raise ValueError(f"speaker_id out of range [0, {n}): {ids}")
-        return jnp.asarray(ids)
+        from .models.tacotron_serve import speaker_ids_array
+
+        ids = speaker_ids_array(speaker_id, B, self.taco.num_speakers)
+        return None if ids is None else jnp.asarray(ids)
 
     def text_to_mel(self, texts, seed: int = 0, max_steps: int | None = None,
                     with_align: bool = False, speaker_id=None):

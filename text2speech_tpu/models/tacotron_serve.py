@@ -64,6 +64,33 @@ def int8_decode_worthwhile(batch: int) -> bool:
     return batch >= INT8_DECODE_MIN_BATCH
 
 
+def speaker_ids_array(speaker_id, batch: int, num_speakers: int):
+    """Normalize/validate the voice-selection knob for every serving
+    surface (Synthesizer, TPSynthesizer, the server's request
+    canonicalization): None (single-speaker / unconditioned), an int
+    (every row), or a length-``batch`` sequence -> np [batch] int32 or
+    None.  Raises ValueError on anything else — validation lives ONCE."""
+    import numpy as np
+
+    if speaker_id is None:
+        return None
+    if isinstance(speaker_id, bool):
+        raise ValueError("speaker_id must be an int, got bool")
+    ids = (np.full((batch,), speaker_id, np.int32) if np.isscalar(speaker_id)
+           else np.asarray(speaker_id))
+    if ids.dtype.kind not in "iu" or ids.shape != (batch,):
+        raise ValueError(f"speaker_id must be an int or length-{batch} "
+                         f"int sequence, got {speaker_id!r}")
+    ids = ids.astype(np.int32)
+    if num_speakers <= 1:
+        raise ValueError("speaker_id given but the model is single-speaker "
+                         "(build/load with num_speakers > 1)")
+    if ids.min() < 0 or ids.max() >= num_speakers:
+        raise ValueError(
+            f"speaker_id out of range [0, {num_speakers}): {ids}")
+    return ids
+
+
 def replicated_endpoints(taco):
     """The four tiny replicated jits every serving path needs around the
     decode loop — encoder, memory projection, dropout-rng derivation,

@@ -79,6 +79,7 @@ class TPSynthesizer:
         # int8 decode engages per batch size by measured benefit
         self._decoders: dict = {}
         self._vocoders: dict = {}
+        self._denoise_biases: dict = {}
 
         from ..models.tacotron_serve import replicated_endpoints
 
@@ -116,21 +117,28 @@ class TPSynthesizer:
         return self._decoders[dkey], self._vocoders[da]
 
     def _speaker_array(self, speaker_id, B: int):
-        """Same normalization/validation as the single-device twin."""
-        if speaker_id is None:
-            return None
-        ids = np.full((B,), speaker_id, np.int32) if np.isscalar(
-            speaker_id) else np.asarray(speaker_id, np.int32)
-        if ids.shape != (B,):
-            raise ValueError(f"speaker_id must be an int or length-{B} "
-                             f"sequence, got shape {ids.shape}")
-        n = self.taco.num_speakers
-        if n <= 1:
-            raise ValueError("speaker_id given but the model is "
-                             "single-speaker (num_speakers > 1 required)")
-        if ids.min() < 0 or ids.max() >= n:
-            raise ValueError(f"speaker_id out of range [0, {n}): {ids}")
-        return jnp.asarray(ids)
+        """Voice-selection knob -> [B] int32 or None (shared validation:
+        ``tacotron_serve.speaker_ids_array``)."""
+        from ..models.tacotron_serve import speaker_ids_array
+
+        ids = speaker_ids_array(speaker_id, B, self.taco.num_speakers)
+        return None if ids is None else jnp.asarray(ids)
+
+    def denoise_bias(self, denoiser_kwargs: dict | None = None):
+        """Bias spectrum for a denoiser configuration, computed once per
+        config and cached BY CONFIG (the streaming path and make_server_tp
+        may use different STFT configs concurrently — a single shared
+        attribute would let one clobber the other's).  Returns the cache
+        key; read the live value through ``self._denoise_biases[key]`` (a
+        future live-swap path updates the dict entries)."""
+        from ..models.denoiser import make_denoiser
+
+        kw = denoiser_kwargs or {}
+        key = tuple(sorted(kw.items()))
+        if key not in self._denoise_biases:
+            bias, _ = make_denoiser(self.waveglow, self.wg_variables, **kw)
+            self._denoise_biases[key] = bias
+        return key
 
     def _mel_stream(self, texts, seed: int, max_steps: int | None,
                     chunk_steps: int | None = None, speaker_id=None):
@@ -215,17 +223,17 @@ class TPSynthesizer:
         if denoiser_strength > 0:
             from ..models.denoiser import (denoise_stream,
                                            denoiser_stft_params,
-                                           make_denoiser, serving_denoiser)
+                                           serving_denoiser)
 
             kw = denoiser_kwargs or {}
-            key = (tuple(sorted(kw.items())), cs)
-            if getattr(self, "_stream_den_key", None) != key:
-                self._denoise_bias, _ = make_denoiser(
-                    self.waveglow, self.wg_variables, **kw)
+            bkey = self.denoise_bias(kw)     # bias cached by config alone
+            skey = (bkey, cs)
+            if getattr(self, "_stream_den_key", None) != skey:
                 self._stream_den = serving_denoiser(
-                    lambda: self._denoise_bias, denoiser_stft_params(**kw),
+                    lambda: self._denoise_biases[bkey],
+                    denoiser_stft_params(**kw),
                     cs, self.wg_cfg.upsample_stride)
-                self._stream_den_key = key
+                self._stream_den_key = skey
             audio = denoise_stream(audio, self._stream_den,
                                    denoiser_strength)
         yield from audio

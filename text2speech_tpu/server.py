@@ -67,21 +67,11 @@ import numpy as np
 
 
 def _speaker_row(speaker_id, num_speakers: int):
-    """Validate a per-request speaker id against the model's table and
-    return the [1] int32 row for the encode endpoint (None = the
-    unconditioned single-speaker program)."""
-    if speaker_id is None:
-        return None
-    if isinstance(speaker_id, bool) or not isinstance(
-            speaker_id, (int, np.integer)):
-        raise ValueError(f"speaker_id must be an int, got {type(speaker_id)}")
-    if num_speakers <= 1:
-        raise ValueError("speaker_id given but the model is single-speaker "
-                         "(train/load with num_speakers > 1)")
-    if not 0 <= speaker_id < num_speakers:
-        raise ValueError(
-            f"speaker_id out of range [0, {num_speakers}): {speaker_id}")
-    return np.asarray([int(speaker_id)], np.int32)
+    """Per-request speaker id -> [1] int32 row for the encode endpoint
+    (shared validation: ``models.tacotron_serve.speaker_ids_array``)."""
+    from .models.tacotron_serve import speaker_ids_array
+
+    return speaker_ids_array(speaker_id, 1, num_speakers)
 
 
 @dataclass
@@ -900,13 +890,12 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
                                       serving_denoiser)
 
         kw = denoiser_kwargs or {}
-        # the bias rides on the TPSynthesizer so a future live-swap path
-        # only has to update the attribute (make_server reads through the
-        # Synthesizer the same way)
-        tps._denoise_bias, _ = make_denoiser(
-            tps.waveglow, tps.wg_variables, **kw)
+        # per-config bias cache on the TPSynthesizer: the streaming path
+        # may use a DIFFERENT config concurrently, and a future live-swap
+        # path only has to update the dict entries
+        bkey = tps.denoise_bias(kw)
         denoiser = serving_denoiser(
-            lambda: tps._denoise_bias, denoiser_stft_params(**kw),
+            lambda: tps._denoise_biases[bkey], denoiser_stft_params(**kw),
             chunk_steps, cfg.upsample_stride)
 
     def draw_noise_fn(key):
