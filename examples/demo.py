@@ -15,6 +15,8 @@ this is the equivalent guided tour — runs on CPU or TPU in a few minutes:
 7. streams one utterance's audio incrementally (first-audio latency path)
 8. serves two concurrent streaming sessions through one batched decode
 9. runs the continuous-batching server (requests join freed slots mid-flight)
+10. exposes it over HTTP (chunked-transfer WAV streaming)
+11. mixes per-request denoiser strengths in one batch (streaming denoise)
 """
 
 import argparse
@@ -232,6 +234,33 @@ def main():
         f"{len(wav_bytes)} WAV bytes (status {resp.status}); "
         f"/stats: {stats['completed']} completed, "
         f"{stats['emitted_samples']} samples emitted"
+    )
+
+    # 11. per-request quality knobs -------------------------------------------
+    # the reference applies its bias-subtraction denoiser offline
+    # (waveglow/denoiser.py); here it STREAMS — sessions with different
+    # strengths share one batched windowed-STFT device call per round,
+    # equal to the offline denoiser over each session's raw audio
+    den_synth = Synthesizer(
+        hp=hp, taco=trainer.model,
+        taco_variables={"params": trainer.state.params,
+                        "batch_stats": trainer.state.batch_stats},
+        wg_cfg=wg_cfg, waveglow=wg_trainer.model,
+        wg_variables={"params": wg_trainer.state.params},
+        use_denoiser=True,
+        denoiser_kwargs=dict(filter_length=64, n_overlap=4, win_length=64,
+                             n_frames=16),
+    )
+    srv = make_server(den_synth, slots=2, chunk_steps=8, max_text_len=96)
+    wavs = srv.run(["안녕하세요.", "안녕하세요."], seeds=[5, 5],
+                   denoiser_strengths=[0.0, 0.3])
+    delta = float(
+        np.abs(wavs[0][: wavs[1].size] - wavs[1]).max()) if wavs[1].size else 0
+    print(
+        f"per-request denoiser: raw vs strength-0.3 sessions in ONE batch "
+        f"(max sample delta {delta:.2e} — tiny on this 5-step toy vocoder, "
+        f"whose bias spectrum is near zero; "
+        f"{srv.stats['denoiser_calls']} windowed-denoise calls)"
     )
 
 
