@@ -88,6 +88,10 @@ def main():
                              "instead of batch-processing --texts_file")
     parser.add_argument("--serve_max_text_len", type=int, default=256,
                         help="static encoder width sessions pad to")
+    parser.add_argument("--no_serve_warmup", action="store_true",
+                        help="with --http_port: skip the pre-bind warmup "
+                             "session (the first real request then pays "
+                             "the program compiles)")
     args = parser.parse_args()
 
     hp = HParams.load(args.hparams) if args.hparams else HParams(
@@ -133,6 +137,24 @@ def main():
             )
             if args.http_port is not None:
                 from text2speech_tpu.http_serve import make_http_server
+
+                if not args.no_serve_warmup:
+                    # the first scheduling round compiles the decode/
+                    # postnet/vocoder programs (minutes on a cold TPU
+                    # cache) — run one throwaway session through the
+                    # scheduler BEFORE binding the port so the first real
+                    # request streams immediately
+                    t0 = time.perf_counter()
+                    wreq = texts[0] if texts else "."
+                    if args.speaker_id is not None:
+                        wreq = (wreq, args.speaker_id)
+                    srv.submit(wreq, denoiser_strength=(
+                        args.denoiser_strength
+                        if args.denoiser_strength > 0 else None))
+                    while not srv.idle:
+                        srv.step()
+                    print("serving programs warmed in "
+                          f"{time.perf_counter() - t0:.1f}s")
 
                 httpd, runner = make_http_server(
                     srv, host="0.0.0.0", port=args.http_port,

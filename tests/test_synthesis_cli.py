@@ -385,3 +385,77 @@ def test_inference_cli_multispeaker(ckpts, tmp_path):
         _, wavs[spk] = wavfile.read(str(out))
     n = min(wavs[0].size, wavs[1].size)
     assert n > 0 and not np.array_equal(wavs[0][:n], wavs[1][:n])
+
+
+@pytest.mark.slow
+def test_inference_cli_http(ckpts, tmp_path):
+    """--serve_slots N --http_port P end-to-end in a subprocess: the CLI
+    warms the serving programs before binding (first real request must
+    not pay the compiles), serves a request, and shuts down cleanly."""
+    import http.client
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from tests.conftest import REPO_ROOT
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys, runpy; sys.argv = ['inference.py'] + %r;"
+        "runpy.run_path(%r, run_name='__main__')"
+        % ([
+            "--taco_checkpoint", ckpts["taco"],
+            "--waveglow_checkpoint", ckpts["wg"],
+            "--hparams", ckpts["hp"],
+            "--waveglow_config", ckpts["wg_cfg"],
+            "--serve_slots", "2", "--stream_chunk_steps", "8",
+            "--serve_max_text_len", "64",
+            "--http_port", str(port),
+        ], os.path.join(str(REPO_ROOT), "inference.py"))
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], cwd=str(tmp_path),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "PYTHONPATH": str(REPO_ROOT)},
+    )
+    try:
+        deadline = time.time() + 300
+        up = False
+        while time.time() < deadline and proc.poll() is None:
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=5)
+                conn.request("GET", "/healthz")
+                if conn.getresponse().status == 200:
+                    up = True
+                    conn.close()
+                    break
+                conn.close()
+            except OSError:
+                time.sleep(1.0)
+        assert up, f"server never came up; rc={proc.poll()}"
+
+        import json as _json
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/synthesize",
+                     body=_json.dumps({"text": "안녕하세요.", "seed": 3}))
+        resp = conn.getresponse()
+        body = resp.read()
+        conn.close()
+        assert resp.status == 200 and len(body) > 44   # header + audio
+    finally:
+        proc.terminate()
+        try:
+            out, _ = proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
+    # the warmup ran before the port was bound
+    assert "serving programs warmed" in out, out[-2000:]
