@@ -60,6 +60,46 @@ def _time_scaled(fn, args_small, args_big, scale_items: int, repeats: int = 5):
     return max(float(np.median(diffs)), 1e-9) / scale_items
 
 
+def bench_chip_calibration(n: int = 4096, n1: int = 16, n2: int = 176,
+                           repeats: int = 5) -> float:
+    """Chained bf16-matmul wall, TFLOP/s — the rig-health anchor emitted
+    with every record so a depressed session is self-diagnosing (healthy
+    calibration + low stage numbers = program issue; low calibration =
+    rig/tunnel weather).  v5e peak is ~197; this methodology reproduces
+    ~200.  An orthogonal chain matrix keeps the iterates norm-stable, and
+    iteration differencing (T(n2) - T(n1) over n2-n1 matmuls) cancels the
+    tunnel dispatch like every other bench here."""
+    rng = np.random.RandomState(0)
+    q, _ = np.linalg.qr(rng.randn(n, n).astype(np.float32))
+    w = jnp.asarray(q, jnp.bfloat16)
+    x0 = jnp.asarray(rng.randn(n, n) * 0.1, jnp.bfloat16)
+
+    def chain(k):
+        @jax.jit
+        def run(x, w_):
+            def body(_, c):
+                return jnp.dot(c, w_, preferred_element_type=jnp.bfloat16)
+            y = jax.lax.fori_loop(0, k, body, x)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    short, long = chain(n1), chain(n2)
+    jax.block_until_ready((x0, w))
+    for fn in (short, long):
+        float(fn(x0, w))
+    diffs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(short(x0, w))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(long(x0, w))
+        tl = time.perf_counter() - t0
+        diffs.append(tl - ts)
+    sec = max(float(np.median(diffs)), 1e-9) / (n2 - n1)
+    return 2 * n**3 / sec / 1e12
+
+
 def bench_waveglow(batch: int = 4, frames: int = 400):
     """Fused-Pallas serving path (bf16 WN-layer kernels with in-kernel cond
     projection + in-place skip accumulation; fp32 coupling/convinv islands —
@@ -465,6 +505,7 @@ def _wait_for_tpu(max_wait_s: float = 5400.0, probe_timeout_s: float = 180.0):
 
 def main():
     _wait_for_tpu()
+    chip_tflops = bench_chip_calibration()
     wg_sps = bench_waveglow()
     wg_sps_int8 = bench_waveglow_int8()
     taco_fps = bench_tacotron()
@@ -582,6 +623,7 @@ def main():
         "train_tacotron_frames_per_sec_bf16_b32": round(
             tr_taco_bf16["frames_per_sec"], 1),
         "train_tacotron_mfu_bf16_b32": round(tr_taco_bf16["mfu"], 3),
+        "chip_bf16_tflops": round(chip_tflops, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
