@@ -257,3 +257,75 @@ def test_dataset_path_filter_and_holdout(corpus, tmp_path):
     # empty training split is refused.
     ds2 = TextMelDataset([str(root)], HP, "train", batch_size=1)
     assert ds2.hold_out_per_speaker(len(ds2.items) + 3) is None
+
+
+def test_dataset_batched_mel_matches_per_utterance(corpus):
+    """Every VALID frame of the batched device mel equals the per-utterance
+    centered STFT — including the last ~n_fft/(2*hop) frames, which must
+    read the utterance's own reflect padding, not batch zero-padding
+    (r4 review finding; the reference's TacotronSTFT is per-utterance)."""
+    ds = TextMelDataset([corpus], HP, "train", batch_size=4,
+                        text_bucket=16, mel_bucket=32)
+    batch = ds.make_batch(ds.items[:4])     # mixed lengths in one batch
+    loaded = [ds._load_one(it) for it in ds.items[:4]]
+    loaded.sort(key=lambda x: -len(x[1]))   # make_batch's collate order
+    for i, (w, _t, _s) in enumerate(loaded):
+        L = int(batch.output_lengths[i])
+        ref = np.asarray(ds.frontend.mel_spectrogram(
+            jnp.asarray(np.clip(w, -1, 1)[None])))[0]
+        np.testing.assert_allclose(
+            batch.mel[i, :, :L], ref[:, :L], atol=2e-4,
+            err_msg=f"row {i} (len {len(w)})")
+
+
+def test_preprocess_duplicate_text_rows_get_distinct_npz(corpus, tmp_path):
+    """A transcript row whose two text columns differ in word count emits
+    TWO items for one wav (kss.py:31-41); their npz files must not
+    collide (colliding concurrent np.savez can corrupt the zip)."""
+    import shutil
+
+    root = tmp_path / "dup"
+    shutil.copytree(corpus, root)
+    lines = (root / "transcript.txt").read_text(encoding="utf-8").splitlines()
+    # make row 0's two columns differ in word count
+    sp = lines[0].split("|")
+    lines[0] = "|".join([sp[0], sp[1], sp[1] + " 하나 더", sp[3]])
+    (root / "transcript.txt").write_text("\n".join(lines), encoding="utf-8")
+
+    out = tmp_path / "pp_dup"
+    meta = preprocess_corpus(HP, str(root), str(out), device_batch=4)
+    npz_names = [m[6] for m in meta]
+    assert len(npz_names) == len(TEXTS) + 1       # one extra row
+    assert len(set(npz_names)) == len(npz_names)  # all distinct
+    for n in npz_names:
+        with np.load(str(out / n), allow_pickle=True) as z:
+            assert int(z["mel_frames"]) > 0       # every file intact
+
+
+def test_vocoder_dataset_crops_deterministic_and_resumable(corpus):
+    """Segment crops are a pure function of (seed, epoch, step, row):
+    identical across runs despite the 8-thread IO pool, and an epoch
+    resumed at step k reproduces the uninterrupted run's batches
+    (r4 review finding: a SHARED RandomState made crops depend on thread
+    scheduling and on how many draws preceded the resume point)."""
+    import glob as _glob
+
+    from text2speech_tpu.data.mel2samp import Mel2Samp
+
+    wavs = sorted(_glob.glob(os.path.join(corpus, "1", "*.wav")))
+    cfg = WaveGlowConfig(
+        n_mel_channels=HP.n_mel_channels, n_flows=2, n_group=4,
+        n_early_every=4, wn_n_layers=2, wn_n_channels=16,
+        sampling_rate=22050, batch_size=2, segment_length=2048,
+        filter_length=HP.filter_length, hop_length=HP.hop_length,
+        win_length=HP.win_length,
+    )
+    mk = lambda: Mel2Samp(wavs, cfg, shuffle_seed=7, io_workers=8)
+    a = [b.audio for b in mk().epoch(0)]
+    b = [b.audio for b in mk().epoch(0)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    resumed = [b.audio for b in mk().epoch(0, start_step=1)]
+    assert len(resumed) == len(a) - 1
+    for x, y in zip(a[1:], resumed):
+        np.testing.assert_array_equal(x, y)

@@ -103,7 +103,13 @@ class TextMelDataset:
             self.items = kept
         self.batch_size = self.batch_size or self.hp.batch_size
         self.frontend = MelFrontend.from_hparams(self.hp)
-        self._mel_fn = jax.jit(self.frontend.mel_spectrogram)
+        # center=False + host per-utterance reflect pre-pad: the last
+        # ~n_fft/(2*hop) valid frames of each row must read the UTTERANCE'S
+        # reflected samples, not batch zero-padding (the reference's
+        # TacotronSTFT is per-utterance center=True; preprocess.py already
+        # does this — r4 review finding)
+        self._mel_fn = jax.jit(
+            lambda y: self.frontend.mel_spectrogram(y, center=False))
         self._pool = ThreadPoolExecutor(self.io_workers)
 
     def hold_out_per_speaker(self, n: int) -> "TextMelDataset | None":
@@ -151,7 +157,7 @@ class TextMelDataset:
         # sort by text length, longest first (reference collate semantics)
         loaded.sort(key=lambda x: -len(x[1]))
 
-        wavs = [w / 1.0 for w, _, _ in loaded]           # already in [-1, 1]
+        wavs = [w for w, _, _ in loaded]                 # already in [-1, 1]
         txts = [t for _, t, _ in loaded]
         speakers = np.asarray([s for _, _, s in loaded], np.int32)
 
@@ -164,11 +170,19 @@ class TextMelDataset:
         n_samples = np.asarray([len(w) for w in wavs], np.int64)
         out_lengths = (1 + n_samples // hp.hop_length).astype(np.int32)
         step = hp.n_frames_per_step
-        T_out = _round_up(int(out_lengths.max()), max(self.mel_bucket, step))
-        wav_pad = (T_out - 1) * hp.hop_length + 1
+        # bucket must stay divisible by n_frames_per_step (the reference
+        # collate's max_target_len % step == 0 contract) — lcm, not max
+        T_out = _round_up(int(out_lengths.max()),
+                          int(np.lcm(self.mel_bucket, step)))
+        pad = hp.filter_length // 2
+        # width fits every row's reflect-padded signal and yields >= T_out
+        # frames under center=False framing
+        wav_pad = (T_out - 1) * hp.hop_length + hp.filter_length \
+            + hp.hop_length
         wav_batch = np.zeros((len(wavs), wav_pad), np.float32)
         for i, w in enumerate(wavs):
-            wav_batch[i, : len(w)] = np.clip(w, -1.0, 1.0)
+            w = np.clip(w, -1.0, 1.0)
+            wav_batch[i, : len(w) + 2 * pad] = np.pad(w, pad, mode="reflect")
 
         mel = np.asarray(self._mel_fn(jnp.asarray(wav_batch)))  # [B, n_mel, T]
         mel = mel[:, :, :T_out]

@@ -63,21 +63,32 @@ class Mel2Samp:
     def __len__(self) -> int:
         return len(self.training_files) // self.batch_size
 
-    def _segment(self, path: str, rng: np.random.RandomState) -> np.ndarray:
+    def _segment(self, path: str, seed: int) -> np.ndarray:
         """Random fixed-length crop; short files zero-pad at the tail
-        (``mel2samp.py:94-100``)."""
+        (``mel2samp.py:94-100``).  The crop position is a pure function of
+        ``seed`` — NOT drawn from a shared rng — so the 8-thread IO pool
+        cannot reorder draws (a shared RandomState made crops depend on
+        thread scheduling) and an interrupted run resumed at step k crops
+        exactly what the uninterrupted run would have."""
         seg = self.cfg.segment_length
         wav = load_wav(path, self.cfg.sampling_rate)
         if len(wav) >= seg:
-            start = rng.randint(0, len(wav) - seg + 1)
+            start = np.random.RandomState(seed).randint(
+                0, len(wav) - seg + 1)
             return wav[start : start + seg]
         return np.pad(wav, (0, seg - len(wav)))
 
-    def make_batch(self, paths: Sequence[str], rng: np.random.RandomState):
-        segs = list(self._pool.map(lambda p: self._segment(p, rng), paths))
+    def make_batch(self, paths: Sequence[str], seeds: Sequence[int]):
+        segs = list(self._pool.map(
+            lambda ps: self._segment(*ps), zip(paths, seeds)))
         audio = np.stack(segs).astype(np.float32)
         mel = np.asarray(self._mel_fn(jnp.asarray(audio)))
         return VocoderBatch(mel, audio)
+
+    def _crop_seed(self, epoch_idx: int, step: int, row: int) -> int:
+        return int(np.random.SeedSequence(
+            [self.shuffle_seed, epoch_idx, step, row]
+        ).generate_state(1)[0])
 
     def epoch(self, epoch_idx: int, start_step: int = 0) -> Iterator[VocoderBatch]:
         rng = np.random.RandomState(self.shuffle_seed + epoch_idx)
@@ -85,4 +96,7 @@ class Mel2Samp:
         B = self.batch_size
         for step in range(start_step, len(self)):
             idx = order[step * B : (step + 1) * B]
-            yield self.make_batch([self.training_files[i] for i in idx], rng)
+            yield self.make_batch(
+                [self.training_files[i] for i in idx],
+                [self._crop_seed(epoch_idx, step, r) for r in range(len(idx))],
+            )

@@ -62,6 +62,16 @@ class NpzDataFeeder:
             raise FileNotFoundError(
                 f"no usable npz files under {list(self.data_dirs)}"
             )
+        # an EMPTY corpus among non-empty ones would surface later as a
+        # ZeroDivisionError in sample_batch / rng.randint(0) mid-training
+        # (r4 review finding) — fail loudly at build time instead
+        for d, files in zip(self.data_dirs, self.corpus_files):
+            if not files:
+                raise FileNotFoundError(
+                    f"corpus {d!r} has no usable npz files after the "
+                    f"frame/token filters (min_n_frame={self.min_n_frame}, "
+                    f"max_n_frame={self.max_n_frame}, "
+                    f"min_tokens={self.min_tokens})")
         if self.corpus_weights is None:
             self.corpus_weights = [len(c) / total for c in self.corpus_files]
 

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..config import HParams
 from ..dsp import audio as dsp_audio
+from .dataset import _round_up
 from ..dsp.audio import (
     load_wav,
     mel_and_linear_spectrogram,
@@ -211,10 +212,6 @@ def _device_batch_fn(hp: HParams, transfer_dtype=None):
     return fn
 
 
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
-
-
 def preprocess_corpus(
     hp: HParams,
     in_dir: str,
@@ -247,6 +244,7 @@ def preprocess_corpus(
     )
 
     metadata: list[tuple] = []
+    name_counts: dict = {}
 
     # Sort by approximate length to minimize padding waste per device batch.
     def batches() -> Iterable[list[_HostItem]]:
@@ -299,7 +297,13 @@ def preprocess_corpus(
         for j, it in enumerate(chunk):
             frames = n_frames[j]
             wav_id = os.path.splitext(os.path.basename(it.wav_path))[0]
-            npz_name = f"{wav_id}.npz"
+            # a transcript row whose two text columns differ emits TWO
+            # items for one wav (kss.py:31-41); basename-only npz names
+            # would collide — two pool threads interleaving np.savez on
+            # one path can leave a corrupt zip (r4 review finding)
+            n_seen = name_counts[wav_id] = name_counts.get(wav_id, 0) + 1
+            npz_name = (f"{wav_id}.npz" if n_seen == 1
+                        else f"{wav_id}-{n_seen}.npz")
             write_futures.append(pool.submit(
                 _write_one, it, frames,
                 mel_b[j, :, :frames].astype(np.float32),

@@ -52,9 +52,14 @@ class MelFrontend:
     def stft_params(self) -> STFTParams:
         return STFTParams(self.filter_length, self.hop_length, self.win_length)
 
-    def mel_spectrogram(self, y: jnp.ndarray) -> jnp.ndarray:
-        """[B, T] in [-1, 1] -> [B, n_mels, n_frames] log-mel."""
-        mag = stft_magnitude(y, self.stft_params)
+    def mel_spectrogram(self, y: jnp.ndarray, center: bool = True) -> jnp.ndarray:
+        """[B, T] in [-1, 1] -> [B, n_mels, n_frames] log-mel.
+
+        ``center=False`` expects the caller to have reflect-padded each
+        signal by ``filter_length // 2`` host-side (the batched-extraction
+        path: per-utterance reflect edges must come from each signal's own
+        samples, not batch zero-padding)."""
+        mag = stft_magnitude(y, self.stft_params, center=center)
         basis = jnp.asarray(
             _mel_basis(
                 self.sampling_rate,
