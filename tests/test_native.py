@@ -73,3 +73,34 @@ def test_native_mulaw_matches_reference(lib):
     y = np.sign(x) * np.log1p(255 * np.abs(x)) / np.log1p(255)
     want = ((y + 1) / 2 * 255).astype(int)
     np.testing.assert_array_equal(got, want)
+
+
+def test_wav_unsupported_formats_reject_and_fall_back(lib, tmp_path):
+    """Formats the native decoder has no branch for must FAIL the native
+    read (r4 review: float64 previously decoded as n frames of SILENCE
+    with a success code) so dsp.audio.load_wav falls back to scipy."""
+    from text2speech_tpu.dsp.audio import load_wav
+
+    y = _tone(n=4000).astype(np.float64)
+    path = str(tmp_path / "f64.wav")
+    wavfile.write(path, 22050, y)               # 64-bit float WAV
+    assert native.load_wav_native(path, 22050) is None
+    got = load_wav(path, 22050)                 # scipy fallback decodes it
+    assert got is not None and np.abs(got).max() > 0.1
+    np.testing.assert_allclose(got, y.astype(np.float32), atol=1e-6)
+
+
+def test_wav_wide_frames_reject_not_overflow(lib, tmp_path):
+    """Frames wider than the native read buffer's 8 bytes/frame budget
+    (e.g. 6-channel 16-bit) must be rejected, not decoded through a
+    buffer overflow (r4 review finding)."""
+    y = _tone(n=1000)
+    six = np.stack([y] * 6, axis=1)
+    path = str(tmp_path / "six.wav")
+    wavfile.write(path, 22050, (six * 32767).astype(np.int16))
+    assert native.load_wav_native(path, 22050) is None
+    # the python chain still loads it through scipy
+    from text2speech_tpu.dsp.audio import load_wav
+
+    got = load_wav(path, 22050)
+    assert got is not None and len(got) == len(y)

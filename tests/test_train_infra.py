@@ -365,10 +365,11 @@ def test_profiling_utils(tmp_path):
 
     timer = StepTimer()
     x = jnp.ones((64, 64))
-    with timer.step(block_on=x):
+    with timer.step() as t:
         with annotate("matmul"):
             y = (x @ x).sum()
-    assert timer.last_host >= 0 and timer.last_device >= timer.last_host * 0
+        t.block_on(y)      # the step's OUTPUT (exists only inside the block)
+    assert timer.last_host >= 0 and timer.last_device >= timer.last_host
 
     with trace_capture(str(tmp_path / "prof")):
         jax.block_until_ready(x @ x)

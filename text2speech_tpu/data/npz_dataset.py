@@ -123,6 +123,12 @@ class NpzDataFeeder:
         return self.make_batch(paths)
 
     def epoch(self, epoch_idx: int, start_step: int = 0) -> Iterator[Batch]:
-        rng = np.random.RandomState(self.shuffle_seed + epoch_idx)
         for step in range(start_step, len(self)):
+            # a PER-STEP rng (not one sequential stream per epoch) makes
+            # each step's draws a pure function of (seed, epoch, step):
+            # resuming at start_step=k reproduces the uninterrupted run's
+            # step-k batch instead of replaying step 0's draws (r4 review
+            # finding; same fix as Mel2Samp's crop seeds)
+            rng = np.random.RandomState(np.random.SeedSequence(
+                [self.shuffle_seed, epoch_idx, step]).generate_state(1)[0])
             yield self.make_batch(self._sample_paths(rng, step))

@@ -43,8 +43,9 @@ static int read_header(FILE* f, WavInfo* info) {
   uint32_t rate = 0;
   while (fread(id, 1, 4, f) == 4 && fread(&sz, 4, 1, f) == 1) {
     if (!strncmp(id, "fmt ", 4)) {
-      uint8_t buf[40];
+      uint8_t buf[40] = {0};
       uint32_t take = sz < sizeof(buf) ? sz : sizeof(buf);
+      if (sz < 16) return -1;  // truncated fmt: rate/bits would be garbage
       if (fread(buf, 1, take, f) != take) return -1;
       if (sz > take) fseek(f, sz - take, SEEK_CUR);
       memcpy(&fmt, buf + 0, 2);
@@ -59,6 +60,18 @@ static int read_header(FILE* f, WavInfo* info) {
       have_fmt = 1;
     } else if (!strncmp(id, "data", 4)) {
       if (!have_fmt || channels == 0 || bits == 0) return -1;
+      // only the formats wav_read_f32 actually decodes: PCM 8/16/24/32
+      // and float32.  Anything else (float64, A-law/mu-law, exotic
+      // layouts) must FAIL here so the Python caller's scipy fallback
+      // engages instead of decoding silence/garbage.
+      if (!((fmt == 1 && (bits == 8 || bits == 16 || bits == 24 ||
+                          bits == 32)) ||
+            (fmt == 3 && bits == 32)))
+        return -1;
+      // frame must fit the fixed CHUNK read buffer (channels * bytes <= 8
+      // covers every corpus layout; a 6-ch 16-bit file would otherwise
+      // overflow it)
+      if ((uint32_t)channels * (bits / 8) > 8) return -1;
       info->sample_rate = (int32_t)rate;
       info->channels = channels;
       info->bits_per_sample = bits;

@@ -53,16 +53,18 @@ def noam_schedule(init_lr: float, warmup_steps: int = 4000):
 
 
 def make_optimizer(hp: HParams, schedule=None) -> optax.GradientTransformation:
+    """Clip -> COUPLED-L2 Adam (the reference's ``torch.optim.Adam(...,
+    weight_decay=hp.weight_decay)``, ``train.py:188-189``: the decay term
+    joins the gradient BEFORE the Adam moments — ``add_decayed_weights``
+    ahead of ``scale_by_adam``, not decoupled adamw, whose decay applies
+    after normalization and diverges from the cited reference)."""
     if schedule is None:
         schedule = noam_schedule(hp.learning_rate, hp.warmup_steps)
     return optax.chain(
         optax.clip_by_global_norm(hp.grad_clip_norm),
-        optax.adamw(
-            learning_rate=schedule,
-            b1=hp.adam_beta1,
-            b2=hp.adam_beta2,
-            weight_decay=hp.weight_decay,
-        ),
+        optax.add_decayed_weights(hp.weight_decay),
+        optax.scale_by_adam(b1=hp.adam_beta1, b2=hp.adam_beta2),
+        optax.scale_by_learning_rate(schedule),
     )
 
 

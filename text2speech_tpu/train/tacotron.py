@@ -247,6 +247,11 @@ class TacotronTrainer:
 
     def _fit(self, num_steps: int, log_every: int = 10):
         hp = self.hp
+        if len(self.dataset) == 0:
+            raise ValueError(
+                f"dataset yields 0 batches ({len(self.dataset.items)} "
+                f"usable utterances < batch_size {self.dataset.batch_size})"
+                " — the epoch loop would spin forever")
         step = int(self.state.step)
         epoch = step // max(1, len(self.dataset))
         sched = noam_schedule(hp.learning_rate, hp.warmup_steps)

@@ -146,6 +146,12 @@ class WaveGlowTrainer:
 
     def _fit(self, num_steps: int, log_every: int = 10):
         cfg = self.cfg
+        if len(self.dataset) == 0:
+            raise ValueError(
+                f"dataset yields 0 batches "
+                f"({len(self.dataset.training_files)} files < batch_size "
+                f"{self.dataset.batch_size}) — the epoch loop would spin "
+                "forever")
         step = int(self.state.step)
         epoch = step // max(1, len(self.dataset))
         while step < num_steps:
@@ -156,11 +162,12 @@ class WaveGlowTrainer:
                 self.state, metrics = self._train_step(self.state, dev)
                 step += 1
                 if step % log_every == 0:
+                    # block on the loss BEFORE reading the clock — the jit
+                    # dispatch returns immediately, so timing before the
+                    # sync logs host-dispatch microseconds as "s/it"
+                    loss = float(metrics["loss"])
                     dur = time.perf_counter() - t0
-                    log(
-                        f"wg step {step} loss={float(metrics['loss']):.5f} "
-                        f"{dur:.2f}s/it"
-                    )
+                    log(f"wg step {step} loss={loss:.5f} {dur:.2f}s/it")
                     self.logger.log_training(
                         metrics["loss"], metrics["grad_norm"],
                         cfg.learning_rate, dur, step,

@@ -18,7 +18,9 @@ def _fig_to_rgb(fig) -> np.ndarray:
 
 
 def plot_alignment(alignment: np.ndarray, info: str | None = None) -> np.ndarray:
-    """alignment: [T_dec, T_enc] -> RGB image array."""
+    """alignment: [T_enc, T_dec] (encoder rows, decoder columns — pass
+    ``align.T`` for the model's [T_dec, T_enc] output, as the logger and
+    CLI do) -> RGB image array."""
     fig, ax = plt.subplots(figsize=(6, 4))
     im = ax.imshow(alignment, aspect="auto", origin="lower", interpolation="none")
     fig.colorbar(im, ax=ax)

@@ -35,19 +35,35 @@ def annotate(name: str):
 
 
 class StepTimer:
-    """Wall/device step timing: ``with timer.step(): ...`` then
-    ``timer.last_host``, ``timer.last_device`` (device time requires passing
-    the step output to ``stop``)."""
+    """Wall/device step timing::
+
+        with timer.step() as t:
+            out = step_fn(...)
+            t.block_on(out)          # register what to sync on
+        timer.last_host, timer.last_device
+
+    ``last_host`` is dispatch-to-yield wall time; ``last_device``
+    additionally blocks on whatever the block registered via
+    ``t.block_on`` (the step's OUTPUT — it does not exist before the
+    block runs, which is why block-on cannot be a ``step()`` argument)."""
 
     def __init__(self):
         self.last_host = 0.0
         self.last_device = 0.0
 
+    class _Handle:
+        def __init__(self):
+            self.out = None
+
+        def block_on(self, out):
+            self.out = out
+
     @contextlib.contextmanager
-    def step(self, block_on=None):
+    def step(self):
+        h = self._Handle()
         t0 = time.perf_counter()
-        yield
+        yield h
         self.last_host = time.perf_counter() - t0
-        if block_on is not None:
-            jax.block_until_ready(block_on)
+        if h.out is not None:
+            jax.block_until_ready(h.out)
             self.last_device = time.perf_counter() - t0

@@ -18,7 +18,9 @@ class ValueWindow:
         self._values: list[float] = []
 
     def append(self, x: float) -> None:
-        self._values = self._values[-(self._size - 1):] + [float(x)]
+        # slice AFTER appending: "[-(size-1):]" is "[-0:]" (the whole
+        # list) at window_size=1, which never evicted
+        self._values = (self._values + [float(x)])[-self._size:]
 
     @property
     def sum(self) -> float:
