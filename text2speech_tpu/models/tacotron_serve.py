@@ -201,6 +201,17 @@ def _qdot(x, dp_entry, eps, dtype):
     return jnp.dot(x, dp_entry.astype(dtype))
 
 
+def lstm_cell_update(gates, c):
+    """Gate split + sigmoid/tanh cell update shared by EVERY LSTM-cell
+    variant (the fp/int8 serving cell above and the column-sharded TP
+    cell in ``parallel/tp_tacotron.py``) — the round-3 bias-grouping fix
+    was applied to one copy and missed the other; the body now lives
+    once, and cell variants supply only the ``gates`` matmuls."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    return jax.nn.sigmoid(o) * jnp.tanh(c_new), c_new
+
+
 def decode_chunk_serve(
     dp: dict,
     hp: HParams,
@@ -240,10 +251,7 @@ def decode_chunk_serve(
                 + (_qdot(h, dp[pre + "hh_w"], eps, dtype)
                    + dp[pre + "hh_b"].astype(dtype))
             )
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-            return h_new, c_new
+            return lstm_cell_update(gates, c)
     B, T_in, _ = memory.shape
     mask = (
         (jnp.arange(T_in)[None, :] < text_lengths[:, None])

@@ -101,6 +101,24 @@ class WNConv(nn.Module):
         ) + bias.astype(self.dtype)
 
 
+def subpixel_upsample(x, kernel, bias, k: int, s: int):
+    """The subpixel transposed-conv math on raw params: x [B, T, C_in],
+    kernel [k, C_in, C_out], bias [C_out] -> [B, (T-1)*s + k, C_out].
+    Shared by :class:`SubpixelUpsample` (the flax module) and the
+    tensor-parallel serving path (``parallel/tp.py``) so the upsample
+    lives ONCE (r4 review dedup)."""
+    r = k // s
+    B, T, cin = x.shape
+    cout = kernel.shape[-1]
+    kq = kernel.reshape(r, s, cin, cout)
+    # y[b, t, q, p, o] = sum_i x[b, t, i] * kq[q, p, i, o]
+    y = jnp.einsum("bti,qpio->btqpo", x, kq)
+    out = jnp.zeros((B, T + r - 1, s, cout), y.dtype)
+    for q in range(r):
+        out = out.at[:, q : q + T].add(y[:, :, q])
+    return out.reshape(B, (T + r - 1) * s, cout) + bias.astype(y.dtype)
+
+
 class SubpixelUpsample(nn.Module):
     """Transposed-conv upsampling expressed as one MXU einsum + r shifted adds.
 
@@ -127,14 +145,8 @@ class SubpixelUpsample(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (k, cin, cout)
         )
         bias = self.param("bias", nn.initializers.zeros, (cout,))
-        B, T, _ = x.shape
-        kq = kernel.reshape(r, s, cin, cout).astype(self.dtype)
-        # y[b, t, q, p, o] = sum_i x[b, t, i] * kq[q, p, i, o]
-        y = jnp.einsum("bti,qpio->btqpo", x.astype(self.dtype), kq)
-        out = jnp.zeros((B, T + r - 1, s, cout), y.dtype)
-        for q in range(r):
-            out = out.at[:, q : q + T].add(y[:, :, q])
-        return out.reshape(B, (T + r - 1) * s, cout) + bias.astype(y.dtype)
+        return subpixel_upsample(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias, k, s)
 
 
 class Invertible1x1Conv(nn.Module):

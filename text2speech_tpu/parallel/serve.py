@@ -68,9 +68,17 @@ class TPSynthesizer:
 
         rep = NamedSharding(mesh, P())
         # replicated copy of the acoustic-model weights for the small
-        # replicated stages (encoder, postnet, memory projection, rng
-        # derivation); the decoder/vocoder endpoints shard their own
-        self._taco_vars = jax.device_put(self.taco_variables, rep)
+        # replicated stages (encoder, postnet, memory projection = the
+        # decoder's attention submodule, rng derivation).  The decoder's
+        # LSTM/projection kernels (~36 MB full-size) are PRUNED first:
+        # the decoder endpoint holds its own column-sharded copy, and
+        # replicating them too doubled the decoder's HBM per chip
+        # (r4 review finding); flax only resolves params a method uses.
+        params = dict(self.taco_variables["params"])
+        if "decoder" in params and "attention" in params["decoder"]:
+            params["decoder"] = {"attention": params["decoder"]["attention"]}
+        rep_tree = {**dict(self.taco_variables), "params": params}
+        self._taco_vars = jax.device_put(rep_tree, rep)
 
         self._dp = extract_decoder_params(self.taco_variables, hp)
         # endpoint instances are keyed by (data axis used, int8 decode)

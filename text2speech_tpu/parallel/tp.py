@@ -504,21 +504,17 @@ def infer_waveglow_tp(
 
 def _upsample_group(up_params, cfg: WaveGlowConfig, spect: jnp.ndarray):
     """Replicated subpixel upsample + grouping (= WaveGlow's
-    ``_upsample_group_spect`` with n_samples=None)."""
+    ``_upsample_group_spect`` with n_samples=None); the subpixel math
+    lives once in ``models.waveglow.subpixel_upsample``."""
+    from ..models.waveglow import subpixel_upsample
+
     k, s = cfg.upsample_kernel, cfg.upsample_stride
-    r = k // s
-    kernel = up_params["kernel"]
-    bias = up_params["bias"]
-    x = spect.transpose(0, 2, 1)
-    B, F, M = x.shape
-    kq = kernel.reshape(r, s, kernel.shape[1], kernel.shape[2])
-    y = jnp.einsum("bti,qpio->btqpo", x, kq)
-    out = jnp.zeros((B, F + r - 1, s, y.shape[-1]), y.dtype)
-    for q in range(r):
-        out = out.at[:, q : q + F].add(y[:, :, q])
-    up = out.reshape(B, (F + r - 1) * s, -1) + bias
+    up = subpixel_upsample(
+        spect.transpose(0, 2, 1), up_params["kernel"], up_params["bias"],
+        k, s)
     up = up[:, : up.shape[1] - (k - s)]
     G = cfg.n_group
+    B = up.shape[0]
     T_g = up.shape[1] // G
     up = up[:, : T_g * G].reshape(B, T_g, G, -1)
     return up.transpose(0, 1, 3, 2).reshape(B, T_g, -1)

@@ -69,7 +69,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HParams
 from ..models.tacotron2 import DecoderState
-from ..models.tacotron_serve import _qdot, decode_chunk_serve
+from ..models.tacotron_serve import (_qdot, decode_chunk_serve,
+                                     lstm_cell_update)
 from .tp import MODEL_AXIS, _shard_map_norep
 
 # the four column-sharded cells: (kernel key, bias key, hidden size attr)
@@ -130,15 +131,17 @@ def _make_tp_lstm_fn(dp_local: dict, axis_name: str, dtype):
 
     def lstm_fn(kind, h, c, x, eps):
         pre = {"att": "att_", "dec": "dec_"}[kind]
+        # EXPLICIT flax grouping (x@W + b_ih) + (h@W + b_hh), matching the
+        # single-device cell bitwise per column slice — left-association
+        # could flip a gate energy one ulp from the stop threshold between
+        # the TP and single-device paths (r4 review finding)
         gates = (
-            _qdot(x, dp_local[pre + "ih_w"], eps, dtype)
-            + dp_local[pre + "ih_b"].astype(dtype)
-            + _qdot(h, dp_local[pre + "hh_w"], eps, dtype)
-            + dp_local[pre + "hh_b"].astype(dtype)
+            (_qdot(x, dp_local[pre + "ih_w"], eps, dtype)
+             + dp_local[pre + "ih_b"].astype(dtype))
+            + (_qdot(h, dp_local[pre + "hh_w"], eps, dtype)
+               + dp_local[pre + "hh_b"].astype(dtype))
         )
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_loc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_loc, c_new = lstm_cell_update(gates, c)
         h_new = jax.lax.all_gather(h_loc, axis_name, axis=-1, tiled=True)
         return h_new, c_new
 

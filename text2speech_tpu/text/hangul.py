@@ -52,7 +52,10 @@ def is_vowel(ch: str) -> bool:
 
 
 def is_tail(ch: str) -> bool:
-    return TAIL_BASE + 1 <= ord(ch) <= TAIL_BASE + N_TAILS - 1 + 1 and ord(ch) > TAIL_BASE
+    # the 27 modern tails U+11A8..U+11C2 (index 0 of N_TAILS is "no tail");
+    # the previous +1 bound accepted the archaic U+11C3, whose index 28
+    # overflowed composition into the next lead block (r4 review finding)
+    return TAIL_BASE + 1 <= ord(ch) <= TAIL_BASE + N_TAILS - 1
 
 
 def decompose_syllable(ch: str) -> tuple[str, ...]:
@@ -107,19 +110,37 @@ def jamo_to_hangul_text(text: str) -> str:
     pending: list[str] = []
 
     def flush() -> None:
+        # compose ONLY structurally valid groups — (lead, vowel[, tail]).
+        # Feeding arbitrary slots into compose_syllable silently produced
+        # garbage codepoints (a tail in the vowel slot, or a stray vowel,
+        # composed to unrelated syllables or non-Hangul characters; the
+        # reference's jamo package raises here).  Invalid leftovers render
+        # as visible compatibility jamo instead (r4 review finding).
         if not pending:
             return
-        if len(pending) == 1:
-            out.append(jamo_char_to_compat(pending[0]))
-        else:
+        if (len(pending) >= 2 and is_lead(pending[0])
+                and is_vowel(pending[1])
+                and (len(pending) == 2 or is_tail(pending[2]))):
             out.append(compose_syllable(*pending[:3]))
+            pending[:3] = []
+        for ch in pending:
+            out.append(jamo_char_to_compat(ch))
         pending.clear()
 
     for ch in text:
         if is_lead(ch):
             flush()
             pending.append(ch)
-        elif is_vowel(ch) or is_tail(ch):
+        elif is_vowel(ch):
+            # a vowel extends only a bare lead; anything else starts over
+            if not (len(pending) == 1 and is_lead(pending[0])):
+                flush()
+            pending.append(ch)
+        elif is_tail(ch):
+            # a tail completes only (lead, vowel)
+            if not (len(pending) == 2 and is_lead(pending[0])
+                    and is_vowel(pending[1])):
+                flush()
             pending.append(ch)
         else:
             flush()
