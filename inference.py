@@ -141,16 +141,31 @@ def main():
                 if not args.no_serve_warmup:
                     # the first scheduling round compiles the decode/
                     # postnet/vocoder programs (minutes on a cold TPU
-                    # cache) — run one throwaway session through the
+                    # cache) — run throwaway sessions through the
                     # scheduler BEFORE binding the port so the first real
-                    # request streams immediately
+                    # request streams immediately.  Warm EVERY program an
+                    # HTTP client can reach, not just the CLI's own
+                    # settings: the denoiser (serve mode keeps it
+                    # available regardless of -d; strength is a traced
+                    # scalar, so one pass covers all strengths) and, on
+                    # multi-speaker models, BOTH the speaker-conditioned
+                    # and unconditioned encode programs — otherwise the
+                    # first request exercising them compiles inside
+                    # step() on the scheduler thread, stalling every
+                    # live session.
                     t0 = time.perf_counter()
-                    wreq = texts[0] if texts else "."
-                    if args.speaker_id is not None:
-                        wreq = (wreq, args.speaker_id)
-                    srv.submit(wreq, denoiser_strength=(
-                        args.denoiser_strength
-                        if args.denoiser_strength > 0 else None))
+                    wtext = texts[0] if texts else "."
+                    wds = (args.denoiser_strength
+                           if args.denoiser_strength > 0 else 0.1)
+                    speakers = [args.speaker_id]
+                    if args.num_speakers > 1:
+                        speakers.append(
+                            0 if args.speaker_id is None else None)
+                    for i, sp in enumerate(speakers):
+                        srv.submit(
+                            wtext if sp is None else (wtext, sp),
+                            # the denoise program needs one warm pass
+                            denoiser_strength=wds if i == 0 else None)
                     while not srv.idle:
                         srv.step()
                     print("serving programs warmed in "

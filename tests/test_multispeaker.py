@@ -56,6 +56,12 @@ def test_speaker_selects_voice_and_validates(ms_synth, synthesizer):  # noqa: F8
         synthesizer.text_to_mel([TEXT], speaker_id=0)
     with pytest.raises(ValueError, match="length-1"):
         ms_synth.text_to_mel([TEXT], speaker_id=[0, 1])
+    # a float id must raise, not silently truncate to a wrong voice
+    # (np.full((B,), 1.9, np.int32) would cast to speaker 1)
+    with pytest.raises(ValueError, match="int"):
+        ms_synth.text_to_mel([TEXT], speaker_id=1.9)
+    with pytest.raises(ValueError, match="int"):
+        ms_synth.text_to_mel([TEXT], speaker_id=[0.5])
 
 
 def test_stream_matches_batch_per_speaker(ms_synth):

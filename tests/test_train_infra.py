@@ -241,6 +241,47 @@ def test_checkpoint_roundtrip(model_state, tmp_path):
     mgr.close()
 
 
+def test_checkpoint_optimizer_layout_migration(model_state, tmp_path):
+    """A checkpoint whose opt_state layout no longer matches the current
+    optimizer chain fails with a pointed error, and
+    ``restore(params_only=True)`` recovers the weights (fresh moments) —
+    the migration path for optimizer changes like the r4 coupled-L2 fix."""
+    import optax
+    import pytest
+
+    from text2speech_tpu.train.checkpoint import CheckpointManager
+    from text2speech_tpu.train.state import TrainState
+
+    _, state = model_state
+    # save with a DIFFERENT optimizer layout (stands in for an old format)
+    old_tx = optax.sgd(1e-3)
+    old_state = TrainState(
+        step=jnp.asarray(7, jnp.int32), params=state.params,
+        batch_stats=state.batch_stats,
+        opt_state=old_tx.init(state.params), tx=old_tx,
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt_mig"))
+    mgr.save(7, old_state, wait=True)
+
+    fresh = create_train_state(
+        TINY,
+        {"params": jax.tree.map(jnp.zeros_like, state.params),
+         "batch_stats": state.batch_stats},
+    )
+    with pytest.raises(ValueError, match="params_only"):
+        mgr.restore(fresh)
+    restored, step = mgr.restore(fresh, params_only=True)
+    assert step == 7
+    same = jax.tree.map(
+        lambda a, c: bool(jnp.allclose(a, c)), restored.params, state.params
+    )
+    assert all(jax.tree.leaves(same))
+    # opt_state is the fresh template's (reinitialized), not the saved one
+    assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
+        fresh.opt_state)
+    mgr.close()
+
+
 def test_noam_schedule_matches_reference_formula():
     sched = noam_schedule(1e-3, 4000)
     for step in [0, 100, 3999, 4000, 10000, 100000]:

@@ -699,7 +699,7 @@ class Synthesizer:
         memory = self._encode_mem(
             self.taco_variables, ids, lengths,
             self._speaker_array(speaker_id, ids.shape[0]))
-        B = memory.shape[0]
+        B, T_in, _ = memory.shape
         # measured-benefit precision selection: int8 decode only wins once
         # the batch is big enough that weight streaming dominates (below
         # the threshold XLA VMEM-pins the bf16 kernels and int8 is a
@@ -708,7 +708,6 @@ class Synthesizer:
         pmem = (
             self._pmem_fn(self.taco_variables, memory) if use_q else None
         )
-        B, T_in, _ = memory.shape
         hp = self.hp
         dt = memory.dtype
 
@@ -799,16 +798,14 @@ class Synthesizer:
             if self._denoise_bias is None:
                 raise ValueError(
                     "denoiser_strength > 0 needs use_denoiser=True")
-            from .models.denoiser import denoise_stream, serving_denoiser
+            from .models.denoiser import (cached_stream_denoiser,
+                                          denoise_stream)
 
-            key = (self._denoise_params, chunk_steps)
-            if getattr(self, "_stream_denoiser_key", None) != key:
-                self._stream_denoiser = serving_denoiser(
-                    lambda: self._denoise_bias, self._denoise_params,
-                    chunk_steps, self.wg_cfg.upsample_stride)
-                self._stream_denoiser_key = key
-            audio = denoise_stream(audio, self._stream_denoiser,
-                                   denoiser_strength)
+            den = cached_stream_denoiser(
+                self, (self._denoise_params, chunk_steps),
+                lambda: self._denoise_bias, self._denoise_params,
+                chunk_steps, self.wg_cfg.upsample_stride)
+            audio = denoise_stream(audio, den, denoiser_strength)
         yield from audio
 
     def synthesize_incremental_batch(

@@ -300,6 +300,22 @@ def serving_denoiser(bias_fn, params: STFTParams, chunk_steps: int,
     return StreamingDenoiser(bias_fn, params, f_win=f_win)
 
 
+def cached_stream_denoiser(holder, key, bias_fn, params: STFTParams,
+                           chunk_steps: int,
+                           upsample_stride: int) -> StreamingDenoiser:
+    """Per-``holder`` cache of a :func:`serving_denoiser`: rebuilt only
+    when ``key`` (the holder's STFT-config + chunk_steps identity)
+    changes.  ``bias_fn`` is read at denoise time, so live bias swaps
+    (``/reload``) never invalidate the cache.  One definition shared by
+    ``Synthesizer.synthesize_incremental`` and its tensor-parallel twin
+    so the cache-invalidation rule cannot drift between them."""
+    if getattr(holder, "_stream_den_key", None) != key:
+        holder._stream_den = serving_denoiser(
+            bias_fn, params, chunk_steps, upsample_stride)
+        holder._stream_den_key = key
+    return holder._stream_den
+
+
 class DenoiseBuffer:
     """Bounded raw-audio buffer for ONE denoising session.
 

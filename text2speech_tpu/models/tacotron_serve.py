@@ -76,7 +76,11 @@ def speaker_ids_array(speaker_id, batch: int, num_speakers: int):
         return None
     if isinstance(speaker_id, bool):
         raise ValueError("speaker_id must be an int, got bool")
-    ids = (np.full((batch,), speaker_id, np.int32) if np.isscalar(speaker_id)
+    # only INTEGRAL scalars broadcast; a float like 2.7 must not silently
+    # truncate to speaker 2 (np.full would cast) — let it fall through to
+    # the asarray branch, where the dtype-kind check rejects it
+    ids = (np.full((batch,), speaker_id, np.int32)
+           if isinstance(speaker_id, (int, np.integer))
            else np.asarray(speaker_id))
     if ids.dtype.kind not in "iu" or ids.shape != (batch,):
         raise ValueError(f"speaker_id must be an int or length-{batch} "

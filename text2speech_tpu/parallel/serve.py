@@ -229,21 +229,18 @@ class TPSynthesizer:
             sigma, seed, cs,
         )
         if denoiser_strength > 0:
-            from ..models.denoiser import (denoise_stream,
-                                           denoiser_stft_params,
-                                           serving_denoiser)
+            from ..models.denoiser import (cached_stream_denoiser,
+                                           denoise_stream,
+                                           denoiser_stft_params)
 
             kw = denoiser_kwargs or {}
             bkey = self.denoise_bias(kw)     # bias cached by config alone
-            skey = (bkey, cs)
-            if getattr(self, "_stream_den_key", None) != skey:
-                self._stream_den = serving_denoiser(
-                    lambda: self._denoise_biases[bkey],
-                    denoiser_stft_params(**kw),
-                    cs, self.wg_cfg.upsample_stride)
-                self._stream_den_key = skey
-            audio = denoise_stream(audio, self._stream_den,
-                                   denoiser_strength)
+            den = cached_stream_denoiser(
+                self, (bkey, cs),
+                lambda: self._denoise_biases[bkey],
+                denoiser_stft_params(**kw),
+                cs, self.wg_cfg.upsample_stride)
+            audio = denoise_stream(audio, den, denoiser_strength)
         yield from audio
 
     def synthesize_incremental_batch(self, texts, sigma: float = 0.666,

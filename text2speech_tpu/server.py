@@ -886,8 +886,7 @@ def make_server_tp(tps, *, slots: int = 8, chunk_steps: int = 64,
 
     denoiser = None
     if use_denoiser:
-        from .models.denoiser import (denoiser_stft_params, make_denoiser,
-                                      serving_denoiser)
+        from .models.denoiser import denoiser_stft_params, serving_denoiser
 
         kw = denoiser_kwargs or {}
         # per-config bias cache on the TPSynthesizer: the streaming path

@@ -44,8 +44,15 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, state: Any, step: int | None = None) -> tuple[Any, int]:
-        """Restore into the structure of ``state``; returns (state, step)."""
+    def restore(self, state: Any, step: int | None = None,
+                params_only: bool = False) -> tuple[Any, int]:
+        """Restore into the structure of ``state``; returns (state, step).
+
+        ``params_only=True`` restores step/params/batch_stats and keeps
+        ``state``'s freshly initialized opt_state — the escape hatch for
+        checkpoints whose optimizer layout no longer matches the current
+        :func:`..train.state.make_optimizer` chain (fine for inference and
+        fine-tune-from-weights; optimizer moments restart from zero)."""
         step = self.latest_step() if step is None else step
         if step is None:
             return state, 0
@@ -53,14 +60,29 @@ class CheckpointManager:
             "step": np.asarray(0),
             "params": state.params,
             "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
         }
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        if not params_only:
+            template["opt_state"] = state.opt_state
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except Exception as e:
+            if params_only:
+                raise
+            raise ValueError(
+                f"checkpoint at step {step} in {self.directory} does not "
+                "match the restore template. If the params themselves "
+                "match, the usual cause is an optimizer-layout change "
+                "(the opt_state pytree structure is part of the format); "
+                "restore(..., params_only=True) recovers the weights and "
+                "reinitializes the optimizer."
+            ) from e
         new_state = state.replace(
             step=jax.numpy.asarray(restored["step"]),
             params=restored["params"],
             batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
+            opt_state=(state.opt_state if params_only
+                       else restored["opt_state"]),
         )
         return new_state, int(restored["step"])
 

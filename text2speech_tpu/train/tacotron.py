@@ -248,8 +248,16 @@ class TacotronTrainer:
     def _fit(self, num_steps: int, log_every: int = 10):
         hp = self.hp
         if len(self.dataset) == 0:
+            # wav datasets carry .items; the npz feeder carries per-corpus
+            # file lists — count whichever this dataset has
+            n_utts = (
+                len(self.dataset.items)
+                if hasattr(self.dataset, "items")
+                else sum(len(c)
+                         for c in getattr(self.dataset, "corpus_files", ()))
+            )
             raise ValueError(
-                f"dataset yields 0 batches ({len(self.dataset.items)} "
+                f"dataset yields 0 batches ({n_utts} "
                 f"usable utterances < batch_size {self.dataset.batch_size})"
                 " — the epoch loop would spin forever")
         step = int(self.state.step)
