@@ -542,7 +542,11 @@ def main():
     # once chunk + overlap POSTNET-FINAL frames exist, and the mel stream
     # withholds a postnet receptive field (prf) behind the decode frontier,
     # so decode runs ceil((chunk + ov + prf) / chunk) whole chunks first;
-    # the vocoder then runs one window of chunk + 2*overlap frames.  Decode
+    # the vocoder then runs one FIRST window of chunk + overlap frames (the
+    # engine's first-window fast path: a window pinned at the utterance
+    # start needs no leading overlap, and the trailing ov frames of the
+    # steady-state chunk + 2*ov window are outside every emitted sample's
+    # receptive field — infer.incremental_vocode_stream_batch).  Decode
     # per-step time uses the batch-16 measurement — decode is
     # weight-streaming-bound, so B=1 per-step is <= the b16 figure (same
     # streamed weights, fewer rows).  Non-streaming baseline: the full
@@ -564,7 +568,7 @@ def main():
     _steps_first = -(-(_chunk + _ov + _prf) // _chunk) * _chunk
     _step_s = 16.0 / taco_fps            # decode seconds/step at b16
     first_audio_ms = 1000.0 * (
-        _steps_first * _step_s + (_chunk + 2 * _ov) * HOP / wg_sps
+        _steps_first * _step_s + (_chunk + _ov) * HOP / wg_sps
     )
     first_audio_ms_batch = 1000.0 * (
         _hp.max_decoder_steps * (_step_s + HOP / wg_sps)
@@ -572,14 +576,17 @@ def main():
     # 16 CONCURRENT streaming sessions (synthesize_incremental_batch): the
     # decode term is unchanged — _step_s already IS the b16 lockstep rate —
     # and the emission round's batched window vocode covers 16 windows.
-    # The 13x gap vs the single-stream figure is the vocode term: 16
+    # The ~13x gap vs the single-stream figure is the vocode term: 16
     # simultaneous starts emit 16 first windows in ONE batched call, so
     # the first byte waits for 16 windows of vocoder work (simultaneous-
     # start physics, not scheduler serialization — the continuous-batching
     # server staggers admissions into freed slots, paying ~1 window).
-    # Both terms are emitted so the record decomposes itself.
+    # The first-window fast path shrinks each of those 16 windows from
+    # chunk + 2*ov to chunk + ov frames (~1.6x less first-round work at
+    # default shapes).  Both terms are emitted so the record decomposes
+    # itself.
     _fa16_decode_ms = 1000.0 * _steps_first * _step_s
-    _fa16_vocode_ms = 1000.0 * 16 * (_chunk + 2 * _ov) * HOP / wg_sps
+    _fa16_vocode_ms = 1000.0 * 16 * (_chunk + _ov) * HOP / wg_sps
     first_audio_ms_16_sessions = _fa16_decode_ms + _fa16_vocode_ms
     # fully int8-quantized serving chain (int8 decoder weights + int8 WN
     # kernels)

@@ -168,6 +168,10 @@ def main():
                             denoiser_strength=wds if i == 0 else None)
                     while not srv.idle:
                         srv.step()
+                    # the masked-length short-utterance pass is reachable
+                    # by any client whose text gates under one vocoder
+                    # window — warm it too
+                    srv.warm_short_pass()
                     print("serving programs warmed in "
                           f"{time.perf_counter() - t0:.1f}s")
 

@@ -700,13 +700,19 @@ def test_toy_server_stats_account_rounds():
     assert 0 < st["active_row_steps"] <= st["row_steps"]
 
 
-def test_server_flush_band_sessions_use_exact_pass():
+@pytest.mark.parametrize("masked", [False, True])
+def test_server_flush_band_sessions_use_exact_pass(masked):
     """Regression (r3 review): a session that emitted ONE mid-stream
     window and then gate-stops shorter than a full vocoder window must
     flush through the exact-length pass (suffix-sliced) — the server
     mirrors the streaming engine's fix.  Toy decode (controlled lengths)
     through a REAL perturbed WaveGlow (a linear toy vocoder cannot see
-    the in-tensor zero-tail leak)."""
+    the in-tensor zero-tail leak).
+
+    ``masked=True`` additionally wires ``vocode_masked_fn`` (the
+    traced-length exact pass): the band and tiny sessions must produce
+    the same audio through ONE fixed-Wv-width program instead of one
+    exact-shape compile per distinct length."""
     from text2speech_tpu.config import WaveGlowConfig
     from text2speech_tpu.models.chunked import (draw_noise, noise_schedule,
                                                 receptive_overlap_frames)
@@ -741,6 +747,14 @@ def test_server_flush_band_sessions_use_exact_pass():
         return wg.apply(variables, mel, None, sigma, noise=noise,
                         method=WaveGlow.infer)
 
+    masked_prog = jax.jit(lambda v, mel, nz, sg, t: wg.apply(
+        v, mel, None, sg, noise=nz, length=t, method=WaveGlow.infer))
+    masked_calls: list[tuple[int, int]] = []
+
+    def vocode_masked_fn(mel, nz, sg, t):
+        masked_calls.append((int(mel.shape[-1]), int(t)))
+        return masked_prog(variables, mel, nz, sg, t)
+
     # toy decode: mel[c, k] = uid + k/10 + c/100; gate at stop_by_uid
     stop_by_uid = {0: 12, 1: 2, 2: 99}   # band / tiny / full-contract
 
@@ -771,6 +785,7 @@ def test_server_flush_band_sessions_use_exact_pass():
         admit_fn=admit_fn, init_batch_fn=init_batch_fn,
         decode_fn=decode_fn, postnet_fn=lambda w: jnp.zeros_like(w),
         vocode_fn=vocode_fn,
+        vocode_masked_fn=vocode_masked_fn if masked else None,
         key_fn=lambda seed: np.asarray(jax.random.split(
             jax.random.PRNGKey(seed), requested)),
         draw_noise_fn=lambda key: tuple(
@@ -778,6 +793,12 @@ def test_server_flush_band_sessions_use_exact_pass():
         retain_sessions=True,
     )
     wavs = srv.run([0, 1, 2])
+    if masked:
+        # both short sessions (band tl=13, tiny tl=3) rode the SAME
+        # fixed-width program — one compile covers every short length
+        assert sorted(t for _w, t in masked_calls) == [3, 13], masked_calls
+        assert {w for w, _t in masked_calls} == {srv.Wv}, masked_calls
+        assert masked_prog._cache_size() == 1
     for sid, uid in enumerate(stop_by_uid):
         s = srv.sessions[sid]
         tl = min(s.out_len, requested)
@@ -791,3 +812,45 @@ def test_server_flush_band_sessions_use_exact_pass():
                                    err_msg=f"uid {uid} (tl={tl})")
     # the band session really took the mid-stream-then-exact route
     assert srv.sessions[0].E == 13 and srv.stats["vocoder_calls"] >= 3
+
+
+def test_toy_server_first_window_fast_path():
+    """All-first vocode rounds (a simultaneous admission wave) run at the
+    shrunk Wv1 = cs + ov width; rounds that mix a joining session's first
+    window with mid-stream windows stay at Wv (one batched call, no
+    splitting); every session's audio is still exact."""
+    stop = {0: 7, 1: 99, 2: 99}   # uid 0 frees its slot; uid 2 joins late
+    srv = _toy_batcher(slots=2, stop_at_by_req=stop)
+    assert srv.Wv1 == srv.cs + srv.ov
+
+    widths: list[int] = []
+    inner = srv._vocode_fn
+
+    def recording_vocode(mel, noise, sigma):
+        widths.append(int(mel.shape[-1]))
+        return inner(mel, noise, sigma)
+
+    srv._vocode_fn = recording_vocode
+    sids = {uid: srv.submit(uid) for uid in (0, 1, 2)}
+
+    parts: dict[int, list] = {sid: [] for sid in sids.values()}
+    rounds = 0
+    while not srv.idle:
+        rounds += 1
+        assert rounds < 60, "server did not converge"
+        for ev in srv.step():
+            if not ev.final and ev.audio is not None:
+                parts[ev.sid].append(ev.audio)
+
+    # uids 0+1 admit together: their first vocode round is all-firsts
+    assert widths[0] == srv.Wv1, widths
+    # uid 2 joins a batch where uid 1 is mid-stream: mixed rounds (and all
+    # mid-stream rounds) run at the full window width
+    assert srv.Wv in widths, widths
+    assert set(widths) <= {srv.Wv1, srv.Wv}, widths
+
+    for uid, sid in sids.items():
+        audio = np.concatenate(parts[sid])
+        want, tl = _toy_expected(srv, uid, sid)
+        np.testing.assert_allclose(audio, want, atol=1e-4,
+                                   err_msg=f"uid {uid}")

@@ -9,6 +9,7 @@ break loop) + ``inference.py:80-95`` (mel -> waveform).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -413,7 +414,8 @@ def test_batch_vocode_engine_staggered_gates_toy():
         np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=f"row {b}")
 
 
-def test_flush_band_rows_use_exact_pass():
+@pytest.mark.parametrize("masked", [False, True])
+def test_flush_band_rows_use_exact_pass(masked):
     """Regression (r3 review, execution-confirmed): a row whose true
     length lands in [cs+ov, cs+2ov) emits ONE mid-stream window and then
     flushes shorter than a full window.  The flush must run the
@@ -421,7 +423,12 @@ def test_flush_band_rows_use_exact_pass():
     in-tensor zero tail corrupts the last ~ov frames — zero mel+noise are
     real frames to the flows, not conv padding.  Perturbed (trained-like)
     params; zero-init end convs would make the couplings identity and
-    hide the leak."""
+    hide the leak.
+
+    ``masked=True`` routes the flush through the engine's masked-length
+    pass (``vocode_masked_fn``, the Synthesizer's default on the plain
+    path): same audio across the whole band through ONE fixed-width
+    program instead of one exact-shape compile per distinct length."""
     from text2speech_tpu.config import WaveGlowConfig
     from text2speech_tpu.infer import incremental_vocode_stream
     from text2speech_tpu.models.chunked import (draw_noise,
@@ -457,6 +464,14 @@ def test_flush_band_rows_use_exact_pass():
             variables, mel, None, sigma, noise=noise,
             method=WaveGlow.infer))
 
+    masked_prog = jax.jit(lambda v, mel, nz, sg, t: wg.apply(
+        v, mel, None, sg, noise=nz, length=t, method=WaveGlow.infer))
+    masked_widths: list[int] = []
+
+    def vocode_masked_fn(mel, nz, sg, t):
+        masked_widths.append(int(mel.shape[-1]))
+        return masked_prog(variables, mel, nz, sg, t)
+
     def run(true_len, requested=24, seed=5, sigma=0.8):
         rs = np.random.RandomState(1)
         mel_true = rs.randn(1, WGS.n_mel_channels, requested).astype(
@@ -471,7 +486,9 @@ def test_flush_band_rows_use_exact_pass():
                        total >= requested)
 
         got = np.concatenate(list(incremental_vocode_stream(
-            WGS, mel_stream(), vocode_fn, sigma, seed, cs)), axis=-1)
+            WGS, mel_stream(), vocode_fn, sigma, seed, cs,
+            vocode_masked_fn=vocode_masked_fn if masked else None,
+        )), axis=-1)
 
         # single-pass reference with the engine's own noise stream
         key = jax.random.PRNGKey(seed + 1)
@@ -496,3 +513,93 @@ def test_flush_band_rows_use_exact_pass():
     for tl in range(cs + ov, W + 1):
         run(tl)
     run(W + 3)
+    if masked:
+        # every band length rode the SAME fixed-width masked program:
+        # one compile instead of one per distinct short length
+        assert masked_widths and set(masked_widths) == {W}, masked_widths
+        assert masked_prog._cache_size() == 1
+
+
+def test_first_window_fast_path_widths_and_equality():
+    """First-audio fast path: an all-first emission round vocodes at width
+    cs+ov (a window pinned at the utterance start emits [0, cs) whose
+    receptive field ends at cs+ov — the trailing ov frames of the fixed
+    cs+2ov window are pure zero-fill compute); mid-stream rounds stay at
+    cs+2ov; emitted audio is unchanged (equals a single-pass toy vocode
+    of each row with its slice of the batch noise stream)."""
+    import jax
+
+    from text2speech_tpu.infer import incremental_vocode_stream_batch
+    from text2speech_tpu.models.chunked import (
+        draw_noise,
+        receptive_overlap_frames,
+    )
+    from tests.test_synthesizer import WG as cfg
+
+    hop = cfg.upsample_stride
+    gpf = hop // cfg.n_group
+    ov = receptive_overlap_frames(cfg)
+    r = min(ov, 2)
+    n_mel = cfg.n_mel_channels
+    cs = 4
+    requested = 40
+    seed = 11
+    B = 2
+
+    rng = np.random.RandomState(2)
+    mel = rng.randn(B, n_mel, requested).astype(np.float32)
+    widths: list[int] = []
+
+    def toy_vocode(m, noise, sigma):
+        m = np.asarray(m, np.float32)
+        widths.append(m.shape[-1])
+        _, _, F = m.shape
+        pad = np.pad(m, ((0, 0), (0, 0), (r, r)))
+        sm = np.stack(
+            [pad[:, :, i : i + F] for i in range(2 * r + 1)], 0
+        ).mean(axis=(0, 2))
+        audio = np.repeat(sm, hop, axis=-1)
+        n0 = np.asarray(noise[0], np.float32).mean(-1)
+        return audio + sigma * np.repeat(n0, cfg.n_group, axis=-1)
+
+    def mel_stream():
+        total = 0
+        while total < requested:
+            chunk = mel[:, :, total : total + cs]
+            total += cs
+            out_len = np.asarray([requested] * B, np.int64)
+            yield chunk, out_len, total >= requested
+
+    emissions = list(incremental_vocode_stream_batch(
+        cfg, mel_stream(), toy_vocode, 0.8, seed, cs
+    ))
+
+    # the first vocode call is the all-first round at the shrunk width;
+    # every other windowed call is full width (long rows never take the
+    # exact-length pass, so {cs+ov, cs+2ov} are the only widths)
+    assert widths[0] == cs + ov, widths
+    assert set(widths[1:]) == {cs + 2 * ov}, widths
+
+    key = jax.random.PRNGKey(seed + 1)
+    parts, ci, total = None, 0, 0
+    while total < requested:
+        nz = draw_noise(cfg, jax.random.fold_in(key, ci), B, cs * gpf)
+        ci += 1
+        parts = (
+            [np.asarray(z) for z in nz] if parts is None
+            else [np.concatenate([a, np.asarray(z)], axis=1)
+                  for a, z in zip(parts, nz)]
+        )
+        total += cs
+
+    for b in range(B):
+        got = np.concatenate(
+            [ch for rr, ch in emissions if rr == b], axis=-1
+        )
+        ref = toy_vocode(
+            mel[b : b + 1],
+            tuple(p[b : b + 1] for p in parts),
+            0.8,
+        )[0]
+        assert got.shape == ref.shape, (b, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=f"row {b}")

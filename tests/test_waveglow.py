@@ -203,3 +203,59 @@ def test_remat_same_params_and_grads():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_infer_masked_length_matches_exact(model_and_vars):
+    """infer(zero-padded, length=t)[:, :t*hop] equals infer on exact
+    t-frame inputs: the traced-length mask re-zeroes every WN hidden
+    state past the valid length, so the in-tensor zero tail contributes
+    exactly what the conv zero padding of an exact-length call would.
+    ONE fixed-width program then serves every short-utterance length in
+    the serving exact-pass path (otherwise one multi-minute tunnel
+    compile per distinct length).  End convs are perturbed — zero-init
+    couplings are identity and would hide a leak."""
+    from text2speech_tpu.models.chunked import draw_noise
+
+    model, variables = model_and_vars
+    prng = np.random.RandomState(7)
+    params = jax.tree.map(
+        lambda x: x + 0.02 * prng.randn(*x.shape).astype(np.float32),
+        variables["params"],
+    )
+    W = 12
+    hop = CFG.upsample_stride
+    gpf = hop // CFG.n_group
+    rng = np.random.RandomState(8)
+    mel_true = rng.randn(1, CFG.n_mel_channels, W).astype(np.float32)
+    noise = tuple(
+        np.asarray(z)
+        for z in draw_noise(CFG, jax.random.PRNGKey(5), 1, W * gpf)
+    )
+
+    masked = jax.jit(lambda p, m, nz, t: model.apply(
+        {"params": p}, m, None, 0.8, noise=nz, length=t,
+        method=WaveGlow.infer))
+
+    for tl in (3, 5, 8, 12):
+        mel_pad = mel_true.copy()
+        mel_pad[:, :, tl:] = 0.0
+        nz_pad = tuple(
+            np.concatenate(
+                [z[:, : tl * gpf], np.zeros_like(z[:, tl * gpf :])], axis=1
+            )
+            for z in noise
+        )
+        got = np.asarray(
+            masked(params, mel_pad, nz_pad, jnp.int32(tl))
+        )[0, : tl * hop]
+        exact = np.asarray(model.apply(
+            {"params": params}, mel_true[:, :, :tl], None, 0.8,
+            noise=tuple(z[:, : tl * gpf] for z in noise),
+            method=WaveGlow.infer,
+        ))[0]
+        assert got.shape == exact.shape, (tl, got.shape, exact.shape)
+        np.testing.assert_allclose(got, exact, atol=1e-5,
+                                   err_msg=f"tl={tl}")
+
+    # the whole length range rode ONE compiled program
+    assert masked._cache_size() == 1

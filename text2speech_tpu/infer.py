@@ -96,7 +96,8 @@ def chunked_mel_stream(hp, carry, decode_fn, postnet_fn, requested: int,
 
 def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
                                     sigma: float, seed: int,
-                                    chunk_steps: int):
+                                    chunk_steps: int,
+                                    vocode_masked_fn=None):
     """Multi-stream streaming-vocode engine: turn a BATCHED chunked mel
     stream (B concurrent utterances decoded in one lockstep scan) into
     per-row waveform chunks, yielding ``(row, chunk)`` pairs.
@@ -129,8 +130,12 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
       ``[0, true_len_r]`` (left edge clamps to the start, right edge to
       the row's end);
     * a row shorter than one window (``true_len <= W`` before any
-      emission) vocodes its exact length in one pass (one compile per
-      distinct short length).
+      emission) vocodes its exact length in one pass.  With
+      ``vocode_masked_fn`` (the Synthesizer's default on the plain
+      vocoder path) that pass is a masked-length program at the fixed
+      window width — the true length is a TRACED scalar, so every
+      distinct short length rides ONE compiled program; without it,
+      each distinct short length compiles its own exact-shape program.
 
     Each emission round stacks the ready rows' windows host-side into
     ``[B, n_mel, W]`` batches (padding a short round by repeating its
@@ -145,6 +150,7 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
     ov = receptive_overlap_frames(cfg)
     cs = chunk_steps
     W = cs + 2 * ov                    # vocoder window width, frames
+    W1 = cs + ov                       # first-window width (ws pinned at 0)
 
     key = jax.random.PRNGKey(seed + 1)
     noise_parts: list | None = None
@@ -159,7 +165,7 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
             if len(mel_parts) > 1 else mel_parts[0]
         )
 
-    def run_windows(tasks):
+    def run_windows(tasks, width):
         """tasks: (row, ws, keep_from, keep_to, f_lim) window specs; one
         batched vocode call per group of B, window content zero-filled
         outside [0, f_lim) — the conv zero padding."""
@@ -169,13 +175,13 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
             group = tasks[g0 : g0 + B]
             pad_n = B - len(group)
             rows = group + [group[0]] * pad_n      # repeat = discarded
-            wmel = np.zeros((B, mel.shape[1], W), np.float32)
+            wmel = np.zeros((B, mel.shape[1], width), np.float32)
             wnoise = [
-                np.zeros((B, W * gpf, comp.shape[-1]), np.float32)
+                np.zeros((B, width * gpf, comp.shape[-1]), np.float32)
                 for comp in noise_parts
             ]
             for j, (r, ws, _kf, _kt, fl) in enumerate(rows):
-                s, e = max(ws, 0), min(ws + W, fl)
+                s, e = max(ws, 0), min(ws + width, fl)
                 wmel[j, :, s - ws : e - ws] = mel[r, :, s:e]
                 for z, comp in zip(wnoise, noise_parts):
                     z[j, (s - ws) * gpf : (e - ws) * gpf] = (
@@ -189,6 +195,24 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
                 yield r, audio[j, (kf - ws) * hop : (kt - ws) * hop]
 
     def vocode_exact(r, tl):
+        if vocode_masked_fn is not None:
+            # masked-length pass: pad to the fixed window width and pass
+            # the true length TRACED — one compiled program serves every
+            # short length (vs one exact-shape compile per distinct tl);
+            # the in-tensor zero tail is made exactly equivalent to the
+            # conv zero padding of the exact call by WaveGlow.infer's
+            # per-layer re-zeroing (tests/test_waveglow.py pins it)
+            mel = mel_cat()
+            wmel = np.zeros((1, mel.shape[1], W), np.float32)
+            wmel[0, :, :tl] = mel[r, :, :tl]
+            nz = []
+            for comp in noise_parts:
+                z = np.zeros((1, W * gpf, comp.shape[-1]), np.float32)
+                z[0, : tl * gpf] = comp[r, : tl * gpf]
+                nz.append(jnp.asarray(z))
+            return np.asarray(vocode_masked_fn(
+                jnp.asarray(wmel), tuple(nz), sigma, tl
+            ))[0, : tl * hop]
         mel = jnp.asarray(mel_cat()[r : r + 1, :, :tl])
         nz = tuple(
             jnp.asarray(z[r : r + 1, : tl * gpf]) for z in noise_parts
@@ -255,13 +279,26 @@ def incremental_vocode_stream_batch(cfg, mel_stream, vocode_fn,
                         E[r] = kt
                 flushed[r] = True
         if tasks:
-            yield from run_windows(tasks)
+            # First-window fast path: a window pinned at the utterance
+            # start (ws=0) emitting [kf, kt) with kt <= cs needs only
+            # kt + ov <= W1 frames of real context — the trailing ov
+            # frames of the fixed W window would be pure zero-fill
+            # outside every emitted sample's receptive field.  Shrinking
+            # it cuts the FIRST vocode round (the whole of first-audio
+            # latency for simultaneous starts) by ~ov/W ≈ 38% at default
+            # shapes.  Only all-first rounds shrink: a mixed round stays
+            # at W so it still batches into the minimum number of calls.
+            if all(t[1] == 0 and t[3] <= cs for t in tasks):
+                yield from run_windows(tasks, W1)
+            else:
+                yield from run_windows(tasks, W)
         for r, e0, tl in shorts:
             yield r, vocode_exact(r, tl)[e0 * hop :]
 
 
 def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
-                              seed: int, chunk_steps: int):
+                              seed: int, chunk_steps: int,
+                              vocode_masked_fn=None):
     """Single-stream streaming-vocode engine: turn a chunked mel stream
     into waveform chunks with receptive-field windows over
     position-consistent noise.  Used by
@@ -278,7 +315,8 @@ def incremental_vocode_stream(cfg, mel_stream, vocode_fn, sigma: float,
     case of :func:`incremental_vocode_stream_batch` (one engine, pinned by
     the toy-vocoder contract test in ``tests/test_streaming.py``)."""
     for _row, chunk in incremental_vocode_stream_batch(
-        cfg, mel_stream, vocode_fn, sigma, seed, chunk_steps
+        cfg, mel_stream, vocode_fn, sigma, seed, chunk_steps,
+        vocode_masked_fn=vocode_masked_fn,
     ):
         yield chunk
 
@@ -414,6 +452,26 @@ class Synthesizer:
 
         self._decode_chunk = jax.jit(decode_chunk_fn)
         self._vocode_window = jax.jit(vocode_window_fn)
+
+        # Exact-pass program for sessions shorter than one vocoder window:
+        # ONE fixed-width masked-length program (WaveGlow.infer(length=...),
+        # length TRACED) serves ALL short lengths — without it every
+        # distinct short-utterance length compiles its own exact-shape
+        # program (up to ~W programs, minutes each over the TPU tunnel,
+        # stalling the serving scheduler thread).  Plain path only: the
+        # fused/int8 Pallas kernels take a static n_valid, so those chains
+        # keep the per-length exact pass.
+        if self.int8_vocoder or self.use_fused_vocoder:
+            self._vocode_masked = None
+        else:
+
+            def vocode_masked_fn(variables, mel, noise, sigma, length):
+                return wg.apply(
+                    variables, mel, None, sigma, noise=noise,
+                    length=length, method=WaveGlow.infer,
+                )
+
+            self._vocode_masked = jax.jit(vocode_masked_fn)
 
         if self.quantized_decode:
             from .models.tacotron_serve import (
@@ -793,6 +851,7 @@ class Synthesizer:
                 self._vocode_window(self._wg_serve_vars, mel, nz, sg)
             ),
             sigma, seed, chunk_steps,
+            vocode_masked_fn=self._masked_vocode_handle(),
         )
         if denoiser_strength > 0:
             if self._denoise_bias is None:
@@ -838,6 +897,18 @@ class Synthesizer:
                 self._vocode_window(self._wg_serve_vars, mel, nz, sg)
             ),
             sigma, seed, chunk_steps,
+            vocode_masked_fn=self._masked_vocode_handle(),
+        )
+
+    def _masked_vocode_handle(self):
+        """Bound masked-length exact-pass handle for the streaming engine /
+        server (None on fused/int8 chains — their kernels take a static
+        n_valid).  Weights are read at call time, so checkpoint swaps take
+        effect with zero recompiles like every other serving program."""
+        if self._vocode_masked is None:
+            return None
+        return lambda mel, nz, sg, tl: np.asarray(
+            self._vocode_masked(self._wg_serve_vars, mel, nz, sg, tl)
         )
 
     def synthesize_to_files(self, texts, paths, sample_rate=None, **kw):

@@ -190,9 +190,19 @@ class WN(nn.Module):
     conv_impl: str = "xla_conv"
 
     @nn.compact
-    def __call__(self, audio_half: jnp.ndarray, spect: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, audio_half: jnp.ndarray, spect: jnp.ndarray,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """``mask``: optional ``[*, T, 1]`` validity mask (True = real
+        position).  When given, the hidden state is re-zeroed before every
+        dilated conv, so positions past the valid length contribute exactly
+        what the conv zero padding of an exact-length call would — ONE
+        fixed-width program then serves any *traced* valid length (the
+        serving exact-pass path, ``WaveGlow.infer(length=...)``), instead
+        of one XLA program per distinct short-utterance length."""
         C, L = self.n_channels, self.n_layers
         x = WNConv(C, 1, dtype=self.dtype, name="start")(audio_half)
+        if mask is not None:
+            x = jnp.where(mask, x, jnp.zeros_like(x))
 
         # All layers' conditioning projections as one fused matmul
         # (equivalent to the reference's per-layer cond_layers).
@@ -212,6 +222,8 @@ class WN(nn.Module):
             )(acts)
             if i < L - 1:
                 x = x + res_skip[..., :C]
+                if mask is not None:
+                    x = jnp.where(mask, x, jnp.zeros_like(x))
                 output = output + res_skip[..., C:]
             else:
                 output = output + res_skip
@@ -352,6 +364,7 @@ class WaveGlow(nn.Module):
         key: jax.Array | None,
         sigma: float = 1.0,
         noise: tuple[jnp.ndarray, ...] | None = None,
+        length: jnp.ndarray | int | None = None,
     ):
         """mel [B, n_mel, frames] -> audio [B, samples]
         (``glow.py:251-292``): run flows in reverse from Gaussian noise,
@@ -363,10 +376,27 @@ class WaveGlow(nn.Module):
         by one [B, T_g, n_early_size] draw per early-injection point in
         consumption order (descending k with k % n_early_every == 0, k > 0 —
         the order ``glow.py:270-289`` consumes them).
+
+        ``length`` (optional, TRACED): valid mel frames.  The input must be
+        zero-padded past ``length`` (mel AND noise); every WN hidden state
+        is re-zeroed past it before each dilated conv, which makes the
+        in-tensor zero tail contribute exactly what the conv zero padding
+        of an exact ``length``-frame call contributes — so
+        ``infer(padded, ..., length=t)[:, :t*hop]`` equals
+        ``infer(exact_t,...)`` and ONE fixed-width compiled program serves
+        every short-utterance length in serving (the exact-pass path used
+        for sessions shorter than one vocoder window, which otherwise
+        costs one multi-minute tunnel compile per distinct length).
         """
         cfg = self.cfg
         cond = self._upsample_group_spect(spect, None)
         B, T_g, _ = cond.shape
+        mask = None
+        if length is not None:
+            gpf = cfg.upsample_stride // cfg.n_group
+            mask = (
+                jnp.arange(T_g)[None, :, None] < length * gpf
+            )
 
         noise_iter = iter(noise) if noise is not None else None
 
@@ -389,7 +419,7 @@ class WaveGlow(nn.Module):
         for k in reversed(range(cfg.n_flows)):
             n_half = x.shape[-1] // 2
             x0, x1 = x[..., :n_half], x[..., n_half:]
-            wn_out = self.wn[k](x0, cond)
+            wn_out = self.wn[k](x0, cond, mask)
             b = wn_out[..., :n_half]
             s = wn_out[..., n_half:]
             x1 = (x1 - b) * jnp.exp(-s)

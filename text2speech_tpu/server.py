@@ -11,7 +11,11 @@ slots mid-flight (continuous batching, the same scheduling idea as modern
 LLM serving engines, applied to TTS):
 
 * **Static shapes everywhere** — one decode compile (``[B]`` rows x
-  ``chunk_steps``), one postnet-window compile, one vocoder-window compile;
+  ``chunk_steps``), one postnet-window compile, two vocoder-window compiles
+  (the steady-state ``chunk + 2*ov`` width and the first-window fast-path
+  ``chunk + ov`` width), plus ONE masked-length exact-pass program covering
+  every session shorter than a window (``vocode_masked_fn`` — the true
+  length is a traced scalar, so distinct short lengths never recompile);
   admission writes a session's encoder memory / decoder carry into its slot
   row with a jitted ``dynamic_update_index_in_dim`` tree update (slot index
   is a traced argument, so admissions never retrace).
@@ -167,6 +171,7 @@ class ContinuousBatcher:
                  noise_widths: tuple[int, ...], sigma: float,
                  admit_fn, init_batch_fn, decode_fn, postnet_fn, vocode_fn,
                  key_fn, draw_noise_fn, vocode_exact_fn=None,
+                 vocode_masked_fn=None,
                  draw_noise_batch_fn=None,
                  validate_fn=None, retain_sessions: bool = False,
                  denoiser=None):
@@ -187,12 +192,18 @@ class ContinuousBatcher:
         self.sigma = sigma
         self.Wp = chunk_steps + 2 * prf     # postnet window, frames
         self.Wv = chunk_steps + 2 * ov      # vocoder window, frames
+        self.Wv1 = chunk_steps + ov         # first-window width (ws = 0)
 
         self._admit_fn = admit_fn
         self._decode_fn = decode_fn
         self._postnet_fn = postnet_fn
         self._vocode_fn = vocode_fn
         self._vocode_exact_fn = vocode_exact_fn or vocode_fn
+        # optional masked-length exact pass (mel, noise, sigma, length):
+        # ONE fixed-width program serves every session shorter than one
+        # vocoder window (vs one exact-shape compile per distinct length,
+        # minutes each over the tunnel, ON the scheduler thread)
+        self._vocode_masked_fn = vocode_masked_fn
         self._key_fn = key_fn
         self._draw_noise_fn = draw_noise_fn
         self._draw_noise_batch_fn = draw_noise_batch_fn
@@ -584,9 +595,21 @@ class ContinuousBatcher:
         """Batched vocode over fixed receptive-field windows of each slot's
         postnet output with its own noise stream; same pinning rules as the
         lockstep engine (window real-fill bounded by the row's true length,
-        start clamped to 0, flush windows pinned inside the utterance)."""
+        start clamped to 0, flush windows pinned inside the utterance).
+
+        First-window fast path (mirrors the lockstep engine): a round whose
+        windows are ALL pinned at their session start (ws=0, kt <= chunk)
+        runs at width ``Wv1 = chunk + ov`` — the trailing ``ov`` frames of
+        the fixed ``Wv`` window are outside every emitted sample's
+        receptive field, so dropping them cuts the first vocode round of a
+        simultaneous admission wave ~38% at default shapes.  Mixed rounds
+        (staggered joins sharing a round with mid-stream windows) stay at
+        ``Wv`` so they still batch into the minimum number of calls."""
         if not tasks:
             return
+        width = (self.Wv1
+                 if all(t[1] == 0 and t[3] <= self.cs for t in tasks)
+                 else self.Wv)
         # sigma enters the flows ONLY as sigma * noise (waveglow.py infer,
         # waveglow_fused.py likewise), so per-session sigma is applied by
         # pre-scaling each row's noise on the host (an identical IEEE f32
@@ -596,13 +619,13 @@ class ContinuousBatcher:
         for g0 in range(0, len(tasks), B):
             group = tasks[g0 : g0 + B]
             rows = group + [group[0]] * (B - len(group))
-            wmel = np.zeros((B, self.n_mel, self.Wv), np.float32)
+            wmel = np.zeros((B, self.n_mel, width), np.float32)
             wnoise = [
-                np.zeros((B, self.Wv * self.gpf, w), np.float32)
+                np.zeros((B, width * self.gpf, w), np.float32)
                 for w in self.noise_widths
             ]
             for j, (s, ws, _kf, _kt, fl) in enumerate(rows):
-                lo, e = max(ws, 0), min(ws + self.Wv, fl)
+                lo, e = max(ws, 0), min(ws + width, fl)
                 post = s.post_cat()
                 wmel[j, :, lo - ws : e - ws] = post[:, lo:e]
                 comps = self._sess_noise(s, e)
@@ -618,6 +641,21 @@ class ContinuousBatcher:
                 yield s, audio[
                     j, (kf - ws) * self.hop : (kt - ws) * self.hop]
 
+    def warm_short_pass(self) -> None:
+        """Compile the masked-length exact-pass program (if configured)
+        with one throwaway call, so the first SHORT session (true length
+        under one vocoder window) doesn't compile inside :meth:`step` on
+        the scheduler thread.  The scheduler-session warmup can't reach
+        this program unless its warmup text happens to gate early."""
+        if self._vocode_masked_fn is None:
+            return
+        wmel = jnp.zeros((1, self.n_mel, self.Wv), jnp.float32)
+        nz = tuple(
+            jnp.zeros((1, self.Wv * self.gpf, w), jnp.float32)
+            for w in self.noise_widths
+        )
+        np.asarray(self._vocode_masked_fn(wmel, nz, 1.0, 1))
+
     def _vocode_short(self, s: _Session, tl: int) -> np.ndarray:
         """A session shorter than one window vocodes its exact length in
         one pass (zero-filling the window tail is NOT conv padding for the
@@ -627,6 +665,22 @@ class ContinuousBatcher:
         post = s.post_cat()[:, :tl]
         comps = self._sess_noise(s, tl)
         sg = np.float32(s.sigma)     # same pre-scaling rule as _run_vocoder
+        if self._vocode_masked_fn is not None:
+            # masked-length pass: pad to the fixed Wv width, pass the true
+            # length TRACED — one compiled program covers every short
+            # session length (WaveGlow.infer(length=...); equivalence
+            # pinned in tests/test_waveglow.py)
+            wmel = np.zeros((1, self.n_mel, self.Wv), np.float32)
+            wmel[0, :, :tl] = post
+            nz = []
+            for c, w in zip(comps, self.noise_widths):
+                z = np.zeros((1, self.Wv * self.gpf, w), np.float32)
+                z[0, : tl * self.gpf] = sg * c[: tl * self.gpf]
+                nz.append(jnp.asarray(z))
+            audio = np.asarray(self._vocode_masked_fn(
+                jnp.asarray(wmel), tuple(nz), 1.0, tl))
+            self.stats["vocoder_calls"] += 1
+            return audio[0, : tl * self.hop]
         nz = tuple(
             jnp.asarray(sg * c[None, : tl * self.gpf]) for c in comps
         )
@@ -793,6 +847,7 @@ def make_server(synth, *, slots: int = 8, chunk_steps: int = 64,
             synth.taco_variables, wins),
         vocode_fn=lambda mel, nz, sg: synth._vocode_window(
             synth._wg_serve_vars, mel, nz, sg),
+        vocode_masked_fn=synth._masked_vocode_handle(),
         key_fn=key_fn, draw_noise_fn=draw_noise_fn,
         draw_noise_batch_fn=draw_noise_batch_fn,
         validate_fn=validate_fn, retain_sessions=retain_sessions,
