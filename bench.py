@@ -1,8 +1,22 @@
 #!/usr/bin/env python
 """Benchmark: TTS throughput on the attached TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Output protocol (round 5 — BENCH_r04 was an rc=124 timeout with an EMPTY
+tail, so the record must survive being killed mid-run):
+
+- Each section prints ONE self-contained JSON line the moment its number
+  exists: ``{"bench_section": name, <metric keys>, "elapsed_s": ...}`` —
+  a truncated run's tail still carries every completed measurement.
+- The LAST line is the aggregate the driver parses:
+  ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras,
+  "truncated": [skipped sections]}``.
+- A wall-clock budget (``T2S_BENCH_BUDGET_S``, default 1500 s, counted from
+  process start INCLUDING the TPU-tunnel wait) is checked between sections
+  against a conservative cold-cache cost estimate per section; sections that
+  don't fit are skipped, listed in ``truncated``, and the aggregate still
+  prints.  Sections run headline-first (chip calibration -> vocoder
+  bf16/int8 -> tacotron decode -> training -> preprocess) so a bad-tunnel
+  day degrades from the tail, never the headline.
 
 Methodology: the device sits behind a high-latency tunnel where per-dispatch
 wall timing mostly measures RPC latency, so each stage is timed by **batch
@@ -15,6 +29,11 @@ Primary metric: WaveGlow vocoder samples/sec/chip vs the only published
 reference number (2.75e6 samples/sec on V100, waveglow/README.md:15-17).
 Extras: Tacotron mel frames/sec and the end-to-end real-time factor
 (north-star target >50x realtime per chip, BASELINE.json).
+
+The retracted int8-decode A/B (a documented wash at b16/b64 — CLAUDE.md
+"Measured numbers", docs/KERNELS.md appendix) is no longer re-measured every
+round; ``benchmarks/train_bench.py`` and the serving policy keep the
+capability and the crossover rule.
 """
 
 from __future__ import annotations
@@ -26,6 +45,17 @@ import time
 import numpy as np
 
 import jax
+
+_T0 = time.time()
+BUDGET_S = float(os.environ.get("T2S_BENCH_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - _T0)
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -251,7 +281,9 @@ def bench_tacotron(batch: int = 16, t_in: int = 128, base_steps: int = 400):
 
 def bench_tacotron_int8(batch: int = 16, t_in: int = 128,
                         base_steps: int = 400):
-    """Decode throughput with int8-quantized decoder weights
+    """ON-DEMAND since round 5 (not in the driver record): the int8-decode
+    A/B is a documented wash and re-measuring it cost two cold compiles per
+    round (VERDICT r4 weak #1).  Decode throughput with int8-quantized decoder weights
     (models/tacotron_serve.py): decode is weight-streaming-bound, so int8
     storage halves the per-step HBM traffic — via TRUE int8 MXU dots
     (row-quantized activations, `_qdot`); an LSTM-only scan measures
@@ -358,7 +390,11 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050,
     from scipy.io import wavfile
 
     from text2speech_tpu.config import HParams
-    from text2speech_tpu.data.preprocess import preprocess_corpus
+    from text2speech_tpu.data.preprocess import (
+        choose_trim_impl,
+        preprocess_corpus,
+        probe_trim_costs,
+    )
 
     _sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
@@ -381,25 +417,34 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050,
         with open(f"{root}/transcript.txt", "w", encoding="utf-8") as f:
             f.write("\n".join(lines))
         out = f"{root}/out"
+        # resolve the auto trim placement ONCE up front (what the default
+        # CLI path does; the probe caches per-process) so the timed runs
+        # measure the auto-selected configuration without re-probing, and
+        # so the transfer-bound model below matches the chosen path
+        h2d0, host_sps = probe_trim_costs(hp)
+        impl = choose_trim_impl(h2d0, host_sps, float(n))
         # warm the device program on a copy-shaped run, then time
-        meta = preprocess_corpus(hp, root, out, device_batch=16)
+        meta = preprocess_corpus(hp, root, out, device_batch=16,
+                                 trim_impl=impl)
         fps_runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            meta = preprocess_corpus(hp, root, out, device_batch=16)
+            meta = preprocess_corpus(hp, root, out, device_batch=16,
+                                     trim_impl=impl)
             fps_runs.append(
                 sum(int(m[4]) for m in meta) / (time.perf_counter() - t0))
         frames = sum(int(m[4]) for m in meta)
         med = float(np.median(fps_runs))
 
         # transfer-bound model for THIS corpus (mirrors preprocess_corpus's
-        # upload/drain shapes): the default device trim uploads audio twice
-        # (bounds pass + padded STFT pass, both 16384-sample-bucketed); the
-        # drain ships f32 mel+linear sliced to the 16-frame-bucketed extent
+        # upload/drain shapes): device trim uploads audio twice (bounds
+        # pass + padded STFT pass, both 16384-sample-bucketed), host trim
+        # once; the drain ships f32 mel+linear sliced to the
+        # 16-frame-bucketed extent
         h2d_mbs, d2h_mbs = bw_link()
         pad = hp.filter_length // 2
         bucket = 16384
-        t_trim = -(-n // bucket) * bucket
+        t_trim = (-(-n // bucket) * bucket) if impl == "device" else 0
         t_stft = -(-(n + 2 * pad) // bucket) * bucket
         f_item = -(-(1 + n // hp.hop_length) // 16) * 16
         n_spec = hp.n_mel_channels + hp.filter_length // 2 + 1
@@ -412,6 +457,7 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050,
             "fps_runs": [round(f, 1) for f in fps_runs],
             "spread_pct": round(
                 100.0 * (max(fps_runs) - min(fps_runs)) / med, 1),
+            "trim_impl_auto": impl,
             "link_h2d_MBps": round(h2d_mbs, 1),
             "link_d2h_MBps": round(d2h_mbs, 1),
             "derived_transfer_bound_fps": round(bound, 1),
@@ -450,22 +496,20 @@ def bench_preprocess_device(batch: int = 128, seconds: float = 3.0, sr: int = 22
     return frames_per_item / sec_per_item
 
 
-def bench_preprocess_cpu_baseline():
+def bench_preprocess_cpu_baseline(timeout_s: float = 420.0):
     """Reference CPU chain (kss.py:45-160 numpy re-timing) on THIS host —
-    the denominator for the preprocess metrics."""
+    the denominator for the preprocess metrics.  Subprocess timeout is
+    bounded by the caller's remaining budget."""
     import subprocess
     import sys
 
-    try:
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "benchmarks", "preprocess_cpu_baseline.py")],
-            capture_output=True, text=True, timeout=600, check=True,
-        )
-        return float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
-    except Exception:
-        return None
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "benchmarks", "preprocess_cpu_baseline.py")],
+        capture_output=True, text=True, timeout=timeout_s, check=True,
+    )
+    return float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
 
 
 def _wait_for_tpu(max_wait_s: float = 5400.0, probe_timeout_s: float = 180.0):
@@ -503,37 +547,134 @@ def _wait_for_tpu(max_wait_s: float = 5400.0, probe_timeout_s: float = 180.0):
         time.sleep(60)
 
 
-def main():
-    _wait_for_tpu()
-    chip_tflops = bench_chip_calibration()
-    wg_sps = bench_waveglow()
-    wg_sps_int8 = bench_waveglow_int8()
-    taco_fps = bench_tacotron()
-    taco_fps_64 = bench_tacotron(batch=64)
-    taco_fps_int8 = bench_tacotron_int8()
-    taco_fps_int8_64 = bench_tacotron_int8(batch=64)
-    pp = bench_preprocess()
-    pp_dev_fps = bench_preprocess_device()
-    pp_cpu_fps = bench_preprocess_cpu_baseline()
+def _run_sections(sections):
+    """Run (name, est_cold_s, fn) tuples under the wall-clock budget.
 
-    # training-step throughput (VERDICT r3 #2: the driver record must
-    # witness the train claims, not builder-session runs) — the exact
-    # benchmarks/train_bench.py programs at their documented shapes:
-    # WaveGlow at the reference config (599k samples/s, 59% MFU claimed),
-    # Tacotron f32 b8 (182k frames/s) and bf16 b32 (374k, the plateau)
+    A section is skipped when the remaining budget can't cover its
+    conservative cold-cache estimate (compiles can't be preempted once
+    started, so the check is up-front); skips and errors each emit their
+    own JSON line and never block later, cheaper sections from being
+    attempted if budget frees up (warm-cache sections finish far under
+    their estimates)."""
+    results, truncated, failed = {}, [], {}
+    for name, est_s, fn in sections:
+        rem = _remaining()
+        if rem < est_s:
+            truncated.append(name)
+            _emit({"bench_section": name, "skipped": "budget",
+                   "remaining_s": round(rem, 1), "est_s": est_s})
+            continue
+        t0 = time.time()
+        try:
+            out = fn()
+        except Exception as e:  # a failed section must not kill the record
+            failed[name] = repr(e)[:200]
+            _emit({"bench_section": name, "error": repr(e)[:200]})
+            continue
+        results[name] = out
+        _emit({"bench_section": name,
+               "elapsed_s": round(time.time() - t0, 1), **out})
+    return results, truncated, failed
+
+
+def _train_bench():
     import sys as _sys
 
     _sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
     import train_bench as _tb
+    return _tb
 
-    tr_wg = _tb.bench_waveglow_train()
-    tr_taco = _tb.bench_tacotron_train(batch=8)
-    tr_taco_bf16 = _tb.bench_tacotron_train(batch=32, bf16=True)
+
+def main():
+    _emit({"bench_start": True, "budget_s": BUDGET_S})
+    # The tunnel wait counts against the budget: waiting longer than ~60%
+    # of it leaves too little to measure anything, so give up earlier and
+    # let the sections fail fast (their errors still land in the tail).
+    _wait_for_tpu(max_wait_s=max(min(0.6 * _remaining(), 5400.0), 60.0))
+
+    _tb = _train_bench()
+
+    # (name, conservative cold-cache estimate in s, fn) — headline first.
+    # Estimates reflect this rig's remote-compile queue (2 program variants
+    # per section, minutes each cold; warm-cache runs finish in 10-60 s).
+    sections = [
+        ("chip_calibration", 120,
+         lambda: {"chip_bf16_tflops": round(bench_chip_calibration(), 1)}),
+        ("vocoder_bf16", 240, lambda: (lambda v: {
+            "vocoder_samples_per_sec_per_chip": round(v, 1),
+            "vocoder_vs_baseline": round(v / V100_BASELINE_SAMPLES_PER_SEC, 3),
+            "vocoder_rtf": round(v / SR, 1),
+        })(bench_waveglow())),
+        ("vocoder_int8", 240, lambda: (lambda v: {
+            "vocoder_samples_per_sec_int8": round(v, 1),
+            "vocoder_int8_vs_baseline": round(
+                v / V100_BASELINE_SAMPLES_PER_SEC, 3),
+        })(bench_waveglow_int8())),
+        ("tacotron_b16", 240, lambda: {
+            "tacotron_frames_per_sec": round(bench_tacotron(), 1)}),
+        ("tacotron_b64", 240, lambda: {
+            "tacotron_frames_per_sec_b64": round(bench_tacotron(batch=64), 1)}),
+        # training-step throughput (VERDICT r3 #2 / r4 #1: the driver record
+        # must witness the train claims) — the exact train_bench.py programs
+        # at their documented shapes.  WaveGlow runs the bf16-vs-f32 A/B
+        # (VERDICT r4 #2): the shipping config is bf16 compute
+        # (train/waveglow.py --bf16); f32 quantifies what that knob buys.
+        ("train_waveglow_bf16", 300, lambda: (lambda r: {
+            "train_waveglow_samples_per_sec": round(r["samples_per_sec"], 1),
+            "train_waveglow_bf16_samples_per_sec":
+                round(r["samples_per_sec"], 1),
+            "train_waveglow_mfu": round(r["mfu"], 3),
+        })(_tb.bench_waveglow_train(bf16=True))),
+        ("train_waveglow_f32", 300, lambda: (lambda r: {
+            "train_waveglow_f32_samples_per_sec":
+                round(r["samples_per_sec"], 1),
+            "train_waveglow_f32_mfu": round(r["mfu"], 3),
+        })(_tb.bench_waveglow_train(bf16=False))),
+        ("train_tacotron_f32_b8", 240, lambda: (lambda r: {
+            "train_tacotron_frames_per_sec_f32_b8":
+                round(r["frames_per_sec"], 1),
+            "train_tacotron_mfu_f32_b8": round(r["mfu"], 3),
+        })(_tb.bench_tacotron_train(batch=8))),
+        ("train_tacotron_bf16_b32", 240, lambda: (lambda r: {
+            "train_tacotron_frames_per_sec_bf16_b32":
+                round(r["frames_per_sec"], 1),
+            "train_tacotron_mfu_bf16_b32": round(r["mfu"], 3),
+        })(_tb.bench_tacotron_train(batch=32, bf16=True))),
+        ("preprocess_e2e", 240, lambda: (lambda pp: {
+            "preprocess_mel_frames_per_sec": round(pp["fps"], 1),
+            "preprocess_e2e_runs": pp["fps_runs"],
+            "preprocess_e2e_spread_pct": pp["spread_pct"],
+            "preprocess_trim_impl_auto": pp["trim_impl_auto"],
+            "preprocess_link_h2d_MBps": pp["link_h2d_MBps"],
+            "preprocess_link_d2h_MBps": pp["link_d2h_MBps"],
+            "preprocess_derived_transfer_bound_fps":
+                pp["derived_transfer_bound_fps"],
+        })(bench_preprocess())),
+        ("preprocess_device", 120, lambda: {
+            "preprocess_device_frames_per_sec":
+                round(bench_preprocess_device(), 1)}),
+        ("preprocess_cpu_baseline", 180, lambda: {
+            "preprocess_cpu_baseline_frames_per_sec":
+                bench_preprocess_cpu_baseline(
+                    timeout_s=max(min(_remaining() - 30.0, 420.0), 60.0))}),
+    ]
+    results, truncated, failed = _run_sections(sections)
+
+    flat = {}
+    for out in results.values():
+        flat.update(out)
+
+    wg_sps = flat.get("vocoder_samples_per_sec_per_chip")
+    wg_sps_int8 = flat.get("vocoder_samples_per_sec_int8")
+    taco_fps = flat.get("tacotron_frames_per_sec")
 
     # End-to-end: 1 second of audio needs SR/HOP mel frames then SR samples;
     # stages run sequentially.
-    e2e_rtf = 1.0 / ((SR / HOP) / taco_fps + SR / wg_sps)
+    e2e_rtf = (
+        1.0 / ((SR / HOP) / taco_fps + SR / wg_sps)
+        if wg_sps and taco_fps else None
+    )
 
     # First-audio latency, derived from the measured components (the tunnel's
     # ~seconds of RPC overhead makes single-shot wall timing dishonest, so
@@ -552,88 +693,86 @@ def main():
     # streamed weights, fewer rows).  Non-streaming baseline: the full
     # max_decoder_steps scan plus a full-utterance vocode.  Encoder pass
     # (~1 conv stack + BiLSTM over ~128 tokens) excluded from both: <0.5 ms.
-    import inspect
+    derived = {}
+    if wg_sps and taco_fps:
+        import inspect
 
-    from text2speech_tpu.config import HParams, WaveGlowConfig
-    from text2speech_tpu.infer import Synthesizer
-    from text2speech_tpu.models.chunked import receptive_overlap_frames
+        from text2speech_tpu.config import HParams, WaveGlowConfig
+        from text2speech_tpu.infer import Synthesizer
+        from text2speech_tpu.models.chunked import receptive_overlap_frames
 
-    _hp = HParams(sample_rate=SR)
-    _cfg = WaveGlowConfig(sampling_rate=SR)
-    _ov = receptive_overlap_frames(_cfg)
-    _prf = (_hp.postnet_kernel_size // 2) * _hp.postnet_n_convolutions
-    _chunk = inspect.signature(
-        Synthesizer.synthesize_incremental
-    ).parameters["chunk_steps"].default
-    _steps_first = -(-(_chunk + _ov + _prf) // _chunk) * _chunk
-    _step_s = 16.0 / taco_fps            # decode seconds/step at b16
-    first_audio_ms = 1000.0 * (
-        _steps_first * _step_s + (_chunk + _ov) * HOP / wg_sps
-    )
-    first_audio_ms_batch = 1000.0 * (
-        _hp.max_decoder_steps * (_step_s + HOP / wg_sps)
-    )
-    # 16 CONCURRENT streaming sessions (synthesize_incremental_batch): the
-    # decode term is unchanged — _step_s already IS the b16 lockstep rate —
-    # and the emission round's batched window vocode covers 16 windows.
-    # The ~13x gap vs the single-stream figure is the vocode term: 16
-    # simultaneous starts emit 16 first windows in ONE batched call, so
-    # the first byte waits for 16 windows of vocoder work (simultaneous-
-    # start physics, not scheduler serialization — the continuous-batching
-    # server staggers admissions into freed slots, paying ~1 window).
-    # The first-window fast path shrinks each of those 16 windows from
-    # chunk + 2*ov to chunk + ov frames (~1.6x less first-round work at
-    # default shapes).  Both terms are emitted so the record decomposes
-    # itself.
-    _fa16_decode_ms = 1000.0 * _steps_first * _step_s
-    _fa16_vocode_ms = 1000.0 * 16 * (_chunk + _ov) * HOP / wg_sps
-    first_audio_ms_16_sessions = _fa16_decode_ms + _fa16_vocode_ms
-    # fully int8-quantized serving chain (int8 decoder weights + int8 WN
-    # kernels)
-    e2e_rtf_int8 = 1.0 / ((SR / HOP) / taco_fps_int8 + SR / wg_sps_int8)
+        _hp = HParams(sample_rate=SR)
+        _cfg = WaveGlowConfig(sampling_rate=SR)
+        _ov = receptive_overlap_frames(_cfg)
+        _prf = (_hp.postnet_kernel_size // 2) * _hp.postnet_n_convolutions
+        _chunk = inspect.signature(
+            Synthesizer.synthesize_incremental
+        ).parameters["chunk_steps"].default
+        _steps_first = -(-(_chunk + _ov + _prf) // _chunk) * _chunk
+        _step_s = 16.0 / taco_fps            # decode seconds/step at b16
+        first_audio_ms = 1000.0 * (
+            _steps_first * _step_s + (_chunk + _ov) * HOP / wg_sps
+        )
+        first_audio_ms_batch = 1000.0 * (
+            _hp.max_decoder_steps * (_step_s + HOP / wg_sps)
+        )
+        # 16 CONCURRENT streaming sessions (synthesize_incremental_batch):
+        # the decode term is unchanged — _step_s already IS the b16 lockstep
+        # rate — and the emission round's batched window vocode covers 16
+        # windows.  The ~13x gap vs the single-stream figure is the vocode
+        # term: 16 simultaneous starts emit 16 first windows in ONE batched
+        # call, so the first byte waits for 16 windows of vocoder work
+        # (simultaneous-start physics, not scheduler serialization — the
+        # continuous-batching server staggers admissions into freed slots,
+        # paying ~1 window).  The first-window fast path shrinks each of
+        # those 16 windows from chunk + 2*ov to chunk + ov frames (~1.6x
+        # less first-round work at default shapes).  Both terms are emitted
+        # so the record decomposes itself.
+        _fa16_decode_ms = 1000.0 * _steps_first * _step_s
+        _fa16_vocode_ms = 1000.0 * 16 * (_chunk + _ov) * HOP / wg_sps
+        derived.update({
+            "e2e_rtf": round(e2e_rtf, 2),
+            "first_audio_ms_streaming": round(first_audio_ms, 1),
+            "first_audio_ms_full_scan": round(first_audio_ms_batch, 1),
+            "first_audio_ms_16_sessions": round(
+                _fa16_decode_ms + _fa16_vocode_ms, 1),
+            "first_audio_ms_16_sessions_decode_term": round(
+                _fa16_decode_ms, 1),
+            "first_audio_ms_16_sessions_vocode_term": round(
+                _fa16_vocode_ms, 1),
+        })
+    # int8 serving-chain e2e: the policy chain the server actually runs at
+    # these shapes — int8 WN vocoder + bf16 decode (int8 decode is the
+    # documented wash below the b32 crossover; tacotron_serve.
+    # int8_decode_worthwhile).  Earlier rounds derived this key from the
+    # retracted int8-decode measurement; this form is both honest and
+    # cheaper to witness.
+    if wg_sps_int8 and taco_fps:
+        derived["e2e_rtf_int8"] = round(
+            1.0 / ((SR / HOP) / taco_fps + SR / wg_sps_int8), 2)
+        derived["e2e_rtf_int8_chain"] = "int8 vocoder + bf16 decode (policy)"
+    if derived:
+        _emit({"bench_section": "derived", **derived})
+
     result = {
         "metric": "vocoder_samples_per_sec_per_chip",
-        "value": round(wg_sps, 1),
+        "value": wg_sps,
         "unit": "samples/sec",
-        "vs_baseline": round(wg_sps / V100_BASELINE_SAMPLES_PER_SEC, 3),
-        "vocoder_rtf": round(wg_sps / SR, 1),
-        "vocoder_samples_per_sec_int8": round(wg_sps_int8, 1),
-        "vocoder_int8_vs_baseline": round(
-            wg_sps_int8 / V100_BASELINE_SAMPLES_PER_SEC, 3
-        ),
-        "tacotron_frames_per_sec": round(taco_fps, 1),
-        "tacotron_frames_per_sec_b64": round(taco_fps_64, 1),
-        "tacotron_frames_per_sec_int8": round(taco_fps_int8, 1),
-        "tacotron_frames_per_sec_int8_b64": round(taco_fps_int8_64, 1),
-        "e2e_rtf": round(e2e_rtf, 2),
-        "e2e_rtf_int8": round(e2e_rtf_int8, 2),
+        "vs_baseline": flat.get("vocoder_vs_baseline"),
         "e2e_rtf_target": 50.0,
-        "first_audio_ms_streaming": round(first_audio_ms, 1),
-        "first_audio_ms_full_scan": round(first_audio_ms_batch, 1),
-        "first_audio_ms_16_sessions": round(first_audio_ms_16_sessions, 1),
-        "first_audio_ms_16_sessions_decode_term": round(_fa16_decode_ms, 1),
-        "first_audio_ms_16_sessions_vocode_term": round(_fa16_vocode_ms, 1),
-        "preprocess_mel_frames_per_sec": round(pp["fps"], 1),
-        "preprocess_e2e_runs": pp["fps_runs"],
-        "preprocess_e2e_spread_pct": pp["spread_pct"],
-        "preprocess_link_h2d_MBps": pp["link_h2d_MBps"],
-        "preprocess_link_d2h_MBps": pp["link_d2h_MBps"],
-        "preprocess_derived_transfer_bound_fps":
-            pp["derived_transfer_bound_fps"],
-        "preprocess_device_frames_per_sec": round(pp_dev_fps, 1),
-        "preprocess_cpu_baseline_frames_per_sec": pp_cpu_fps,
-        "train_waveglow_samples_per_sec": round(tr_wg["samples_per_sec"], 1),
-        "train_waveglow_mfu": round(tr_wg["mfu"], 3),
-        "train_tacotron_frames_per_sec_f32_b8": round(
-            tr_taco["frames_per_sec"], 1),
-        "train_tacotron_mfu_f32_b8": round(tr_taco["mfu"], 3),
-        "train_tacotron_frames_per_sec_bf16_b32": round(
-            tr_taco_bf16["frames_per_sec"], 1),
-        "train_tacotron_mfu_bf16_b32": round(tr_taco_bf16["mfu"], 3),
-        "chip_bf16_tflops": round(chip_tflops, 1),
-        "device": str(jax.devices()[0]),
+        "budget_s": BUDGET_S,
+        "elapsed_s": round(time.time() - _T0, 1),
+        "truncated": truncated,
     }
-    print(json.dumps(result))
+    if failed:
+        result["failed"] = failed
+    for k, v in {**flat, **derived}.items():
+        result.setdefault(k, v)
+    try:
+        result["device"] = str(jax.devices()[0])
+    except Exception:
+        result["device"] = "unavailable"
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

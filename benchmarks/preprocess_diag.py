@@ -62,22 +62,27 @@ def make_corpus(root: str):
 
 
 def bw_link():
-    """Raw tunnel bandwidth, MB/s each direction (32 MB f32).  D2H uses a
-    FRESH device array per rep — np.asarray caches the host copy, so
-    re-reading the same array measures the cache, not the link."""
+    """Raw tunnel bandwidth, MB/s each direction (32 MB f32 for D2H).
+
+    H2D delegates to ``preprocess.measure_h2d_MBps`` — ``device_put`` +
+    ``block_until_ready`` is NOT honest here (the ack returns ~12 ms for
+    16 MB ≈ 1.2 GB/s apparent while bytes stream in the background); the
+    honest method forces a device-side data dependence and reads a scalar
+    back.  D2H uses a FRESH device array per rep — np.asarray caches the
+    host copy, so re-reading the same array measures the cache, not the
+    link — and IS honest (np.asarray can't return before the bytes land)."""
+    from text2speech_tpu.data.preprocess import measure_h2d_MBps
+
+    h2d_mbs = measure_h2d_MBps(big_mb=8, reps=2)
     buf = np.random.RandomState(0).randn(8 * 1024 * 1024).astype(np.float32)
     devs = [jax.device_put(buf + i) for i in range(3)]
     jax.block_until_ready(devs)
-    h2d, d2h = [], []
+    d2h = []
     for d in devs:
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(buf))
-        h2d.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(d)
         d2h.append(time.perf_counter() - t0)
-    mb = buf.nbytes / 1e6
-    return mb / float(np.median(h2d)), mb / float(np.median(d2h))
+    return h2d_mbs, buf.nbytes / 1e6 / float(np.median(d2h))
 
 
 def main():

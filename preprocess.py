@@ -28,10 +28,14 @@ def main():
     parser.add_argument("--out_dir", default=None)
     parser.add_argument("--device_batch", type=int, default=16)
     parser.add_argument("--hparams", default=None, help="path to params.json")
-    parser.add_argument("--trim_impl", choices=("device", "host"),
-                        default="device",
-                        help="silence trim: batched on-device kernel "
-                             "(default) or per-utterance host numpy")
+    parser.add_argument("--trim_impl", choices=("auto", "device", "host"),
+                        default="auto",
+                        help="silence trim placement: 'auto' (default) "
+                             "probes the H2D link + host numpy rate once "
+                             "and picks the measured-faster side (device "
+                             "on real TPU hosts, host on tunnel-bound "
+                             "rigs); 'device' = batched on-device kernel; "
+                             "'host' = per-utterance numpy in the IO pool")
     parser.add_argument("--transfer_fp16", action="store_true",
                         help="cast spectrograms to f16 on device before the "
                              "device->host copy (halves drain bytes on "

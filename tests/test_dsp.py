@@ -297,3 +297,71 @@ def test_preprocess_device_trim_equals_host_trim(tmp_path):
         np.testing.assert_array_equal(npz_d["mel"], npz_h["mel"])
         np.testing.assert_array_equal(npz_d["linear"], npz_h["linear"])
         assert int(npz_d["time_steps"]) == int(npz_h["time_steps"])
+
+
+def test_choose_trim_impl_policy():
+    """The measured-cost trim placement rule (VERDICT r4 #5): device trim's
+    marginal cost is one extra length-bucketed H2D upload; host trim's is
+    the numpy trim time.  A real TPU host's multi-GB/s link makes the
+    upload ~free (device wins); this rig's ~21 MB/s tunnel makes a 3 s
+    utterance's 64 KiB-bucketed upload ~12 ms vs ~2 ms of host numpy
+    (host wins — matching BASELINE.md's measured 7,442 host vs 6,853
+    device frames/s)."""
+    from text2speech_tpu.data.preprocess import choose_trim_impl
+
+    avg = 3.0 * 22050  # ~3 s utterance
+    # real TPU host: ~8 GB/s PCIe, host numpy ~30 Msamples/s
+    assert choose_trim_impl(8000.0, 30e6, avg) == "device"
+    # this rig's tunnel: ~21 MB/s H2D
+    assert choose_trim_impl(21.0, 30e6, avg) == "host"
+    # slow host CPU flips it back even on a modest link
+    assert choose_trim_impl(200.0, 1e6, avg) == "device"
+
+
+def test_preprocess_auto_trim_matches_explicit(tmp_path):
+    """trim_impl='auto' (the CLI default) probes, picks one placement, and
+    writes byte-identical arrays to explicitly requesting that placement
+    (both placements are already pinned equal above, so auto == both)."""
+    from scipy.io import wavfile
+
+    from text2speech_tpu.data.preprocess import (
+        choose_trim_impl,
+        preprocess_corpus,
+        probe_trim_costs,
+    )
+
+    hp = HParams()
+    root = tmp_path / "kss"
+    (root / "1").mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    lines = []
+    for i in range(3):
+        n = hp.sample_rate // 2 + i * 1500
+        t = np.arange(n) / hp.sample_rate
+        sig = np.concatenate([
+            np.zeros(2500, np.float32),
+            (0.5 * np.sin(2 * np.pi * (180 + 30 * i) * t)).astype(np.float32)
+            + 0.005 * rng.randn(n).astype(np.float32),
+            np.zeros(4000, np.float32),
+        ])
+        wavfile.write(str(root / "1" / f"1_{i:04d}.wav"), hp.sample_rate,
+                      (sig * 32767).astype(np.int16))
+        lines.append(f"1/1_{i:04d}.wav|안녕|안녕|1.0초")
+    (root / "transcript.txt").write_text("\n".join(lines), encoding="utf-8")
+
+    out_a = str(tmp_path / "out_auto")
+    out_e = str(tmp_path / "out_explicit")
+    meta_a = preprocess_corpus(hp, str(root), out_a, device_batch=2,
+                               trim_impl="auto")
+    # reproduce auto's decision (probe is cached per process -> same answer)
+    h2d, host_sps = probe_trim_costs(hp)
+    avg = float(np.mean([int(m[3]) for m in meta_a]))
+    picked = choose_trim_impl(h2d, host_sps, avg)
+    meta_e = preprocess_corpus(hp, str(root), out_e, device_batch=2,
+                               trim_impl=picked)
+    assert len(meta_a) == len(meta_e) == 3
+    for m in meta_a:
+        npz_a = np.load(os.path.join(out_a, m[6]))
+        npz_e = np.load(os.path.join(out_e, m[6]))
+        np.testing.assert_array_equal(npz_a["audio"], npz_e["audio"])
+        np.testing.assert_array_equal(npz_a["mel"], npz_e["mel"])

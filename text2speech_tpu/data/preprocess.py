@@ -165,6 +165,113 @@ def _host_stage(args) -> _HostItem | None:
     return _branch_stage(wav_path, text, wav, hp)
 
 
+def _host_trim_items(loaded: list, hp: HParams, pool) -> list[_HostItem]:
+    """Per-utterance host numpy trim + mu-law branch over loaded
+    (path, text, wav) tuples — the ``trim_impl='host'`` body, shared with
+    the auto path (which loads first, then decides)."""
+
+    def one(x):
+        path, text, wav = x
+        if hp.trim_silence:
+            wav = trim_silence(wav, hp)
+        return _branch_stage(path, text, wav, hp)
+
+    return [it for it in pool.map(one, loaded) if it is not None]
+
+
+def choose_trim_impl(
+    h2d_MBps: float,
+    host_trim_samples_per_sec: float,
+    avg_samples: float,
+    length_bucket: int = 16384,
+) -> str:
+    """Pick the faster silence-trim placement from MEASURED costs (the
+    ``int8_decode_worthwhile`` pattern: probe, decide, keep the flag as an
+    override — VERDICT r4 #5).
+
+    Device trim's marginal cost per utterance is one EXTRA H2D upload of
+    the length-bucketed raw audio over the measured link (the bounds pass
+    uploads the full waveform; the later STFT pass re-uploads it in both
+    configurations).  Host trim's marginal cost is the measured per-sample
+    numpy trim time.  On a real TPU host (multi-GB/s PCIe) the upload is
+    ~free and device trim wins (and frees host CPU for IO); over this
+    rig's ~21 MB/s tunnel the extra upload costs ~15 ms per 3 s utterance
+    vs ~2 ms of host numpy — host wins, matching BASELINE.md's measured
+    7,442 (host) vs 6,853 (device) frames/s end-to-end."""
+    bucketed = -(-int(avg_samples) // length_bucket) * length_bucket
+    t_device = bucketed * 4.0 / (h2d_MBps * 1e6)
+    t_host = avg_samples / host_trim_samples_per_sec
+    return "host" if t_host < t_device else "device"
+
+
+_PROBE_CACHE: dict = {}
+
+
+def measure_h2d_MBps(big_mb: int = 8, reps: int = 2) -> float:
+    """Honest host->device bandwidth over THIS link, MB/s.
+
+    ``device_put`` + ``block_until_ready`` is NOT honest over the axon
+    tunnel: the ack returns in ~12 ms for a 16 MB buffer (~1.2 GB/s
+    apparent) while the bytes stream in the background — the same
+    pipelining that breaks wall-timing of compute (CLAUDE.md gotcha #3).
+    Honest method: force a device-side data dependence and read ONE scalar
+    back (upload -> jitted sum -> ``float(...)`` can't complete before the
+    data lands), then difference a big-buffer timing against a tiny-buffer
+    timing so dispatch/readback latency cancels.  Fresh arrays each rep."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    s = jax.jit(lambda x: jnp.sum(x))
+    small = np.zeros(1024, np.float32)
+    big = np.ones(big_mb * 1024 * 1024 // 4, np.float32)
+    float(s(jax.device_put(small)))  # warm both compiles + handshake
+    float(s(jax.device_put(big)))
+    diffs = []
+    for i in range(reps):
+        t0 = _time.perf_counter()
+        float(s(jax.device_put(small + np.float32(i + 1))))
+        t_small = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        float(s(jax.device_put(big + np.float32(i + 1))))
+        t_big = _time.perf_counter() - t0
+        diffs.append(t_big - t_small)
+    return (big.nbytes - small.nbytes) / 1e6 / max(
+        float(np.median(diffs)), 1e-9)
+
+
+def probe_trim_costs(hp: HParams, probe_mb: int = 8, reps: int = 2,
+                     probe_seconds: float = 3.0) -> tuple[float, float]:
+    """One-shot (h2d_MBps, host_trim_samples_per_sec) measurement for
+    :func:`choose_trim_impl`.  H2D uses :func:`measure_h2d_MBps` (the
+    data-dependent scalar-readback method — a plain ``device_put`` timing
+    reads ~1.2 GB/s on a ~40 MB/s tunnel because the ack is pipelined);
+    the host rate times ``trim_silence`` on a synthetic clip with silent
+    edges.  Cached per process (the link doesn't change between corpus
+    runs; over the tunnel the probe costs ~2 s)."""
+    import time as _time
+
+    cache_key = (probe_mb, hp.sample_rate, hp.trim_fft_size, hp.trim_hop_size)
+    if cache_key in _PROBE_CACHE:
+        return _PROBE_CACHE[cache_key]
+
+    n = int(probe_seconds * hp.sample_rate)
+    sig = 0.4 * np.sin(2 * np.pi * 220.0 * np.arange(n) / hp.sample_rate)
+    sig[: n // 8] = 0.0
+    sig[-n // 8:] = 0.0
+    wav = sig.astype(np.float32)
+    trim_silence(wav, hp)  # warm any lazy setup out of the timed region
+    t0 = _time.perf_counter()
+    host_reps = 3
+    for _ in range(host_reps):
+        trim_silence(wav, hp)
+    host_sps = host_reps * n / max(_time.perf_counter() - t0, 1e-9)
+
+    h2d_MBps = measure_h2d_MBps(big_mb=probe_mb, reps=reps)
+    _PROBE_CACHE[cache_key] = (h2d_MBps, host_sps)
+    return h2d_MBps, host_sps
+
+
 def _device_trim_items(loaded: list, hp: HParams, batch: int = 64,
                        length_bucket: int = 16384) -> list[_HostItem]:
     """Batched on-device silence trim (``dsp.audio.trim_bounds_batch``) over
@@ -221,19 +328,23 @@ def preprocess_corpus(
     length_bucket: int = 16384,
     progress=lambda x: x,
     parser=None,
-    trim_impl: str = "device",
+    trim_impl: str = "auto",
     transfer_fp16: bool = False,
 ) -> list[tuple]:
     """Full corpus preprocessing; returns ``train.txt`` metadata rows
     (``(audio_fn, mel_fn, linear_fn, time_steps, mel_frames, text, npz_fn)``,
     ``kss.py:167``).  ``parser`` overrides the transcript parser (see
     :func:`get_transcript_parser`; default KSS format).  ``trim_impl``:
-    ``"device"`` (default) batches the silence trim through the jitted
-    energy-framing bounds kernel; ``"host"`` keeps the per-utterance numpy
-    trim inside the IO thread pool.  ``transfer_fp16`` casts the
-    spectrograms to f16 on device before the device->host copy (halves the
-    drain bytes on transfer-bound hosts; npz output stays f32 after upcast,
-    ~1e-3 relative error — opt-in)."""
+    ``"auto"`` (default) probes the H2D link and the host numpy trim rate
+    once and picks the measured-faster placement (:func:`choose_trim_impl`
+    — device trim on real TPU hosts, host trim on tunnel-bound rigs);
+    ``"device"`` batches the silence trim through the jitted energy-framing
+    bounds kernel; ``"host"`` keeps the per-utterance numpy trim inside the
+    IO thread pool.  ``transfer_fp16`` casts the spectrograms to f16 on
+    device before the device->host copy (halves the drain bytes on
+    transfer-bound hosts; npz output stays f32 after upcast, ~1e-3 relative
+    error) — it stays OPT-IN rather than auto-selected because it changes
+    output fidelity, not just speed."""
     os.makedirs(out_dir, exist_ok=True)
     rows = (parser or parse_transcript)(in_dir)
     pad = hp.filter_length // 2
@@ -248,7 +359,34 @@ def preprocess_corpus(
 
     # Sort by approximate length to minimize padding waste per device batch.
     def batches() -> Iterable[list[_HostItem]]:
-        if hp.trim_silence and trim_impl == "device":
+        impl = trim_impl
+        if not hp.trim_silence:
+            impl = "host"  # no trim to place; skip the probe
+        if impl == "auto":
+            # load first (both placements need the waveforms), then decide
+            # from measured costs on THIS corpus's average length
+            loaded = [
+                x
+                for x in progress(
+                    pool.map(_load_stage, ((w, t, hp) for w, t in rows))
+                )
+                if x is not None
+            ]
+            h2d_MBps, host_sps = probe_trim_costs(hp)
+            avg = float(np.mean([len(w) for _, _, w in loaded])) if loaded else 0.0
+            impl = choose_trim_impl(h2d_MBps, host_sps, avg,
+                                    length_bucket=length_bucket)
+            print(
+                f"trim_impl auto -> {impl} (H2D {h2d_MBps:.0f} MB/s, host "
+                f"trim {host_sps / 1e6:.1f} Msamples/s, avg utterance "
+                f"{avg:.0f} samples)"
+            )
+            items = (
+                _device_trim_items(loaded, hp, length_bucket=length_bucket)
+                if impl == "device"
+                else _host_trim_items(loaded, hp, pool)
+            )
+        elif hp.trim_silence and impl == "device":
             loaded = [
                 x
                 for x in progress(
