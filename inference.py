@@ -168,9 +168,18 @@ def main():
                             denoiser_strength=wds if i == 0 else None)
                     while not srv.idle:
                         srv.step()
+                    # the warmup sessions' rounds only compile the window
+                    # widths their text lengths happen to hit (a short
+                    # warmup text never leaves the Wv1 first-window width)
+                    # — compile BOTH fixed widths explicitly
+                    srv.warm_window_widths()
                     # the masked-length short-utterance pass is reachable
                     # by any client whose text gates under one vocoder
-                    # window — warm it too
+                    # window — warm it too (no-op on fused/int8 chains,
+                    # whose static-length kernels have no masked pass:
+                    # there, short sessions compile per-length exact
+                    # programs on first occurrence and the scheduler logs
+                    # a warning per length)
                     srv.warm_short_pass()
                     print("serving programs warmed in "
                           f"{time.perf_counter() - t0:.1f}s")

@@ -854,3 +854,26 @@ def test_toy_server_first_window_fast_path():
         want, tl = _toy_expected(srv, uid, sid)
         np.testing.assert_allclose(audio, want, atol=1e-4,
                                    err_msg=f"uid {uid}")
+
+
+def test_warm_window_widths_compiles_both_programs():
+    """warm_window_widths (the pre-bind HTTP warmup's width coverage,
+    ADVICE r4) drives the vocode handle once at EACH fixed width — Wv1 and
+    Wv — at the full slot batch, so a short warmup text can no longer
+    leave the steady-state width cold for the first long real request."""
+    srv = _toy_batcher(slots=3, stop_at_by_req={})
+
+    calls: list[tuple[int, int]] = []
+    inner = srv._vocode_fn
+
+    def recording_vocode(mel, noise, sigma):
+        calls.append((int(mel.shape[0]), int(mel.shape[-1])))
+        return inner(mel, noise, sigma)
+
+    srv._vocode_fn = recording_vocode
+    srv.warm_window_widths()
+    assert calls == [(3, srv.Wv1), (3, srv.Wv)], calls
+    # noise shapes must match what _run_vocoder passes at each width
+    # (same program signature, or the warm call compiles the WRONG program)
+    srv._vocode_fn = inner
+    srv.warm_window_widths()  # no error with the real handle either

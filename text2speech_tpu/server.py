@@ -204,6 +204,10 @@ class ContinuousBatcher:
         # vocoder window (vs one exact-shape compile per distinct length,
         # minutes each over the tunnel, ON the scheduler thread)
         self._vocode_masked_fn = vocode_masked_fn
+        # fused/int8 chains have no masked pass: each distinct short-session
+        # length compiles its own exact program — warn once per length so
+        # operators can attribute the scheduler stall (ADVICE r4)
+        self._short_lengths_warned: set = set()
         self._key_fn = key_fn
         self._draw_noise_fn = draw_noise_fn
         self._draw_noise_batch_fn = draw_noise_batch_fn
@@ -641,12 +645,33 @@ class ContinuousBatcher:
                 yield s, audio[
                     j, (kf - ws) * self.hop : (kt - ws) * self.hop]
 
+    def warm_window_widths(self) -> None:
+        """Compile BOTH fixed vocoder window programs with throwaway
+        full-batch calls: the ``Wv1`` first-window width (an all-starts
+        admission wave) and the steady-state ``Wv`` width (any round with
+        a mid-stream window).  A scheduler-session warmup whose text gates
+        under ``2*chunk_steps + ov`` frames only ever runs ``Wv1`` rounds,
+        leaving ``Wv`` to compile inside :meth:`step` on the first long
+        real request (minutes over a cold TPU tunnel) — ADVICE r4."""
+        for width in sorted({self.Wv1, self.Wv}):
+            wmel = jnp.zeros((self.slots, self.n_mel, width), jnp.float32)
+            nz = tuple(
+                jnp.zeros((self.slots, width * self.gpf, w), jnp.float32)
+                for w in self.noise_widths
+            )
+            np.asarray(self._vocode_fn(wmel, nz, 1.0))
+
     def warm_short_pass(self) -> None:
         """Compile the masked-length exact-pass program (if configured)
         with one throwaway call, so the first SHORT session (true length
         under one vocoder window) doesn't compile inside :meth:`step` on
         the scheduler thread.  The scheduler-session warmup can't reach
-        this program unless its warmup text happens to gate early."""
+        this program unless its warmup text happens to gate early.
+
+        On fused/int8 vocoder chains there is no masked pass (the Pallas
+        kernels take a static valid length): this is a no-op, and short
+        sessions compile one exact program per distinct length on the
+        scheduler thread — :meth:`_vocode_short` warns per length."""
         if self._vocode_masked_fn is None:
             return
         wmel = jnp.zeros((1, self.n_mel, self.Wv), jnp.float32)
@@ -665,6 +690,15 @@ class ContinuousBatcher:
         post = s.post_cat()[:, :tl]
         comps = self._sess_noise(s, tl)
         sg = np.float32(s.sigma)     # same pre-scaling rule as _run_vocoder
+        if self._vocode_masked_fn is None and tl not in self._short_lengths_warned:
+            self._short_lengths_warned.add(tl)
+            import sys as _sys
+            print(
+                f"[server] short session ({tl} frames) on a fused/int8 "
+                "vocoder chain: no masked-length pass, so this length "
+                "compiles its own exact program (first occurrence may "
+                "stall the scheduler thread over a cold TPU cache)",
+                file=_sys.stderr, flush=True)
         if self._vocode_masked_fn is not None:
             # masked-length pass: pad to the fixed Wv width, pass the true
             # length TRACED — one compiled program covers every short
