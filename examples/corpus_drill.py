@@ -78,6 +78,32 @@ def main():
     ap.add_argument("--device_batch", type=int, default=16)
     ap.add_argument("--sigma", type=float, default=0.666)
     ap.add_argument("--denoiser_strength", type=float, default=0.0)
+    ap.add_argument("--assert_quality", action="store_true",
+                    help="after the drill, CERTIFY the trained result: "
+                         "teacher-forced alignment band mass / diagonality "
+                         "and trained-chain mel fidelity on training "
+                         "utterances, failing loudly below the thresholds "
+                         "(the quantitative form of the reference's "
+                         "'eyeball the alignment plot' signal)")
+    ap.add_argument("--min_band_mass", type=float, default=0.40,
+                    help="teacher-forced attention mass within "
+                         "--quality_band tokens of the linear token<->frame "
+                         "map (synthetic tone corpus reaches ~0.41 by step "
+                         "~800; uniform attention scores (2*band+1)/tokens)")
+    ap.add_argument("--min_align_corr", type=float, default=0.95,
+                    help="attended-position/time correlation threshold")
+    ap.add_argument("--min_mel_corr", type=float, default=0.30,
+                    help="synthesized-audio mel correlation vs the recorded "
+                         "mel of the same text (full trained chain)")
+    ap.add_argument("--min_channel_match", type=float, default=0.30,
+                    help="dominant-mel-channel match rate vs recorded "
+                         "(chance ~= 3/n_mel)")
+    ap.add_argument("--quality_band", type=int, default=1,
+                    help="token slack around the linear map (widen for "
+                         "natural speech; the tone corpus is exact at 1)")
+    ap.add_argument("--quality_utts", type=int, default=4,
+                    help="training utterances re-synthesized for the "
+                         "chain-fidelity check")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.work_dir)
@@ -169,6 +195,116 @@ def main():
     print(f"waveglow:    {wg_dir}")
     print(f"audio:       {out_wav}")
     print(f"plots:       {os.path.join(synth_dir, 'plots')}")
+
+    if args.assert_quality:
+        assert_quality(args, pp_dir, runs[-1], taco_ckpt, wg_dir, cfg_path)
+
+
+def assert_quality(args, pp_dir: str, run_dir: str, taco_ckpt: str,
+                   wg_dir: str, cfg_path: str) -> None:
+    """Certify the trained result (``--assert_quality``): the drill must not
+    just RUN the four CLIs but prove they produced a model that learned.
+
+    Gate 1 — teacher-forced alignment: restore the Tacotron checkpoint and
+    eval one corpus batch; attention must concentrate on the linear
+    token<->frame band (``utils/quality.alignment_diagonality`` — the
+    quantitative form of the reference's alignment-plot eyeball,
+    ``train.py:236-246``).  Gate 2 — trained chain: re-synthesize training
+    utterances' TEXT through the full autoregressive Tacotron + WaveGlow
+    chain and compare (a) the predicted mel and (b) the mel re-extracted
+    from the synthesized AUDIO against the corpus's recorded mel
+    (``utils/quality.mel_fidelity``).  Any metric below its threshold
+    raises SystemExit with every number printed."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from text2speech_tpu.config import HParams, WaveGlowConfig
+    from text2speech_tpu.data.dataset import Batch
+    from text2speech_tpu.dsp.audio import mel_spectrogram
+    from text2speech_tpu.infer import load_synthesizer
+    from text2speech_tpu.train.tacotron import TacotronTrainer
+    from text2speech_tpu.utils.quality import (
+        alignment_diagonality,
+        mel_fidelity,
+    )
+
+    hp = HParams.load(args.hparams) if args.hparams else HParams()
+    print("\n=== quality gate (--assert_quality)")
+
+    # --- gate 1: teacher-forced alignment diagonality ---------------------
+    trainer = TacotronTrainer(hp, [pp_dir], run_dir=run_dir,
+                              checkpoint_dir=taco_ckpt)
+    step = trainer.restore()
+    assert step > 0, f"no restorable checkpoint under {taco_ckpt}"
+    batch = trainer.dataset.sample_batch()
+    _, (_, _, _, align) = trainer._eval_step(
+        trainer.state, Batch(*map(jnp.asarray, batch)), jax.random.PRNGKey(1))
+    mass, corr = alignment_diagonality(
+        np.asarray(align), batch.input_lengths, batch.output_lengths,
+        band=args.quality_band)
+    print(f"alignment: band mass {mass:.3f} (min {args.min_band_mass}), "
+          f"position corr {corr:.3f} (min {args.min_align_corr}) "
+          f"at step {step}")
+
+    # --- gate 2: trained-chain fidelity on training utterances ------------
+    rows = []
+    with open(os.path.join(pp_dir, "train.txt"), encoding="utf-8") as f:
+        for ln in f:
+            parts = ln.rstrip("\n").split("|")
+            if len(parts) >= 7:
+                rows.append((parts[5], parts[6]))     # (text, npz_fn)
+    rows = rows[: args.quality_utts]
+    assert rows, f"no train.txt rows under {pp_dir}"
+
+    wg_cfg = WaveGlowConfig.from_json(cfg_path)
+    synth = load_synthesizer(hp, taco_ckpt, wg_cfg, wg_dir)
+    mel_fn = jax.jit(lambda y: mel_spectrogram(y, hp))
+    texts = [t for t, _ in rows]
+    target = [np.load(os.path.join(pp_dir, f))["mel"].T for _, f in rows]
+
+    pred_mel, out_len = synth.text_to_mel(texts, seed=0)
+    pred_mel = np.asarray(pred_mel)
+    lengths = np.minimum(np.asarray(out_len),
+                         np.asarray([t.shape[-1] for t in target]))
+    tmax = max(t.shape[-1] for t in target)
+    tgt = np.zeros((len(target), hp.n_mel_channels, tmax), np.float32)
+    for i, t in enumerate(target):
+        tgt[i, :, : t.shape[-1]] = t
+    m_corr, m_match = mel_fidelity(pred_mel, tgt, lengths)
+
+    wavs = synth.synthesize(texts, sigma=args.sigma, seed=0)
+    wmax = max(len(w) for w in wavs)
+    wav_b = np.zeros((len(wavs), wmax), np.float32)
+    for i, w in enumerate(wavs):
+        wav_b[i, : len(w)] = w
+    audio_mel = np.asarray(mel_fn(jnp.asarray(wav_b)))
+    a_frames = np.minimum(
+        np.asarray([len(w) // hp.hop_length for w in wavs]),
+        np.minimum(lengths, audio_mel.shape[-1]))
+    c_corr, c_match = mel_fidelity(audio_mel, tgt, a_frames)
+
+    print(f"mel (tacotron): corr {m_corr:.3f}, channel match {m_match:.3f}")
+    print(f"mel (full chain audio): corr {c_corr:.3f}, channel match "
+          f"{c_match:.3f} (min corr {args.min_mel_corr}, min match "
+          f"{args.min_channel_match}; chance ~{3.0 / hp.n_mel_channels:.3f})")
+
+    failures = []
+    if mass < args.min_band_mass:
+        failures.append(f"band mass {mass:.3f} < {args.min_band_mass}")
+    if corr < args.min_align_corr:
+        failures.append(f"align corr {corr:.3f} < {args.min_align_corr}")
+    if m_corr < args.min_mel_corr:
+        failures.append(f"tacotron mel corr {m_corr:.3f} < {args.min_mel_corr}")
+    if c_corr < args.min_mel_corr:
+        failures.append(f"chain mel corr {c_corr:.3f} < {args.min_mel_corr}")
+    if c_match < args.min_channel_match:
+        failures.append(
+            f"chain channel match {c_match:.3f} < {args.min_channel_match}")
+    if failures:
+        raise SystemExit("QUALITY GATE FAILED: " + "; ".join(failures))
+    print("quality gate PASSED")
 
 
 if __name__ == "__main__":
