@@ -626,11 +626,21 @@ def main():
                 round(r["samples_per_sec"], 1),
             "train_waveglow_mfu": round(r["mfu"], 3),
         })(_tb.bench_waveglow_train(bf16=True))),
-        ("train_waveglow_f32", 300, lambda: (lambda r: {
+        # the f32 A/B runs at batch=2: f32 at the default batch-3 pair OOMs
+        # HBM (the 4x timing variant at batch 12 needs 18.29G of 15.75G —
+        # bf16 halves activation memory, which is what makes the reference
+        # batch trainable at all; docs/KERNELS.md).  The same-shape bf16
+        # control gives the clean precision ratio (measured 1.46x).
+        ("train_waveglow_f32_ab", 420, lambda: (lambda rf, rb: {
             "train_waveglow_f32_samples_per_sec":
-                round(r["samples_per_sec"], 1),
-            "train_waveglow_f32_mfu": round(r["mfu"], 3),
-        })(_tb.bench_waveglow_train(bf16=False))),
+                round(rf["samples_per_sec"], 1),
+            "train_waveglow_f32_mfu": round(rf["mfu"], 3),
+            "train_waveglow_bf16_b2_samples_per_sec":
+                round(rb["samples_per_sec"], 1),
+            "train_waveglow_bf16_vs_f32": round(
+                rb["samples_per_sec"] / rf["samples_per_sec"], 3),
+        })(_tb.bench_waveglow_train(batch=2, bf16=False),
+           _tb.bench_waveglow_train(batch=2, bf16=True))),
         ("train_tacotron_f32_b8", 240, lambda: (lambda r: {
             "train_tacotron_frames_per_sec_f32_b8":
                 round(r["frames_per_sec"], 1),
