@@ -56,19 +56,35 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             return state, 0
+        if params_only:
+            # The on-disk opt_state layout is by assumption unknown here, so
+            # restore the tree exactly as saved (orbax rejects templates that
+            # omit saved keys) and discard the optimizer leaves afterwards.
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore())
+            want = jax.tree.structure(state.params)
+            got = jax.tree.structure(restored["params"])
+            if want != got:
+                raise ValueError(
+                    f"checkpoint at step {step} in {self.directory}: params "
+                    "tree does not match the model (params_only only skips "
+                    "the optimizer layout, not the model architecture)."
+                )
+            return state.replace(
+                step=jax.numpy.asarray(restored["step"]),
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+            ), int(restored["step"])
         template = {
             "step": np.asarray(0),
             "params": state.params,
             "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
         }
-        if not params_only:
-            template["opt_state"] = state.opt_state
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
         except Exception as e:
-            if params_only:
-                raise
             raise ValueError(
                 f"checkpoint at step {step} in {self.directory} does not "
                 "match the restore template. If the params themselves "
@@ -81,8 +97,7 @@ class CheckpointManager:
             step=jax.numpy.asarray(restored["step"]),
             params=restored["params"],
             batch_stats=restored["batch_stats"],
-            opt_state=(state.opt_state if params_only
-                       else restored["opt_state"]),
+            opt_state=restored["opt_state"],
         )
         return new_state, int(restored["step"])
 
