@@ -577,6 +577,21 @@ def _run_sections(sections):
     return results, truncated, failed
 
 
+def _serve_record_to_keys(rec):
+    """Map a ``serve_bench.run_serve_bench`` record onto namespaced bench
+    keys (the aggregate line merges every section's dict, so the serving
+    section must not collide with generic keys like ``value``)."""
+    out = {"serve_samples_per_sec_measured": rec["value"],
+           "serve_shed_rate": rec["overload"]["shed_rate"]}
+    for k in ("wall_s", "rounds", "slot_occupancy", "aggregate_rtf",
+              "first_audio_first_wave_ms_p50", "first_audio_ms_p50",
+              "first_audio_ms_p95", "inter_chunk_gap_ms_p50",
+              "inter_chunk_gap_ms_p95",
+              "derived_device_samples_per_sec", "tunnel_tax_factor"):
+        out["serve_" + k] = rec[k]
+    return out
+
+
 def _train_bench():
     import sys as _sys
 
@@ -674,6 +689,31 @@ def main():
     flat = {}
     for out in results.values():
         flat.update(out)
+
+    # End-to-end serving section (r4 VERDICT #4): run the continuous-
+    # batching server against the chip, budget permitting.  Placed after
+    # every headline section because its warmup wave compiles the whole
+    # serving program set — cache-stable shapes, but a cold day costs
+    # ~13 min, so the conservative estimate makes it self-skip when tight.
+    # Passes this run's own measured stage rates into the derived
+    # device-work bound; SERVE_r{N}.json holds the full-record bf16/int8
+    # pair from a standalone invocation.
+    def _serve_section():
+        import serve_bench as _sb  # benchmarks/ on sys.path via _train_bench
+
+        rec = _sb.run_serve_bench(
+            decode_fps=flat.get("tacotron_frames_per_sec") or 590_000.0,
+            vocoder_sps=(flat.get("vocoder_samples_per_sec_per_chip")
+                         or 2_900_000.0),
+        )
+        return _serve_record_to_keys(rec)
+
+    r_serve, t_serve, f_serve = _run_sections([("serve_e2e", 800,
+                                                _serve_section)])
+    for out in r_serve.values():
+        flat.update(out)
+    truncated += t_serve
+    failed.update(f_serve)
 
     wg_sps = flat.get("vocoder_samples_per_sec_per_chip")
     wg_sps_int8 = flat.get("vocoder_samples_per_sec_int8")

@@ -97,6 +97,147 @@ def build_synthesizer(int8: bool, quantized_decode: bool):
     )
 
 
+def run_serve_bench(slots=16, chunk_steps=64, n_requests=32, max_steps=448,
+                    int8=False, quantized_decode=False,
+                    decode_fps=590_000.0, vocoder_sps=2_900_000.0):
+    """One end-to-end continuous-batching server measurement; returns the
+    record dict ``main()`` prints.  Callable in-process by ``bench.py``'s
+    budget-gated serve section (the tunnel is single-client, so a
+    subprocess would fight the bench run for the backend)."""
+    from text2speech_tpu.server import make_server
+
+    synth = build_synthesizer(int8, quantized_decode)
+    srv = make_server(
+        synth, slots=slots, chunk_steps=chunk_steps,
+        max_text_len=128, max_steps=max_steps,
+    )
+
+    # warmup wave: compiles every program (decode chunk, postnet window,
+    # vocoder window, row placement) before the timed run
+    for t in TEXTS[: min(2, slots)]:
+        srv.submit(t)
+    while not srv.idle:
+        srv.step()
+    warm_stats = dict(srv.stats)
+
+    # timed run — per-event timestamps give the latency DISTRIBUTIONS a
+    # deployment plans against, not just aggregate throughput: per-session
+    # first-audio (submit -> first chunk, queue wait included), per-session
+    # inter-chunk gaps (stream smoothness), and queue depth per round
+    t_submit = {}
+    for i in range(n_requests):
+        sid = srv.submit(TEXTS[i % len(TEXTS)], seed=i)
+        t_submit[sid] = time.perf_counter()
+    round_s = []
+    queue_depth = []
+    ev_times: dict[int, list] = {}
+    t_all0 = time.perf_counter()
+    while not srv.idle:
+        t0 = time.perf_counter()
+        events = srv.step()
+        now = time.perf_counter()
+        round_s.append(now - t0)
+        queue_depth.append(len(srv._queue))
+        for ev in events:
+            if ev.audio is not None and np.size(ev.audio):
+                ev_times.setdefault(ev.sid, []).append(now)
+    wall = time.perf_counter() - t_all0
+
+    st = dict(srv.stats)      # snapshot BEFORE the overload phase below
+
+    first_audio = [ts[0] - t_submit[sid] for sid, ts in ev_times.items()]
+    first_wave = sorted(first_audio)[:slots]         # admitted round 1
+    gaps = [g for ts in ev_times.values()
+            for g in np.diff(ts)] or [0.0]
+
+    def pct(xs, q):
+        return round(1000 * float(np.percentile(xs, q)), 1)
+
+    # overload: the HTTP front door (ServerRunner) sheds with 503s once
+    # max_pending is exceeded.  A serial burst can never shed — each
+    # open_stream RPC waits a scheduler round, which admits slots' worth —
+    # so fire the burst from concurrent handler threads the way real
+    # traffic arrives (the runner owns the batcher from here; shutdown
+    # aborts the burst's sessions)
+    import threading
+
+    from text2speech_tpu.http_serve import ServerRunner
+
+    runner = ServerRunner(srv, max_pending=slots)
+    outcomes = []
+    lock = threading.Lock()
+
+    def burst_client(i):
+        try:
+            runner.open_stream(TEXTS[i % len(TEXTS)], seed=10_000 + i)
+            ok = True
+        except OverflowError:
+            ok = False
+        with lock:
+            outcomes.append(ok)
+
+    t_burst0 = time.perf_counter()
+    threads = [threading.Thread(target=burst_client, args=(i,))
+               for i in range(4 * slots)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    burst_s = time.perf_counter() - t_burst0
+    runner.shutdown()
+    shed = outcomes.count(False)
+    overload = {"burst": 4 * slots, "burst_s": round(burst_s, 3),
+                "accepted": outcomes.count(True), "shed": shed,
+                "shed_rate": round(shed / (4 * slots), 3)}
+    rounds = st["rounds"] - warm_stats["rounds"]
+    emitted = st["emitted_samples"] - warm_stats["emitted_samples"]
+    completed = st["completed"] - warm_stats["completed"]
+    occ = (st["active_row_steps"] - warm_stats["active_row_steps"]) / max(
+        st["row_steps"] - warm_stats["row_steps"], 1)
+    far = (st["first_audio_rounds_sum"]
+           - warm_stats["first_audio_rounds_sum"]) / max(completed, 1)
+
+    # derived device-work bound for the SAME rounds: decode chunk_steps x
+    # slots frames + vocode the emitted samples, at bench.py's measured
+    # stage rates (what these rounds cost without the tunnel tax)
+    dev_decode_s = rounds * chunk_steps * slots / decode_fps
+    dev_vocode_s = emitted / vocoder_sps
+    dev_bound_s = dev_decode_s + dev_vocode_s
+
+    return {
+        "metric": "server_samples_per_sec_measured",
+        "value": round(emitted / wall, 1),
+        "unit": "samples/sec",
+        "vs_baseline": round(emitted / wall / 2_750_000.0, 3),
+        "sessions_completed": completed,
+        "slots": slots,
+        "chunk_steps": chunk_steps,
+        "rounds": rounds,
+        "wall_s": round(wall, 2),
+        "round_ms_median": round(1000 * float(np.median(round_s)), 1),
+        "aggregate_rtf": round(emitted / wall / SR, 2),
+        "slot_occupancy": round(occ, 3),
+        "mean_first_audio_rounds": round(far, 2),
+        # latency distributions (wall, tunnel tax included — divide by
+        # tunnel_tax_factor for the TPU-local-host expectation)
+        "first_audio_ms_p50": pct(first_audio, 50),
+        "first_audio_ms_p95": pct(first_audio, 95),
+        "first_audio_first_wave_ms_p50": pct(first_wave, 50),
+        "first_audio_first_wave_ms_p95": pct(first_wave, 95),
+        "inter_chunk_gap_ms_p50": pct(gaps, 50),
+        "inter_chunk_gap_ms_p95": pct(gaps, 95),
+        "queue_depth_p50": float(np.percentile(queue_depth, 50)),
+        "queue_depth_max": int(max(queue_depth)),
+        "overload": overload,
+        "derived_device_bound_s": round(dev_bound_s, 2),
+        "derived_device_samples_per_sec": round(emitted / dev_bound_s, 1),
+        "tunnel_tax_factor": round(wall / dev_bound_s, 2),
+        "note": "measured over the dev tunnel (~3 host round-trips/round); "
+                "on a TPU-local host expect ~derived_device_samples_per_sec",
+        "device": str(jax.devices()[0]),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=16)
@@ -121,139 +262,12 @@ def main():
     ap.add_argument("--vocoder_sps", type=float, default=2_900_000.0,
                     help="bench.py-measured vocoder samples/s")
     args = ap.parse_args()
-
-    from text2speech_tpu.server import make_server
-
-    synth = build_synthesizer(args.int8, args.quantized_decode)
-    srv = make_server(
-        synth, slots=args.slots, chunk_steps=args.chunk_steps,
-        max_text_len=128, max_steps=args.max_steps,
-    )
-
-    # warmup wave: compiles every program (decode chunk, postnet window,
-    # vocoder window, row placement) before the timed run
-    for t in TEXTS[: min(2, args.slots)]:
-        srv.submit(t)
-    while not srv.idle:
-        srv.step()
-    warm_stats = dict(srv.stats)
-
-    # timed run — per-event timestamps give the latency DISTRIBUTIONS a
-    # deployment plans against, not just aggregate throughput: per-session
-    # first-audio (submit -> first chunk, queue wait included), per-session
-    # inter-chunk gaps (stream smoothness), and queue depth per round
-    t_submit = {}
-    for i in range(args.n_requests):
-        sid = srv.submit(TEXTS[i % len(TEXTS)], seed=i)
-        t_submit[sid] = time.perf_counter()
-    round_s = []
-    queue_depth = []
-    ev_times: dict[int, list] = {}
-    t_all0 = time.perf_counter()
-    while not srv.idle:
-        t0 = time.perf_counter()
-        events = srv.step()
-        now = time.perf_counter()
-        round_s.append(now - t0)
-        queue_depth.append(len(srv._queue))
-        for ev in events:
-            if ev.audio is not None and np.size(ev.audio):
-                ev_times.setdefault(ev.sid, []).append(now)
-    wall = time.perf_counter() - t_all0
-
-    st = dict(srv.stats)      # snapshot BEFORE the overload phase below
-
-    first_audio = [ts[0] - t_submit[sid] for sid, ts in ev_times.items()]
-    first_wave = sorted(first_audio)[: args.slots]   # admitted round 1
-    gaps = [g for ts in ev_times.values()
-            for g in np.diff(ts)] or [0.0]
-
-    def pct(xs, q):
-        return round(1000 * float(np.percentile(xs, q)), 1)
-
-    # overload: the HTTP front door (ServerRunner) sheds with 503s once
-    # max_pending is exceeded.  A serial burst can never shed — each
-    # open_stream RPC waits a scheduler round, which admits slots' worth —
-    # so fire the burst from concurrent handler threads the way real
-    # traffic arrives (the runner owns the batcher from here; shutdown
-    # aborts the burst's sessions)
-    import threading
-
-    from text2speech_tpu.http_serve import ServerRunner
-
-    runner = ServerRunner(srv, max_pending=args.slots)
-    outcomes = []
-    lock = threading.Lock()
-
-    def burst_client(i):
-        try:
-            runner.open_stream(TEXTS[i % len(TEXTS)], seed=10_000 + i)
-            ok = True
-        except OverflowError:
-            ok = False
-        with lock:
-            outcomes.append(ok)
-
-    t_burst0 = time.perf_counter()
-    threads = [threading.Thread(target=burst_client, args=(i,))
-               for i in range(4 * args.slots)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    burst_s = time.perf_counter() - t_burst0
-    runner.shutdown()
-    shed = outcomes.count(False)
-    overload = {"burst": 4 * args.slots, "burst_s": round(burst_s, 3),
-                "accepted": outcomes.count(True), "shed": shed,
-                "shed_rate": round(shed / (4 * args.slots), 3)}
-    rounds = st["rounds"] - warm_stats["rounds"]
-    emitted = st["emitted_samples"] - warm_stats["emitted_samples"]
-    completed = st["completed"] - warm_stats["completed"]
-    occ = (st["active_row_steps"] - warm_stats["active_row_steps"]) / max(
-        st["row_steps"] - warm_stats["row_steps"], 1)
-    far = (st["first_audio_rounds_sum"]
-           - warm_stats["first_audio_rounds_sum"]) / max(completed, 1)
-
-    # derived device-work bound for the SAME rounds: decode chunk_steps x
-    # slots frames + vocode the emitted samples, at bench.py's measured
-    # stage rates (what these rounds cost without the tunnel tax)
-    dev_decode_s = rounds * args.chunk_steps * args.slots / args.decode_fps
-    dev_vocode_s = emitted / args.vocoder_sps
-    dev_bound_s = dev_decode_s + dev_vocode_s
-
-    print(json.dumps({
-        "metric": "server_samples_per_sec_measured",
-        "value": round(emitted / wall, 1),
-        "unit": "samples/sec",
-        "vs_baseline": round(emitted / wall / 2_750_000.0, 3),
-        "sessions_completed": completed,
-        "slots": args.slots,
-        "chunk_steps": args.chunk_steps,
-        "rounds": rounds,
-        "wall_s": round(wall, 2),
-        "round_ms_median": round(1000 * float(np.median(round_s)), 1),
-        "aggregate_rtf": round(emitted / wall / SR, 2),
-        "slot_occupancy": round(occ, 3),
-        "mean_first_audio_rounds": round(far, 2),
-        # latency distributions (wall, tunnel tax included — divide by
-        # tunnel_tax_factor for the TPU-local-host expectation)
-        "first_audio_ms_p50": pct(first_audio, 50),
-        "first_audio_ms_p95": pct(first_audio, 95),
-        "first_audio_first_wave_ms_p50": pct(first_wave, 50),
-        "first_audio_first_wave_ms_p95": pct(first_wave, 95),
-        "inter_chunk_gap_ms_p50": pct(gaps, 50),
-        "inter_chunk_gap_ms_p95": pct(gaps, 95),
-        "queue_depth_p50": float(np.percentile(queue_depth, 50)),
-        "queue_depth_max": int(max(queue_depth)),
-        "overload": overload,
-        "derived_device_bound_s": round(dev_bound_s, 2),
-        "derived_device_samples_per_sec": round(emitted / dev_bound_s, 1),
-        "tunnel_tax_factor": round(wall / dev_bound_s, 2),
-        "note": "measured over the dev tunnel (~3 host round-trips/round); "
-                "on a TPU-local host expect ~derived_device_samples_per_sec",
-        "device": str(jax.devices()[0]),
-    }))
+    print(json.dumps(run_serve_bench(
+        slots=args.slots, chunk_steps=args.chunk_steps,
+        n_requests=args.n_requests, max_steps=args.max_steps,
+        int8=args.int8, quantized_decode=args.quantized_decode,
+        decode_fps=args.decode_fps, vocoder_sps=args.vocoder_sps,
+    )))
 
 
 if __name__ == "__main__":

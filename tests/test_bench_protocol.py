@@ -64,6 +64,25 @@ def test_section_failure_is_isolated(monkeypatch, capsys):
     assert "error" in next(l for l in lines if l["bench_section"] == "bad")
 
 
+def test_serve_record_key_mapping():
+    """The serving section namespaces its record so the aggregate merge
+    can't collide on generic keys (value/wall_s/rounds)."""
+    rec = {"value": 225533.5, "wall_s": 16.27, "rounds": 14,
+           "slot_occupancy": 1.0, "aggregate_rtf": 10.23,
+           "first_audio_first_wave_ms_p50": 2502.2,
+           "first_audio_ms_p50": 6569.6, "first_audio_ms_p95": 10637.2,
+           "inter_chunk_gap_ms_p50": 1005.6,
+           "inter_chunk_gap_ms_p95": 2609.4,
+           "derived_device_samples_per_sec": 2845368.3,
+           "tunnel_tax_factor": 12.62,
+           "overload": {"shed_rate": 0.734}}
+    out = bench._serve_record_to_keys(rec)
+    assert out["serve_samples_per_sec_measured"] == 225533.5
+    assert out["serve_shed_rate"] == 0.734
+    assert out["serve_tunnel_tax_factor"] == 12.62
+    assert all(k.startswith("serve_") for k in out)
+
+
 def test_every_line_is_self_contained_json(monkeypatch, capsys):
     """The whole point: a run killed at ANY moment leaves a tail of
     parseable lines."""
