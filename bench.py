@@ -15,8 +15,9 @@ tail, so the record must survive being killed mid-run):
   against a conservative cold-cache cost estimate per section; sections that
   don't fit are skipped, listed in ``truncated``, and the aggregate still
   prints.  Sections run headline-first (chip calibration -> vocoder
-  bf16/int8 -> tacotron decode -> training -> preprocess) so a bad-tunnel
-  day degrades from the tail, never the headline.
+  bf16/int8 -> tacotron decode -> training -> preprocess -> the end-to-end
+  continuous-batching serve section) so a bad-tunnel day degrades from the
+  tail, never the headline.
 
 Methodology: the device sits behind a high-latency tunnel where per-dispatch
 wall timing mostly measures RPC latency, so each stage is timed by **batch
