@@ -235,6 +235,10 @@ def test_server_checkpoint_swap_recompile_free(synthesizer):  # noqa: F811
                       synth._postnet_window._cache_size(),
                       synth._encode_mem._cache_size())
     c0 = caches()
+    # With leaked trace state the fastpath never stores, both reads would
+    # be all-zero, and the recompile pin below would pass TRIVIALLY.
+    from jax._src import core as _jcore
+    assert _jcore.trace_state_clean() and any(c0), c0
 
     prng = np.random.RandomState(3)
     perturb = lambda tree: jax.tree.map(
@@ -334,6 +338,9 @@ def test_server_denoiser_bias_swaps_on_reload(synthesizer):  # noqa: F811
     srv = make_server(synth, slots=1, chunk_steps=8, max_text_len=80)
     w1 = srv.run([TEXTS[0]], seeds=[5], denoiser_strengths=[0.1])[0]
     compiles_before = srv._denoiser._jit._cache_size()
+    # 0 == 0 after reload would pass trivially under leaked trace state
+    from jax._src import core as _jcore
+    assert _jcore.trace_state_clean() and compiles_before > 0
 
     prng = np.random.RandomState(11)
     new_wv = jax.tree.map(
@@ -798,7 +805,8 @@ def test_server_flush_band_sessions_use_exact_pass(masked):
         # fixed-width program — one compile covers every short length
         assert sorted(t for _w, t in masked_calls) == [3, 13], masked_calls
         assert {w for w, _t in masked_calls} == {srv.Wv}, masked_calls
-        assert masked_prog._cache_size() == 1
+        from tests.conftest import assert_one_program
+        assert_one_program(masked_prog, what="the server short-pass program")
     for sid, uid in enumerate(stop_by_uid):
         s = srv.sessions[sid]
         tl = min(s.out_len, requested)

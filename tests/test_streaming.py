@@ -517,7 +517,8 @@ def test_flush_band_rows_use_exact_pass(masked):
         # every band length rode the SAME fixed-width masked program:
         # one compile instead of one per distinct short length
         assert masked_widths and set(masked_widths) == {W}, masked_widths
-        assert masked_prog._cache_size() == 1
+        from tests.conftest import assert_one_program
+        assert_one_program(masked_prog, what="the masked exact-pass program")
 
 
 def test_first_window_fast_path_widths_and_equality():

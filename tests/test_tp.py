@@ -15,6 +15,7 @@ from text2speech_tpu.config import WaveGlowConfig
 from text2speech_tpu.models.chunked import draw_noise
 from text2speech_tpu.models.waveglow import WaveGlow
 from text2speech_tpu.parallel.tp import infer_waveglow_tp, shard_waveglow_params
+from tests.conftest import assert_trace_clean
 
 CFG = WaveGlowConfig(
     n_mel_channels=16,
@@ -120,6 +121,7 @@ def test_tp_server_fused_matches_fused_single_device(model_and_vars):
     # reuse the one compiled program
     _ = server(spect, jax.random.PRNGKey(11), 0.6)
     _ = server(spect, jax.random.PRNGKey(12), 0.9)
+    assert_trace_clean("the TP server pin")
     assert server.cache_size() == 1, server.cache_size()
 
 
@@ -149,6 +151,7 @@ def test_tp_server_xla_path_matches_single_device(model_and_vars):
     got = server(spect, None, 0.7, noise=noise)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
     _ = server(spect, jax.random.PRNGKey(21), 0.5)
+    assert_trace_clean("the TP server pin")
     assert server.cache_size() == 1
 
 
@@ -197,4 +200,5 @@ def test_tp_server_int8_tracks_f32(model_and_vars):
     assert err < max(5 * err_sd, 0.05), (err, err_sd)
 
     _ = server(spect, jax.random.PRNGKey(31), 0.6)
+    assert_trace_clean("the TP server pin")
     assert server.cache_size() == 1, server.cache_size()

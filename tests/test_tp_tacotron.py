@@ -25,6 +25,7 @@ from text2speech_tpu.parallel.tp_tacotron import (
 )
 from text2speech_tpu.text import N_SYMBOLS
 from tests.test_synthesizer import HP
+from tests.conftest import assert_trace_clean
 
 
 @pytest.fixture(scope="module")
@@ -166,6 +167,7 @@ def test_tp_decode_carry_chains_and_no_retrace(setup):
         mels.append(np.asarray(mel))
     got = np.concatenate(mels, axis=-1)
     np.testing.assert_allclose(got, np.asarray(mel_r), atol=1e-5)
+    assert_trace_clean("the TP decode pin")
     assert dec.cache_size() == 1, dec.cache_size()
 
 

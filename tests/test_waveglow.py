@@ -258,4 +258,5 @@ def test_infer_masked_length_matches_exact(model_and_vars):
                                    err_msg=f"tl={tl}")
 
     # the whole length range rode ONE compiled program
-    assert masked._cache_size() == 1
+    from tests.conftest import assert_one_program
+    assert_one_program(masked, what="the masked-length infer program")
