@@ -399,7 +399,7 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050,
 
     _sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
-    from preprocess_diag import bw_link
+    from preprocess_diag import measure_d2h_MBps
 
     hp = HParams(sample_rate=sr)
     root = tempfile.mkdtemp(prefix="bench_pp_")
@@ -441,8 +441,10 @@ def bench_preprocess(n_utts: int = 64, seconds: float = 3.0, sr: int = 22050,
         # upload/drain shapes): device trim uploads audio twice (bounds
         # pass + padded STFT pass, both 16384-sample-bucketed), host trim
         # once; the drain ships f32 mel+linear sliced to the
-        # 16-frame-bucketed extent
-        h2d_mbs, d2h_mbs = bw_link()
+        # 16-frame-bucketed extent.  H2D reuses the probe's reading so the
+        # trim decision and the derived bound can't disagree (and the
+        # section pushes the 48 MB H2D probe through the tunnel once).
+        h2d_mbs, d2h_mbs = h2d0, measure_d2h_MBps()
         pad = hp.filter_length // 2
         bucket = 16384
         t_trim = (-(-n // bucket) * bucket) if impl == "device" else 0

@@ -73,7 +73,11 @@ def bw_link():
     link — and IS honest (np.asarray can't return before the bytes land)."""
     from text2speech_tpu.data.preprocess import measure_h2d_MBps
 
-    h2d_mbs = measure_h2d_MBps(big_mb=8, reps=2)
+    return measure_h2d_MBps(big_mb=8, reps=2), measure_d2h_MBps()
+
+
+def measure_d2h_MBps():
+    """Device->host bandwidth only (see bw_link docstring for the rules)."""
     buf = np.random.RandomState(0).randn(8 * 1024 * 1024).astype(np.float32)
     devs = [jax.device_put(buf + i) for i in range(3)]
     jax.block_until_ready(devs)
@@ -82,7 +86,7 @@ def bw_link():
         t0 = time.perf_counter()
         np.asarray(d)
         d2h.append(time.perf_counter() - t0)
-    return h2d_mbs, buf.nbytes / 1e6 / float(np.median(d2h))
+    return buf.nbytes / 1e6 / float(np.median(d2h))
 
 
 def main():

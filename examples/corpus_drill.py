@@ -234,8 +234,14 @@ def assert_quality(args, pp_dir: str, run_dir: str, taco_ckpt: str,
     print("\n=== quality gate (--assert_quality)")
 
     # --- gate 1: teacher-forced alignment diagonality ---------------------
+    # logger_dir goes to a throwaway location: a certification pass must
+    # not write new TensorBoard events into the run dir it is certifying
+    import tempfile as _tempfile
+
+    _scratch = _tempfile.mkdtemp(prefix="drill_quality_tb_")
     trainer = TacotronTrainer(hp, [pp_dir], run_dir=run_dir,
-                              checkpoint_dir=taco_ckpt)
+                              checkpoint_dir=taco_ckpt,
+                              logger_dir=_scratch)
     step = trainer.restore()
     assert step > 0, f"no restorable checkpoint under {taco_ckpt}"
     batch = trainer.dataset.sample_batch()
@@ -302,6 +308,9 @@ def assert_quality(args, pp_dir: str, run_dir: str, taco_ckpt: str,
     if c_match < args.min_channel_match:
         failures.append(
             f"chain channel match {c_match:.3f} < {args.min_channel_match}")
+    import shutil as _shutil
+
+    _shutil.rmtree(_scratch, ignore_errors=True)
     if failures:
         raise SystemExit("QUALITY GATE FAILED: " + "; ".join(failures))
     print("quality gate PASSED")

@@ -28,33 +28,87 @@ if str(REPO_ROOT) not in sys.path:
 
 GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "golden"
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _jit_dispatch_guard(request):
+    """Fail the test that corrupts process-wide jit dispatch state, not
+    the downstream victim.
+
+    Two distinct hazards, both order-dependent mystery flakes unless the
+    culprit test is named (empirically characterized on jax 0.9 after a
+    full-suite flake of test_infer_masked_length_matches_exact):
+
+    - LEAKED TRACE STATE (tracer/axis env left on the main thread, e.g. a
+      generator suspended inside a trace context): later jit calls
+      dispatch through the Python fallback — slower, and the stored entry
+      is a permanent fall-back-to-python one.  `_cache_size()` still
+      counts it, so pins don't catch this; only this guard does.
+    - BROKEN FASTPATH STORAGE (`_cache_size()` reads 0 after successful
+      calls): measured causes are an ACTIVE `jax.disable_jit()` (e.g.
+      held open by a suspended generator — exiting OR GC'ing the
+      generator restores it) and `jax.clear_caches()`.  Unclean trace
+      state does NOT zero it; neither do 9k new jit functions (no global
+      LRU eviction of live functions), debug_nans/debug_infs, or
+      mesh/precision/x64/device contexts.
+
+    State is reset after a failure so only the offending test goes red."""
+    yield
+    import jax
+    from jax._src import core as _core
+
+    problems = []
+    if not _core.trace_state_clean():
+        _core.reset_trace_state()
+        problems.append("trace state LEAKED (tracer or axis env survived)")
+    if jax.config.jax_disable_jit:
+        problems.append("jax.disable_jit() left ACTIVE")
+    if problems:
+        pytest.fail(
+            f"{request.node.nodeid} corrupted jit dispatch state: "
+            + "; ".join(problems)
+            + ". Later jit calls in this process would skip or break the "
+            "C++ fastpath (cache_size pins misread; serving dispatch "
+            "falls back to Python)."
+        )
+
 
 def assert_one_program(jitted, n=1, what="this jitted function"):
     """Pin `jitted._cache_size() == n` with a pointed diagnosis.
 
-    `_cache_size()` counts C++ pjit fastpath cache entries — but the
-    fastpath only STORES entries when `jax.core.trace_state_clean()` is
-    true (pjit.py `_run_python_pjit`): a tracer or axis env leaked onto
-    the main thread by an EARLIER test makes every later jit call skip
-    fastpath caching, so the pin reads 0 with perfectly correct numerics.
-    Checking trace state first turns that order-dependent mystery flake
-    into a named diagnosis (seen once in a r5 full-suite run:
-    test_infer_masked_length_matches_exact read 0 == 1; isolation and
-    every bisection subset passed)."""
-    assert_trace_clean(what)
+    `_cache_size()` counts C++ pjit fastpath cache entries.  A reading of
+    0 after numerically-correct calls means STORAGE was suppressed — the
+    measured causes are an active `jax.disable_jit()` (possibly held by a
+    suspended generator anywhere in the process) or a `jax.clear_caches()`
+    between the calls and this assert; checking first converts the
+    mystery flake into a named diagnosis (seen twice in r5 full-suite
+    runs on this, the LAST test of the suite; isolation and every
+    bisection subset passed)."""
+    assert_jit_dispatch_clean(what)
     got = jitted._cache_size()
     assert got == n, f"{what}: expected {n} compiled program(s), saw {got}"
 
 
-def assert_trace_clean(what="a _cache_size() pin"):
-    """Fail with a diagnosis if jax trace state is unclean (see above)."""
+def assert_jit_dispatch_clean(what="a _cache_size() pin"):
+    """Fail with a diagnosis if process jit-dispatch state is corrupted
+    in a way that breaks `_cache_size()` pins (see _jit_dispatch_guard)."""
+    import jax
     from jax._src import core as _core
 
+    assert not jax.config.jax_disable_jit, (
+        "jax.disable_jit() is ACTIVE (leaked by an earlier test or a "
+        "suspended generator): jit calls run eagerly and never store "
+        f"fastpath entries, so {what}'s _cache_size() reads 0 regardless "
+        "of compiles. Find the holder; do not blame this pin."
+    )
     assert _core.trace_state_clean(), (
         "jax trace state is UNCLEAN (tracer/axis-env leaked by an earlier "
-        "test in this process): the C++ pjit fastpath never stores cache "
-        "entries in this state, so _cache_size() undercounts regardless "
-        f"of how many programs {what} compiled. Hunt the leaking test "
-        "with an autouse trace_state_clean() teardown guard; do not "
-        "blame this pin."
+        f"test): {what}'s calls dispatched through the Python fallback. "
+        "Find the leaking test (the autouse _jit_dispatch_guard names "
+        "it); do not blame this pin."
     )
+
+
+# round-5 name kept for older call sites
+assert_trace_clean = assert_jit_dispatch_clean

@@ -279,6 +279,24 @@ def test_checkpoint_optimizer_layout_migration(model_state, tmp_path):
     # opt_state is the fresh template's (reinitialized), not the saved one
     assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
         fresh.opt_state)
+
+    # the untemplated escape hatch must still honor the template's
+    # PLACEMENT: a mesh trainer's replicated template yields replicated
+    # restored leaves (else the next donated step recompiles or raises a
+    # sharding mismatch on multi-device resume)
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    repl = NamedSharding(mesh, P())
+    sharded_fresh = fresh.replace(
+        params=jax.device_put(fresh.params, repl))
+    restored2, _ = mgr.restore(sharded_fresh, params_only=True)
+    leaf = jax.tree.leaves(restored2.params)[0]
+    assert leaf.sharding == repl, leaf.sharding
+
+    # and a shape mismatch is a pointed error, not a silent device_put
+    bad = fresh.replace(params=jax.tree.map(
+        lambda x: jnp.zeros(x.shape + (2,), x.dtype), fresh.params))
+    with pytest.raises(ValueError, match="shape"):
+        mgr.restore(bad, params_only=True)
     mgr.close()
 
 

@@ -217,7 +217,10 @@ def measure_h2d_MBps(big_mb: int = 8, reps: int = 2) -> float:
     Honest method: force a device-side data dependence and read ONE scalar
     back (upload -> jitted sum -> ``float(...)`` can't complete before the
     data lands), then difference a big-buffer timing against a tiny-buffer
-    timing so dispatch/readback latency cancels.  Fresh arrays each rep."""
+    timing so dispatch/readback latency cancels.  Fresh arrays each rep,
+    materialized BEFORE the timed window (an in-window ``big + c`` numpy
+    add costs more than the upload itself on a multi-GB/s real TPU host
+    and would bias the reading low)."""
     import time as _time
 
     import jax.numpy as jnp
@@ -227,13 +230,15 @@ def measure_h2d_MBps(big_mb: int = 8, reps: int = 2) -> float:
     big = np.ones(big_mb * 1024 * 1024 // 4, np.float32)
     float(s(jax.device_put(small)))  # warm both compiles + handshake
     float(s(jax.device_put(big)))
+    fresh = [(small + np.float32(i + 1), big + np.float32(i + 1))
+             for i in range(reps)]
     diffs = []
-    for i in range(reps):
+    for sm, bg in fresh:
         t0 = _time.perf_counter()
-        float(s(jax.device_put(small + np.float32(i + 1))))
+        float(s(jax.device_put(sm)))
         t_small = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        float(s(jax.device_put(big + np.float32(i + 1))))
+        float(s(jax.device_put(bg)))
         t_big = _time.perf_counter() - t0
         diffs.append(t_big - t_small)
     return (big.nbytes - small.nbytes) / 1e6 / max(

@@ -19,6 +19,23 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _placed_like(template_leaf: Any, restored_leaf: Any) -> Any:
+    """Give an untemplated-restore leaf the template leaf's dtype, shape
+    check, and device placement (what StandardRestore(template) does)."""
+    arr = np.asarray(restored_leaf)
+    shape = getattr(template_leaf, "shape", None)
+    if shape is not None and tuple(arr.shape) != tuple(shape):
+        raise ValueError(
+            f"checkpoint leaf shape {arr.shape} does not match the model's "
+            f"{tuple(shape)} (params_only only skips the optimizer layout, "
+            "not the model architecture)."
+        )
+    if isinstance(template_leaf, jax.Array):
+        return jax.device_put(
+            arr.astype(template_leaf.dtype), template_leaf.sharding)
+    return arr.astype(template_leaf.dtype) if shape is not None else arr
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
@@ -60,20 +77,28 @@ class CheckpointManager:
             # The on-disk opt_state layout is by assumption unknown here, so
             # restore the tree exactly as saved (orbax rejects templates that
             # omit saved keys) and discard the optimizer leaves afterwards.
+            # An untemplated restore yields host numpy — re-place each leaf
+            # like the template's (dtype + sharding), otherwise a mesh
+            # trainer's next donated step sees default single-device
+            # placement and recompiles or raises a sharding mismatch.
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore())
-            want = jax.tree.structure(state.params)
-            got = jax.tree.structure(restored["params"])
-            if want != got:
-                raise ValueError(
-                    f"checkpoint at step {step} in {self.directory}: params "
-                    "tree does not match the model (params_only only skips "
-                    "the optimizer layout, not the model architecture)."
-                )
+            for name in ("params", "batch_stats"):
+                want = jax.tree.structure(getattr(state, name))
+                got = jax.tree.structure(restored[name])
+                if want != got:
+                    raise ValueError(
+                        f"checkpoint at step {step} in {self.directory}: "
+                        f"{name} tree does not match the model (params_only "
+                        "only skips the optimizer layout, not the model "
+                        "architecture)."
+                    )
             return state.replace(
                 step=jax.numpy.asarray(restored["step"]),
-                params=restored["params"],
-                batch_stats=restored["batch_stats"],
+                params=jax.tree.map(
+                    _placed_like, state.params, restored["params"]),
+                batch_stats=jax.tree.map(
+                    _placed_like, state.batch_stats, restored["batch_stats"]),
             ), int(restored["step"])
         template = {
             "step": np.asarray(0),
