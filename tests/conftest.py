@@ -87,7 +87,35 @@ def assert_one_program(jitted, n=1, what="this jitted function"):
     bisection subset passed)."""
     assert_jit_dispatch_clean(what)
     got = jitted._cache_size()
-    assert got == n, f"{what}: expected {n} compiled program(s), saw {got}"
+    if got != n:
+        # Forensics for the order-dependent full-suite flake: name the
+        # mechanism instead of failing with a bare count.
+        import gc
+        import inspect
+
+        import jax as _jax
+        import jax.numpy as _jnp
+        from jax._src import core as _core
+
+        diag = [f"disable_jit={_jax.config.jax_disable_jit}",
+                f"trace_clean={_core.trace_state_clean()}"]
+        gens = [o for o in gc.get_objects()
+                if inspect.isgenerator(o) and o.gi_frame is not None]
+        if gens:
+            diag.append("suspended generators (possible config-context "
+                        "holders): " + ", ".join(
+                            f"{g.gi_code.co_filename.rsplit('/', 1)[-1]}:"
+                            f"{g.gi_frame.f_lineno}:{g.gi_code.co_name}"
+                            for g in gens[:20]))
+        ngc = gc.collect()
+        probe = _jax.jit(lambda v: v + 1.0)
+        probe(_jnp.float32(0))
+        diag.append(f"after gc.collect()({ngc}): fresh-jit fastpath "
+                    f"storage works={probe._cache_size() == 1}, "
+                    f"pin re-reads {jitted._cache_size()}")
+        raise AssertionError(
+            f"{what}: expected {n} compiled program(s), saw {got}. "
+            + "; ".join(diag))
 
 
 def assert_jit_dispatch_clean(what="a _cache_size() pin"):
