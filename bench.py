@@ -7,9 +7,12 @@ tail, so the record must survive being killed mid-run):
 - Each section prints ONE self-contained JSON line the moment its number
   exists: ``{"bench_section": name, <metric keys>, "elapsed_s": ...}`` —
   a truncated run's tail still carries every completed measurement.
-- The LAST line is the aggregate the driver parses:
-  ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras,
-  "truncated": [skipped sections]}``.
+- The LAST line is a COMPACT aggregate the driver parses:
+  ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+  <headline + witness keys>, "truncated": [skipped sections]}`` — sized
+  under the largest line proven to survive the driver's tail cap (r3's
+  723-char aggregate).  The penultimate line (``"bench_full": true``)
+  carries EVERY measured key for tails large enough to hold it.
 - A wall-clock budget (``T2S_BENCH_BUDGET_S``, default 1500 s, counted from
   process start INCLUDING the TPU-tunnel wait) is checked between sections
   against a conservative cold-cache cost estimate per section; sections that
@@ -807,25 +810,72 @@ def main():
     if derived:
         _emit({"bench_section": "derived", **derived})
 
-    result = {
+    try:
+        device = str(jax.devices()[0])
+    except Exception:
+        device = "unavailable"
+    full, compact = _final_lines(flat, derived, truncated, failed, device)
+    # The driver keeps only the TAIL of stdout and parses its last JSON
+    # line.  The tail's byte cap is unknown (r3's 723-char aggregate is the
+    # largest line proven to parse), so the FULL record goes on its own
+    # penultimate line and the LAST line is a compact core sized safely
+    # under that proven bound — a small cap still lands the headline +
+    # witness keys; a large cap carries everything.
+    _emit(full)
+    print(json.dumps(compact), flush=True)
+
+
+# Keys the compact final line keeps (headline + the witness keys VERDICT r4
+# asked the driver record for), in emission order.  Everything else rides in
+# the per-section lines and the penultimate bench_full line.
+COMPACT_KEYS = (
+    "chip_bf16_tflops",
+    "vocoder_samples_per_sec_int8", "vocoder_int8_vs_baseline",
+    "tacotron_frames_per_sec", "tacotron_frames_per_sec_b64",
+    "e2e_rtf", "e2e_rtf_int8",
+    "train_waveglow_bf16_samples_per_sec", "train_waveglow_mfu",
+    "train_waveglow_bf16_vs_f32",
+    "train_tacotron_frames_per_sec_f32_b8",
+    "train_tacotron_frames_per_sec_bf16_b32",
+    "preprocess_mel_frames_per_sec",
+    "serve_samples_per_sec_measured",
+)
+
+
+def _final_lines(flat, derived, truncated, failed, device):
+    """Build the (full, compact) aggregate dicts printed as the run's last
+    two lines.  Both are self-contained; compact ⊆ full."""
+    merged = {**flat, **derived}
+    head = {
         "metric": "vocoder_samples_per_sec_per_chip",
-        "value": wg_sps,
+        "value": merged.get("vocoder_samples_per_sec_per_chip"),
         "unit": "samples/sec",
-        "vs_baseline": flat.get("vocoder_vs_baseline"),
+        "vs_baseline": merged.get("vocoder_vs_baseline"),
+    }
+    tail_keys = {
         "e2e_rtf_target": 50.0,
-        "budget_s": BUDGET_S,
         "elapsed_s": round(time.time() - _T0, 1),
         "truncated": truncated,
+        "device": device,
     }
+    full = dict(head)
+    full["bench_full"] = True
+    full["budget_s"] = BUDGET_S
+    for k, v in merged.items():
+        full.setdefault(k, v)
+    full.update(tail_keys)
     if failed:
-        result["failed"] = failed
-    for k, v in {**flat, **derived}.items():
-        result.setdefault(k, v)
-    try:
-        result["device"] = str(jax.devices()[0])
-    except Exception:
-        result["device"] = "unavailable"
-    print(json.dumps(result), flush=True)
+        full["failed"] = failed
+    compact = dict(head)
+    for k in COMPACT_KEYS:
+        if k in merged:
+            compact[k] = merged[k]
+    compact.update(tail_keys)
+    if failed:
+        # names only — the full reprs live in the section lines and the
+        # bench_full line; the compact line must stay small on a bad day too
+        compact["failed"] = sorted(failed)
+    return full, compact
 
 
 if __name__ == "__main__":

@@ -31,6 +31,11 @@ GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "golden"
 import pytest
 
 
+# nodeid of the first test after which the global-storage probe failed;
+# once set, later _cache_size() pins are unevaluable (see assert_one_program)
+_storage_broken_by = None
+
+
 @pytest.fixture(autouse=True)
 def _jit_dispatch_guard(request):
     """Fail the test that corrupts process-wide jit dispatch state, not
@@ -53,17 +58,42 @@ def _jit_dispatch_guard(request):
       LRU eviction of live functions), debug_nans/debug_infs, or
       mesh/precision/x64/device contexts.
 
+    Round-5 addition, after the flake reproduced twice more WITH clean
+    dispatch state: a GLOBAL STORAGE PROBE after every test.  The failing
+    pin's forensics read ``fresh-jit fastpath storage works=False`` while
+    ``disable_jit=False`` and trace state clean — i.e. some earlier test
+    breaks process-wide fastpath storage through a third, unnamed
+    mechanism (measured NOT to be: a leaked ``jax.disable_jit()`` context,
+    which the attribute read does reflect; shared-LRU eviction — 9k live
+    called jit fns never evict a probe entry; trace-state leaks, which
+    still store).  The probe jits a fresh lambda, calls it, and requires
+    one stored entry (~15 ms/test); the FIRST test after which it fails is
+    the culprit and goes red.  Later pins then skip with a pointer at the
+    culprit instead of failing a random victim at the end of the suite.
+
     State is reset after a failure so only the offending test goes red."""
     yield
     import jax
+    import jax.numpy as jnp
     from jax._src import core as _core
 
+    global _storage_broken_by
     problems = []
     if not _core.trace_state_clean():
         _core.reset_trace_state()
         problems.append("trace state LEAKED (tracer or axis env survived)")
     if jax.config.jax_disable_jit:
         problems.append("jax.disable_jit() left ACTIVE")
+    if _storage_broken_by is None and not problems:
+        probe = jax.jit(lambda v: v + 1.0)
+        probe(jnp.float32(0))
+        if probe._cache_size() != 1:
+            _storage_broken_by = request.node.nodeid
+            problems.append(
+                "global jit fastpath STORAGE broken (a fresh jitted "
+                f"function stores {probe._cache_size()} entries, want 1) — "
+                "every later _cache_size() pin in this process reads 0"
+            )
     if problems:
         pytest.fail(
             f"{request.node.nodeid} corrupted jit dispatch state: "
@@ -87,6 +117,13 @@ def assert_one_program(jitted, n=1, what="this jitted function"):
     bisection subset passed)."""
     assert_jit_dispatch_clean(what)
     got = jitted._cache_size()
+    if got != n and _storage_broken_by is not None:
+        # the per-test probe already named the test that broke process-wide
+        # fastpath storage; this pin is unevaluable, not failed
+        pytest.skip(
+            f"{what}: _cache_size() pin unevaluable — global fastpath "
+            f"storage was broken earlier by {_storage_broken_by}"
+        )
     if got != n:
         # Forensics for the order-dependent full-suite flake: name the
         # mechanism instead of failing with a bare count.
